@@ -1,0 +1,307 @@
+package graft.icelite
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Per-snapshot summary — carries the engine's exactly-once state:
+  *
+  *   - `batchId` / `lastBatchId`: idempotent-commit guard. Streaming
+  *     batch ids are monotone, so re-committing a batchId <= lastBatchId
+  *     is a no-op — the Iceberg replace-snapshot idempotence contract
+  *     the north star invokes, re-created from scratch.
+  *   - `watermarkCommit`/`watermarkChange`: the applied high-water mark
+  *     in (commit_lsn, change_lsn) total order — the analog of the
+  *     reference's offset map {commit_lsn, change_lsn, begin_lsn}
+  *     (`InformixOffsetContext.java:58-71`) persisted in the table
+  *     itself, used for the replay-skip filters (R1/R2,
+  *     `InformixStreamingChangeEventSource.java:142-163, 295-300`).
+  */
+final case class IceSummary(
+    batchId: Long,
+    lastBatchId: Long,
+    watermarkCommit: Long,
+    watermarkChange: Long,
+    floorCommit: Long,
+    floorChange: Long,
+    lsnLo: Long,
+    lsnHi: Long,
+    upserts: Long,
+    deletes: Long,
+    note: String
+)
+
+object IceSummary {
+  val empty: IceSummary = IceSummary(-1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, 0L, 0L, "")
+}
+
+/** One committed table version: Iceberg-style snapshot metadata.
+  * `files` maps hash-bucket id -> data file paths relative to the table
+  * root; bucket(key) = pmod(murmur3(key), numBuckets), so readers prune
+  * to touched buckets and writers rewrite only touched buckets
+  * (copy-on-write MERGE).
+  */
+final case class IceSnapshot(
+    snapshotId: Long,
+    parentId: Long,
+    schema: StructType,
+    keyCol: String,
+    numBuckets: Int,
+    files: Map[Int, Seq[String]],
+    summary: IceSummary
+) {
+  def allFiles: Seq[String] = files.values.flatten.toSeq
+}
+
+/** Minimal Iceberg-semantics table format ("IceLite"): parquet data
+  * files + a JSON snapshot log under `_metadata/`, atomic commits via
+  * hard-link-create (fails if the target version exists — optimistic
+  * concurrency), time travel by snapshot id. Built from scratch because
+  * this environment ships no Iceberg/Delta jars; the *semantics* (atomic
+  * snapshot commit, idempotent replace by batch id, additive schema
+  * evolution) follow the Iceberg spec the north star requires.
+  */
+final class IceLiteTable private[icelite] (
+    val spark: SparkSession,
+    val root: String
+) {
+  @volatile private var snap: IceSnapshot = IceLite.readLatest(root).getOrElse {
+    throw new IllegalStateException(s"no IceLite table at $root")
+  }
+
+  def current: IceSnapshot = snap
+  def refresh(): IceSnapshot = { snap = IceLite.readLatest(root).get; snap }
+
+  def dataPath(rel: String): String = s"$root/$rel"
+
+  /** User-facing read at the current snapshot: live rows, no engine
+    * metadata columns.
+    */
+  def read(): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    readSnapshot(snap, snap.files.keys.toSeq)
+      .where(not(col(IceLite.TOMB)))
+      .drop(IceLite.metaColumns: _*)
+  }
+
+  /** Raw read of the given buckets INCLUDING engine metadata columns
+    * (row version __vc/__vl and the tombstone flag) — the merge path
+    * needs them for version-conditional apply.
+    */
+  def readBuckets(buckets: Seq[Int]): DataFrame = readSnapshot(snap, buckets)
+
+  /** Time travel: read the table as of an older snapshot id. */
+  def readAt(snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val s = IceLite.readSnapshotFile(root, snapshotId)
+    readSnapshot(s, s.files.keys.toSeq)
+      .where(not(col(IceLite.TOMB)))
+      .drop(IceLite.metaColumns: _*)
+  }
+
+  private def readSnapshot(s: IceSnapshot, buckets: Seq[Int]): DataFrame = {
+    val full = IceLite.withMeta(s.schema)
+    val paths = buckets.flatMap(b => s.files.getOrElse(b, Nil)).map(dataPath)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    // explicit schema => files written before an additive ALTER read the
+    // new column as null (reference: new columns nullable, additive only)
+    else spark.read.schema(full).parquet(paths: _*)
+  }
+
+  /** Optimistic atomic commit. Returns true on success; false if another
+    * writer won the race for this version (caller refreshes + retries).
+    */
+  def commit(next: IceSnapshot): Boolean = {
+    val ok = IceLite.writeSnapshotAtomic(root, next)
+    if (ok) snap = next
+    ok
+  }
+
+  def lineagePath: String = s"$root/_lineage"
+
+  /** Append per-partition lineage/metrics rows (LSN range, counts, apply
+    * latency) — the analog of the reference's heartbeat + transaction
+    * monitor (`InformixTransactionMonitor.java:28-52`).
+    */
+  def appendLineage(df: DataFrame): Unit =
+    df.write.mode("append").parquet(lineagePath)
+}
+
+object IceLite {
+
+  /** Engine metadata columns stored with every row:
+    *   __vc/__vl — the (commit_lsn, change_lsn) version that wrote the
+    *               row; makes MERGE order-insensitive and row-level
+    *               idempotent (an event can never overwrite a newer row,
+    *               the distributed restatement of the reference's
+    *               monotone-offset rule, `TxLogPosition.java:53-60`).
+    *   __tomb   — delete tombstone: the key was deleted at this version;
+    *              kept so a late-arriving older upsert cannot resurrect
+    *              the row (the reference's replay-skip R1/R2 expressed as
+    *              data, not coordination). Purged by compaction once the
+    *              log retention floor passes the version (R4 analog).
+    */
+  val VC = "__vc"
+  val VL = "__vl"
+  val TOMB = "__tomb"
+  val metaColumns: Seq[String] = Seq(VC, VL, TOMB)
+
+  def withMeta(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(VC, org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(VL, org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(TOMB, org.apache.spark.sql.types.BooleanType, nullable = false)))
+
+  private val mapper = new ObjectMapper()
+
+  def metaDir(root: String): Path = Paths.get(root, "_metadata")
+  def versionFile(root: String, v: Long): Path = metaDir(root).resolve(f"v$v%09d.json")
+
+  def create(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      keyCol: String,
+      numBuckets: Int
+  ): IceLiteTable = {
+    Files.createDirectories(metaDir(root))
+    val s0 = IceSnapshot(0L, -1L, schema, keyCol, numBuckets, Map.empty, IceSummary.empty)
+    if (!writeSnapshotAtomic(root, s0))
+      throw new IllegalStateException(s"table already exists at $root")
+    new IceLiteTable(spark, root)
+  }
+
+  def load(spark: SparkSession, root: String): IceLiteTable = new IceLiteTable(spark, root)
+
+  def exists(root: String): Boolean = Files.exists(versionFile(root, 0L))
+
+  // ---- snapshot (de)serialization ----
+
+  private def toJson(s: IceSnapshot): String = {
+    val n: ObjectNode = mapper.createObjectNode()
+    n.put("snapshotId", s.snapshotId)
+    n.put("parentId", s.parentId)
+    n.put("schema", s.schema.json)
+    n.put("keyCol", s.keyCol)
+    n.put("numBuckets", s.numBuckets)
+    val files = n.putObject("files")
+    s.files.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = files.putArray(b.toString)
+      fs.foreach(arr.add)
+    }
+    val sm = n.putObject("summary")
+    sm.put("batchId", s.summary.batchId)
+    sm.put("lastBatchId", s.summary.lastBatchId)
+    sm.put("watermarkCommit", s.summary.watermarkCommit)
+    sm.put("watermarkChange", s.summary.watermarkChange)
+    sm.put("floorCommit", s.summary.floorCommit)
+    sm.put("floorChange", s.summary.floorChange)
+    sm.put("lsnLo", s.summary.lsnLo)
+    sm.put("lsnHi", s.summary.lsnHi)
+    sm.put("upserts", s.summary.upserts)
+    sm.put("deletes", s.summary.deletes)
+    sm.put("note", s.summary.note)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  private def fromJson(js: String): IceSnapshot = {
+    val n = mapper.readTree(js)
+    val filesNode = n.get("files")
+    val files = filesNode.properties().asScala.map { e =>
+      e.getKey.toInt -> e.getValue.elements().asScala.map(_.asText()).toSeq
+    }.toMap
+    val sm = n.get("summary")
+    IceSnapshot(
+      n.get("snapshotId").asLong(),
+      n.get("parentId").asLong(),
+      DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
+      n.get("keyCol").asText(),
+      n.get("numBuckets").asInt(),
+      files,
+      IceSummary(
+        sm.get("batchId").asLong(), sm.get("lastBatchId").asLong(),
+        sm.get("watermarkCommit").asLong(), sm.get("watermarkChange").asLong(),
+        sm.get("floorCommit").asLong(), sm.get("floorChange").asLong(),
+        sm.get("lsnLo").asLong(), sm.get("lsnHi").asLong(),
+        sm.get("upserts").asLong(), sm.get("deletes").asLong(),
+        sm.get("note").asText())
+    )
+  }
+
+  def readSnapshotFile(root: String, v: Long): IceSnapshot =
+    fromJson(new String(Files.readAllBytes(versionFile(root, v)), StandardCharsets.UTF_8))
+
+  /** Latest committed snapshot: follow the version-hint then probe
+    * forward (hint is advisory — a crash between commit and hint update
+    * must not lose the commit).
+    */
+  def readLatest(root: String): Option[IceSnapshot] = {
+    if (!Files.exists(metaDir(root))) return None
+    val hinted = try {
+      val p = metaDir(root).resolve("version-hint.text")
+      if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong else 0L
+    } catch { case NonFatal(_) => 0L }
+    var v = hinted
+    if (!Files.exists(versionFile(root, v))) {
+      if (!Files.exists(versionFile(root, 0L))) return None
+      v = 0L
+    }
+    while (Files.exists(versionFile(root, v + 1))) v += 1
+    Some(readSnapshotFile(root, v))
+  }
+
+  /** Atomic commit of version `s.snapshotId`:
+    * write a temp file, then hard-link it to the version path.
+    * `Files.createLink` fails atomically (EEXIST) when another writer
+    * already committed this version — our optimistic lock; readers never
+    * observe a partial file because the link appears fully-written.
+    */
+  def writeSnapshotAtomic(root: String, s: IceSnapshot): Boolean = {
+    val dir = metaDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}.json")
+    Files.write(tmp, toJson(s).getBytes(StandardCharsets.UTF_8))
+    val target = versionFile(root, s.snapshotId)
+    val ok =
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    Files.deleteIfExists(tmp)
+    if (ok) {
+      // best-effort hint update (atomic replace so readers never see torn bytes)
+      try {
+        val hintTmp = dir.resolve(s".hint-${java.util.UUID.randomUUID()}")
+        Files.write(hintTmp, s.snapshotId.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(hintTmp, dir.resolve("version-hint.text"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } catch { case NonFatal(_) => () }
+    }
+    ok
+  }
+
+  /** List data files (relative paths) under a commit directory, grouped
+    * by the `__bucket=N` partition dir they were written into.
+    */
+  def listCommittedFiles(root: String, commitRel: String): Map[Int, Seq[String]] = {
+    val base = Paths.get(root, commitRel)
+    if (!Files.exists(base)) return Map.empty
+    val out = scala.collection.mutable.Map[Int, List[String]]().withDefaultValue(Nil)
+    Files.walk(base).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val bucketDir = p.getParent.getFileName.toString
+        if (bucketDir.startsWith("__bucket=")) {
+          val b = bucketDir.stripPrefix("__bucket=").toInt
+          out(b) = rel :: out(b)
+        }
+      }
+    out.toMap.map { case (k, v) => k -> v.sorted.toSeq }
+  }
+}

@@ -1,0 +1,168 @@
+package graft.stream
+
+import graft.icelite.{IceLite, IceLiteTable, IceSummary}
+import graft.model.LogRecord
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Snapshot modes — the subset of the reference's snapshot.mode surface
+  * that is meaningful without a live database
+  * (`InformixConnectorConfig.java:55-106`): initial, initial_only,
+  * no_data (schema + offset pin, no rows), always (re-snapshot on every
+  * start), when_needed (snapshot iff the sink table does not exist yet).
+  */
+object SnapshotMode extends Enumeration {
+  val Initial, InitialOnly, NoData, Always, WhenNeeded = Value
+}
+
+final case class CdcConfig(
+    logDir: String,
+    tableRoot: String,
+    checkpointDir: String,
+    keyCol: String = "doc_id",
+    numBuckets: Int = 64,
+    maxFilesPerTrigger: Int = 4,
+    snapshotMode: SnapshotMode.Value = SnapshotMode.Initial
+)
+
+/** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
+  * `InformixConnectorTask.start` + `ChangeEventSourceCoordinator`
+  * (`InformixConnectorTask.java:84-195`) re-expressed as a batch
+  * snapshot write followed by a Structured Streaming query whose
+  * micro-batches run assemble -> merge-apply.
+  */
+object CdcJob {
+
+  /** Phase 1 — consistent snapshot (S1-S4, N1): pin `snapshotLsn` BEFORE
+    * copying (analog of `getMaxLsn`,
+    * `InformixSnapshotChangeEventSource.java:121-137`), bucket the
+    * source rows, commit one atomic snapshot whose watermark is
+    * (snapshotLsn, Long.MaxValue) so the stream applies strictly-after
+    * events only. Locking (S4) is unnecessary: the source is an
+    * immutable table version, which gives the same consistency the
+    * reference buys with LOCK TABLE.
+    */
+  def snapshot(
+      spark: SparkSession,
+      source: DataFrame,
+      cfg: CdcConfig,
+      snapshotLsn: Long
+  ): IceLiteTable = {
+    val table = IceLite.create(spark, cfg.tableRoot,
+      MergeApply.asNullable(source.schema).asInstanceOf[org.apache.spark.sql.types.StructType],
+      cfg.keyCol, cfg.numBuckets)
+    val snap = table.current
+    // snapshot rows carry version (snapshotLsn, Long.MaxValue): any stream
+    // event with commit_lsn > snapshotLsn beats them, events at or before
+    // the pin lose — exactly the reference's "stream strictly after the
+    // pinned max LSN" rule.
+    val rows = source
+      .withColumn(IceLite.VC, lit(snapshotLsn))
+      .withColumn(IceLite.VL, lit(Long.MaxValue))
+      .withColumn(IceLite.TOMB, lit(false))
+      .withColumn("__bucket", pmod(hash(col(cfg.keyCol)), lit(cfg.numBuckets)))
+    val commitRel = "data/commit-snapshot"
+    if (cfg.snapshotMode != SnapshotMode.NoData) {
+      rows.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"${cfg.tableRoot}/$commitRel")
+    }
+    val files =
+      if (cfg.snapshotMode == SnapshotMode.NoData) Map.empty[Int, Seq[String]]
+      else IceLite.listCommittedFiles(cfg.tableRoot, commitRel)
+    val nRows = if (cfg.snapshotMode == SnapshotMode.NoData) 0L else source.count()
+    val next = snap.copy(
+      snapshotId = snap.snapshotId + 1,
+      parentId = snap.snapshotId,
+      files = files,
+      summary = IceSummary(-1L, -1L, snapshotLsn, Long.MaxValue,
+        snapshotLsn, Long.MaxValue,
+        -1L, -1L, nRows, 0L, s"snapshot:${cfg.snapshotMode}"))
+    if (!table.commit(next))
+      throw new IllegalStateException("snapshot commit conflict")
+    table
+  }
+
+  /** Create-or-load the sink according to the snapshot mode. */
+  def ensureTable(
+      spark: SparkSession,
+      source: => DataFrame,
+      cfg: CdcConfig,
+      snapshotLsn: Long
+  ): IceLiteTable = {
+    val exists = IceLite.exists(cfg.tableRoot)
+    cfg.snapshotMode match {
+      case SnapshotMode.Always =>
+        if (exists) graft.util.Fs.deleteRecursively(cfg.tableRoot)
+        snapshot(spark, source, cfg, snapshotLsn)
+      case SnapshotMode.WhenNeeded | SnapshotMode.Initial | SnapshotMode.InitialOnly |
+          SnapshotMode.NoData =>
+        if (exists) IceLite.load(spark, cfg.tableRoot)
+        else snapshot(spark, source, cfg, snapshotLsn)
+    }
+  }
+
+  /** One micro-batch: raw log records -> committed events -> MERGE. */
+  def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long): MergeApply.MergeStats =
+    MergeApply.applyBatch(table, TxAssembler.assemble(rawBatch), batchId)
+
+  /** Phase 2 — continuous tail of the change log (S5/S6/E9): a
+    * Structured Streaming file source over the append-only log, batch
+    * size governed by maxFilesPerTrigger (the analog of
+    * cdc.max.records/cdc.buffersize batching), exactly-once by SS
+    * checkpoint + IceLite batch-id idempotent commits.
+    */
+  def stream(
+      spark: SparkSession,
+      table: IceLiteTable,
+      cfg: CdcConfig,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    spark.readStream
+      .schema(LogRecord.schema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.logDir)
+      .writeStream
+      .queryName("graft-cdc-apply")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        processBatch(table, df, batchId); ()
+      }
+      .start()
+  }
+
+  /** Run the stream to completion over whatever log segments exist. */
+  def runAvailable(spark: SparkSession, table: IceLiteTable, cfg: CdcConfig): Unit = {
+    val q = stream(spark, table, cfg)
+    q.awaitTermination()
+  }
+
+  /** Deterministic batch-incremental runner (same applyBatch code path,
+    * no SS machinery): chunk the sorted segment-file list, batchId =
+    * chunk index; resume point = the table's own lastBatchId, so a
+    * restarted run skips applied chunks — used by tests to kill/resume
+    * at exact batch boundaries.
+    */
+  def runBatchIncremental(
+      spark: SparkSession,
+      table: IceLiteTable,
+      cfg: CdcConfig,
+      filesPerBatch: Int,
+      stopAfterBatches: Int = Int.MaxValue
+  ): Seq[MergeApply.MergeStats] = {
+    val files = graft.util.Fs.listParquet(cfg.logDir).sorted
+    val chunks = files.grouped(filesPerBatch).toSeq
+    val from = table.refresh().summary.lastBatchId + 1
+    val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
+    var done = 0
+    chunks.zipWithIndex.drop(from.toInt).foreach { case (chunk, i) =>
+      if (done < stopAfterBatches) {
+        val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
+        out += processBatch(table, raw, i.toLong)
+        done += 1
+      }
+    }
+    out.toSeq
+  }
+}

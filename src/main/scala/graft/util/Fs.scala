@@ -1,0 +1,29 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** Tiny local-fs helpers (test/bench infrastructure only — production
+  * paths would go through Hadoop FileSystem).
+  */
+object Fs {
+  def deleteRecursively(root: String): Unit = {
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
+  def listParquet(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Seq.empty
+    else Files.walk(p).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+  }
+
+  def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+}
