@@ -1,0 +1,53 @@
+package graft.icelite
+
+import org.apache.spark.sql.functions._
+
+/** Table maintenance: file compaction and tombstone GC.
+  *
+  * Merge batches accumulate a few small files per touched bucket
+  * (survivor file + upsert file); compaction rewrites buckets back to
+  * one file each. Tombstones (deleted keys kept so late-arriving older
+  * events cannot resurrect rows) are purged once their version falls
+  * below the log-retention floor — the analog of the reference's
+  * offset-validity rule R4 (`InformixConnection.java:105-120`: a
+  * restart LSN older than the retained log forces a re-snapshot, so no
+  * event below the floor can ever arrive again).
+  */
+object Maintenance {
+
+  /** Rewrite every bucket to compact files; drop tombstones whose
+    * version commit-LSN is strictly below `retentionFloorLsn`.
+    * Returns the new snapshot id.
+    */
+  def compact(table: IceLiteTable, retentionFloorLsn: Long = -1L): Long = {
+    val snap = table.refresh()
+    val keyCol = snap.keyCol
+    val all = table.readBuckets(snap.files.keys.toSeq)
+    val kept =
+      if (retentionFloorLsn < 0) all
+      else all.where(!col(IceLite.TOMB) || col(IceLite.VC) >= retentionFloorLsn)
+    val commitRel = f"data/compact-${snap.snapshotId}%08d"
+    kept
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(snap.numBuckets)))
+      .repartition(snap.numBuckets, col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(table.dataPath(commitRel))
+    val written = IceLite.listCommittedFiles(table.root, commitRel)
+    var attempts = 0
+    while (attempts < 5) {
+      val cur = table.current
+      // compaction only applies if nothing changed underneath it
+      if (cur.snapshotId != snap.snapshotId)
+        throw new IllegalStateException("table changed during compaction; rerun")
+      val next = cur.copy(
+        snapshotId = cur.snapshotId + 1,
+        parentId = cur.snapshotId,
+        files = written,
+        summary = cur.summary.copy(note = s"compact(purge<$retentionFloorLsn)"))
+      if (table.commit(next)) return next.snapshotId
+      table.refresh()
+      attempts += 1
+    }
+    throw new IllegalStateException("compaction commit contention")
+  }
+}
