@@ -1,13 +1,278 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: `queries` = one observable, oracle-checkable query
+  * per implemented operator from SURVEY.md §2 plus the training-data
+  * pipeline operators; `oracleSql` = the DuckDB-runnable equivalent.
+  * The real engine (snapshot-then-stream CDC apply onto IceLite) lives
+  * in graft.stream / graft.icelite and is exercised end-to-end by the
+  * ScalaTest suite and by the `cdc_engine_replay` rows-only entry here.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: LWW-deduped CDC merge of the derived change stream onto
+    * `documents` — the observable form of the engine's MERGE apply.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    CdcRelational.mergeApply(t(spark, dir, "events"), t(spark, dir, "documents"))
+  }
+
+  // shared SQL fragment: the events table reinterpreted as a change log
+  private val LOG =
+    """WITH log AS (
+      |  SELECT event_id AS lsn, user_id AS tx_id,
+      |         ((user_id*37) + (event_id % 101)) % 600 AS key_id,
+      |         CASE WHEN event_type='signup' THEN 'c'
+      |              WHEN event_type='error' THEN 'd' ELSE 'u' END AS op,
+      |         event_type, value, (user_id % 10 = 3) AS rolled_back
+      |  FROM events)""".stripMargin
+
+  // portable 56-bit hash (matches TextOps.portableHash)
+  private def H(x: String) = s"(('0x' || substr(md5($x),1,14))::BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S: sources / scans ----
+    "s1_snapshot_scan" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))),
+    "s2_offset_pin" -> ((s, d) => CdcRelational.s2OffsetPin(t(s, d, "events"))),
+    "s3_schema_discovery" -> ((s, d) => { // rows-only: catalog introspection
+      import s.implicits._
+      t(s, d, "documents").schema.fields.map(f => (f.name, f.dataType.simpleString))
+        .toSeq.toDF("column_name", "data_type").orderBy("column_name")
+    }),
+    // ---- F: filters / projections / transforms ----
+    "f1_table_filter" -> ((s, d) => CdcRelational.f1TableFilter(t(s, d, "events"))),
+    "f2_column_projection" -> ((s, d) => CdcRelational.f2Projection(t(s, d, "events"))),
+    "f3_mask_hash" -> ((s, d) => CdcRelational.f3MaskHash(t(s, d, "documents"))),
+    "f4_message_key" -> ((s, d) => CdcRelational.f4MessageKey(t(s, d, "events"))),
+    "f5_value_conversion" -> ((s, d) => CdcRelational.f5ValueConversion(t(s, d, "events"))),
+    // ---- T: transaction assembly ----
+    "t1_tx_group" -> ((s, d) => CdcRelational.t1TxGroup(t(s, d, "events"))),
+    "t2_rollback_discard" -> ((s, d) => CdcRelational.t2RollbackDiscard(t(s, d, "events"))),
+    "t3_savepoint_discard" -> ((s, d) => CdcRelational.t3SavepointDiscard(t(s, d, "events"))),
+    "t4_empty_tx" -> ((s, d) => CdcRelational.t4EmptyTx(t(s, d, "events"))),
+    "t5_restart_point" -> ((s, d) => CdcRelational.t5RestartPoint(t(s, d, "events"))),
+    "t6_before_after" -> ((s, d) => CdcRelational.t6BeforeAfter(t(s, d, "events"))),
+    // ---- R: recovery ----
+    "r1_replay_skip" -> ((s, d) => CdcRelational.r1ReplaySkip(t(s, d, "events"))),
+    "r3_offset_advance" -> ((s, d) => CdcRelational.r3OffsetAdvance(t(s, d, "events"))),
+    // ---- A: aggregates / joins ----
+    "a1_minmax" -> ((s, d) => CdcRelational.a1MinMax(t(s, d, "events"))),
+    "a2_lww_dedup" -> ((s, d) => CdcRelational.a2LwwDedup(t(s, d, "events"))),
+    "a3_label_join" -> ((s, d) => CdcRelational.a3LabelJoin(t(s, d, "events"))),
+    // ---- E: emission ----
+    "e1_envelope" -> ((s, d) => CdcRelational.e1Envelope(t(s, d, "events"))),
+    "e2_tombstones" -> ((s, d) => CdcRelational.e2Tombstones(t(s, d, "events"))),
+    "e5_tx_metadata" -> ((s, d) => CdcRelational.e5TxMetadata(t(s, d, "events"))),
+    "e6_lineage" -> ((s, d) => CdcRelational.e6Lineage(t(s, d, "events"))),
+    // ---- N: snapshot variants ----
+    "n2_chunk_boundaries" -> ((s, d) => CdcRelational.n2ChunkBoundaries(t(s, d, "documents"))),
+    // ---- flagship merge ----
+    "cdc_merge_apply" -> ((s, d) =>
+      CdcRelational.mergeApply(t(s, d, "events"), t(s, d, "documents"))),
+    // rows-only: the REAL engine end-to-end on a generated log
+    "cdc_engine_replay" -> ((s, d) => engineReplay(s)),
+    // ---- training-data ops: dedup ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents")).orderBy(col("fp"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"))
+        .withColumn("inter", col("inter").cast("long"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(t(s, d, "documents")).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash16(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "dedup_embedding_cos" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings")).orderBy(col("id_a"), col("id_b"))),
+    // ---- training-data ops: similarity search ----
+    "ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ann_ivf_label" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // rows-only: LSH-bucketed scale path (bucketing not SQL-portable)
+    "ann_lsh_bucketed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // ---- training-data ops: text analysis ----
+    "text_token_count" -> ((s, d) =>
+      TextOps.tokenCounts(t(s, d, "documents"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("re_tokens").cast("long").as("re_tokens"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))),
+    "text_quality" -> ((s, d) =>
+      TextOps.qualityScore(t(s, d, "documents"))
+        .withColumn("n_words", col("n_words").cast("long"))
+        .orderBy(col("doc_id"))),
+    "text_langid" -> ((s, d) =>
+      TextOps.langId(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(t(s, d, "documents"))
+        .withColumn("norm_len", col("norm_len").cast("long"))
+        .orderBy(col("doc_id"))),
+    // ---- training-data ops: multimodal plumbing ----
+    "mm_binary_features" -> ((s, d) => {
+      val media = Multimodal.toMedia(t(s, d, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("first_byte").cast("long").as("first_byte"))
+        .orderBy(col("doc_id"))
+    }),
+    // rows-only: full feature vector incl. checksum (stub decode)
+    "mm_media_features" -> ((s, d) => {
+      val media = Multimodal.toMedia(t(s, d, "documents"))
+      Multimodal.extractFeatures(media).toDF().orderBy(col("doc_id"))
+    })
+  )
+
+  /** Rows-only entry: the actual CDC engine (generator -> snapshot ->
+    * batch merge-apply -> read back) on a small deterministic log.
+    */
+  private def engineReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog._
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-entry")
+    try {
+      val cfg = ChangeLogConfig(nTx = 100, nDocs = 100)
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+      val out = table.read().select(col("doc_id"), col("n_tok"), col("source"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_snapshot_scan" ->
+      "SELECT doc_id, n_chars, source FROM documents ORDER BY doc_id",
+    "s2_offset_pin" ->
+      s"$LOG SELECT max(lsn) AS max_lsn, count(*) AS n_events FROM log",
+    "f1_table_filter" ->
+      s"$LOG SELECT event_type, count(*) AS n FROM log WHERE event_type <> 'error' GROUP BY event_type ORDER BY event_type",
+    "f2_column_projection" ->
+      "SELECT event_id, user_id FROM events WHERE event_id < 200 ORDER BY event_id",
+    "f3_mask_hash" ->
+      "SELECT doc_id, md5('salt:' || text) AS text_hashed, substr(text,1,10) AS text_truncated, '********' AS text_masked FROM documents ORDER BY doc_id",
+    "f4_message_key" ->
+      s"$LOG SELECT lsn, key_id FROM log ORDER BY lsn",
+    "f5_value_conversion" ->
+      "SELECT event_id, value AS v_double, CAST(round(value*100) AS BIGINT) AS v_cents, CAST(floor(value) AS BIGINT) AS v_floor FROM events WHERE event_id < 500 ORDER BY event_id",
+    "t1_tx_group" ->
+      s"$LOG SELECT tx_id, count(*) AS n_ops, min(lsn) AS begin_lsn, max(lsn) AS commit_lsn FROM log GROUP BY tx_id ORDER BY tx_id",
+    "t2_rollback_discard" ->
+      s"$LOG SELECT event_type, count(*) AS n FROM log WHERE NOT rolled_back GROUP BY event_type ORDER BY event_type",
+    "t3_savepoint_discard" ->
+      s"$LOG, dd AS (SELECT tx_id, lsn, max(lsn) OVER (PARTITION BY tx_id) - 100 AS discard_from FROM log) SELECT tx_id, count(*) AS n_kept FROM dd WHERE lsn < discard_from GROUP BY tx_id ORDER BY tx_id",
+    "t4_empty_tx" ->
+      s"$LOG SELECT tx_id, count(*) AS n_ops FROM log WHERE op <> 'd' GROUP BY tx_id HAVING count(*) > 0 ORDER BY tx_id",
+    "t5_restart_point" ->
+      s"$LOG SELECT min(begin_lsn) AS restart_lsn, count(*) AS open_txs FROM (SELECT tx_id, min(lsn) AS begin_lsn FROM log GROUP BY tx_id)",
+    "t6_before_after" ->
+      s"$LOG, lg AS (SELECT key_id, lsn, op, value, lag(value) OVER (PARTITION BY key_id ORDER BY lsn) AS before_value FROM log) SELECT key_id, lsn, before_value, value AS after_value FROM lg WHERE op = 'u' AND before_value IS NOT NULL AND lsn < 2000 ORDER BY lsn",
+    "r1_replay_skip" ->
+      s"$LOG SELECT op, count(*) AS n, min(lsn) AS first_lsn FROM log WHERE lsn > 5000 GROUP BY op ORDER BY op",
+    "r3_offset_advance" ->
+      s"$LOG SELECT tx_id, lsn, max(lsn) OVER (PARTITION BY tx_id ORDER BY lsn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS offset_after FROM log WHERE tx_id < 8 ORDER BY tx_id, lsn",
+    "a1_minmax" ->
+      s"$LOG SELECT event_type, min(lsn) AS min_lsn, max(lsn) AS max_lsn, count(*) AS n FROM log GROUP BY event_type ORDER BY event_type",
+    "a2_lww_dedup" ->
+      s"$LOG, r AS (SELECT key_id, lsn, op, row_number() OVER (PARTITION BY key_id ORDER BY lsn DESC) AS rn FROM log) SELECT key_id, lsn AS last_lsn, op AS last_op FROM r WHERE rn = 1 ORDER BY key_id",
+    "a3_label_join" ->
+      s"$LOG, labels(event_type, target_table) AS (VALUES ('click','tbl_interactions'),('view','tbl_interactions'),('purchase','tbl_orders'),('signup','tbl_accounts'),('error','tbl_dlq')) SELECT target_table, count(*) AS n FROM log JOIN labels USING(event_type) GROUP BY target_table ORDER BY target_table",
+    "e1_envelope" ->
+      s"$LOG SELECT op, count(*) AS n FROM log GROUP BY op ORDER BY op",
+    "e2_tombstones" ->
+      s"$LOG, r AS (SELECT key_id, lsn, op, row_number() OVER (PARTITION BY key_id ORDER BY lsn DESC) AS rn FROM log) SELECT key_id, lsn AS deleted_at_lsn FROM r WHERE rn = 1 AND op = 'd' ORDER BY key_id",
+    "e5_tx_metadata" ->
+      s"$LOG SELECT tx_id, op, count(*) AS event_count, min(lsn) AS first_lsn, max(lsn) AS last_lsn, CAST(tx_id AS VARCHAR) || ':' || CAST(max(lsn) AS VARCHAR) AS tx_key FROM log GROUP BY tx_id, op ORDER BY tx_id, op",
+    "e6_lineage" ->
+      s"$LOG SELECT CAST(floor(lsn/1000) AS BIGINT) AS batch_id, min(lsn) AS lsn_lo, max(lsn) AS lsn_hi, count(*) AS event_count, CAST(sum(CASE WHEN op='d' THEN 1 ELSE 0 END) AS BIGINT) AS deletes FROM log GROUP BY 1 ORDER BY 1",
+    "n2_chunk_boundaries" ->
+      "SELECT CAST(floor(doc_id/100) AS BIGINT) AS chunk, min(doc_id) AS key_lo, max(doc_id) AS key_hi, count(*) AS n_rows FROM documents GROUP BY 1 ORDER BY 1",
+    "cdc_merge_apply" ->
+      s"""$LOG, r AS (SELECT key_id, op, lsn, row_number() OVER (PARTITION BY key_id ORDER BY lsn DESC) AS rn FROM log WHERE NOT rolled_back), last AS (SELECT key_id, op, lsn FROM r WHERE rn = 1) SELECT COALESCE(d.doc_id, l.key_id) AS doc_id, CASE WHEN l.key_id IS NOT NULL THEN 'cdc:' || CAST(l.lsn AS VARCHAR) ELSE substr(d.text,1,20) END AS content, CASE WHEN l.key_id IS NOT NULL THEN 'cdc' ELSE d.source END AS src FROM documents d FULL OUTER JOIN last l ON d.doc_id = l.key_id WHERE COALESCE(l.op,'') <> 'd' ORDER BY doc_id""",
+    "dedup_exact" ->
+      s"SELECT ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS fp, min(doc_id) AS canonical_doc_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY fp",
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT da AS doc_a, db AS doc_b, inter, round(inter*1.0/(s1.n+s2.n-inter),4) AS jaccard
+        |FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id
+        |WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
+        |hm AS (SELECT doc_id, ${H("s")} % 2147483647 AS h FROM sh)
+        |SELECT doc_id, min((1103515245*h + 12345) % 2147483647) AS s0, min((1299709*h + 362437) % 2147483647) AS s1, min((15485863*h + 104729) % 2147483647) AS s2, min((32452843*h + 49979687) % 2147483647) AS s3 FROM hm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
+        |hm AS (SELECT doc_id, ${H("s")} % 2147483647 AS h FROM sh),
+        |sig AS (SELECT doc_id, min((1103515245*h + 12345) % 2147483647) AS s0, min((1299709*h + 362437) % 2147483647) AS s1, min((15485863*h + 104729) % 2147483647) AS s2, min((32452843*h + 49979687) % 2147483647) AS s3 FROM hm GROUP BY doc_id),
+        |b AS (SELECT doc_id, 0 AS band, s0*31+s1 AS bucket FROM sig UNION ALL SELECT doc_id, 1 AS band, s2*31+s3 AS bucket FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
+        |hx AS (SELECT doc_id, ${H("w")} AS h FROM wx),
+        |bits AS (SELECT doc_id, b, sum(((h >> CAST(b AS INTEGER)) & 1)*2 - 1) AS vote FROM hx, unnest(range(0,16)) t(b) GROUP BY 1,2)
+        |SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_embedding_cos" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+        |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_label" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS cell FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos FROM embeddings e JOIN q ON q.cell = e.label AND q.query_id <> e.vec_id),
+        |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS ws_tokens, len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws, regexp_replace(trim(text),'\s+','','g') AS compact FROM documents),
+        |q AS (SELECT doc_id, len(ws) AS n_words, len(list_filter(ws, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='in' OR x='to')) AS stop_hits, length(compact) AS n_nonspace FROM w)
+        |SELECT doc_id, n_words, round(stop_hits*1.0/n_words,4) AS stop_ratio, round(n_nonspace*1.0/n_words,4) AS mean_word_len, round(least(1.0, n_words/100.0) * (1 - stop_hits*1.0/n_words), 4) AS quality FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH m(lang_cand, marker) AS (VALUES ('en','the'),('en','a'),('en','of'),('es','el'),('es','los'),('fr','le'),('fr','les'),('de','der'),('de','das')),
+        |wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents),
+        |h AS (SELECT doc_id, lang_cand, count(*) AS hits FROM wx JOIN m ON w = marker GROUP BY 1,2),
+        |am AS (SELECT doc_id, lang_cand, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rn FROM h)
+        |SELECT d.doc_id, COALESCE(a.lang_cand, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, lang_cand FROM am WHERE rn = 1) a USING(doc_id) ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"SELECT doc_id, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS fingerprint, CAST(length(lower(regexp_replace(trim(text),'\\s+',' ','g'))) AS BIGINT) AS norm_len FROM documents ORDER BY doc_id",
+    "mm_binary_features" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, CAST(unicode(substr(text,1,1)) AS BIGINT) AS first_byte FROM documents ORDER BY doc_id"
+  )
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language id, quality scoring, token counting, fingerprinting.
+  * All pure `functions._` expressions — codegen'd, no UDFs, fully
+  * whole-stage-codegen friendly, scale linearly with no shuffle except
+  * where a groupBy is the semantic (langid vote).
+  */
+object TextOps {
+
+  /** Portable 56-bit content hash: identical in Spark and ANSI-ish SQL
+    * engines (md5 hex prefix parsed as an integer), so oracles can
+    * reproduce it: Spark `conv(substr(md5(x),1,14),16,10)` ==
+    * DuckDB `('0x'||substr(md5(x),1,14))::BIGINT`. Used everywhere a
+    * deterministic cross-engine hash is needed (minhash, simhash,
+    * fingerprints) instead of Spark's murmur3 `hash()`.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** Whitespace-token split of trimmed text. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Normalized text for fingerprinting: lowercase, collapsed spaces. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Document fingerprint (exact-dup key): portable hash of the
+    * normalized text.
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+      portableHash(normalized(col(textCol))).as("fingerprint"),
+      length(normalized(col(textCol))).as("norm_len"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+      size(words(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Quality scoring: length/stopword/word-shape heuristics, the
+    * standard pre-training filter features.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w)
+    val stopHits = size(filter(w, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+    val meanLen = (length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("double")
+      / nWords.cast("double"))
+    df.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(stopHits.cast("double") / nWords.cast("double"), 4).as("stop_ratio"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(least(lit(1.0), nWords.cast("double") / lit(100.0)) *
+        (lit(1.0) - stopHits.cast("double") / nWords.cast("double")), 4).as("quality"))
+  }
+
+  /** Language-marker table: distinctive high-frequency words per
+    * language (n-gram-heuristic language id in its word-unigram form).
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of",
+    "es" -> "el", "es" -> "los",
+    "fr" -> "le", "fr" -> "les",
+    "de" -> "der", "de" -> "das")
+
+  /** Heuristic language id: explode words, join against the marker
+    * dictionary (broadcast — tiny), vote per doc, argmax with
+    * deterministic tie-break (marker count desc, then lang asc);
+    * docs with no marker hits -> 'und'.
+    */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = langMarkers.toDF("lang_cand", "marker")
+    val hits = df.select(col("doc_id"), explode(words(col(textCol))).as("w"))
+      .join(broadcast(markers), col("w") === col("marker"))
+      .groupBy(col("doc_id"), col("lang_cand"))
+      .agg(count(lit(1)).as("hits"))
+    // deterministic argmax: min_by on (-hits, lang) = most hits, ties to
+    // the alphabetically first language
+    val argmax = hits.groupBy(col("doc_id"))
+      .agg(min_by(col("lang_cand"), struct((-col("hits")).as("nh"), col("lang_cand")))
+        .as("pred_lang"))
+    df.select(col("doc_id")).join(argmax, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
+  }
+}
