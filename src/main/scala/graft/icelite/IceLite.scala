@@ -30,6 +30,8 @@ final case class IceSummary(
     watermarkChange: Long,
     floorCommit: Long,
     floorChange: Long,
+    truncCommit: Long,
+    truncChange: Long,
     lsnLo: Long,
     lsnHi: Long,
     upserts: Long,
@@ -38,14 +40,24 @@ final case class IceSummary(
 )
 
 object IceSummary {
-  val empty: IceSummary = IceSummary(-1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, 0L, 0L, "")
+  val empty: IceSummary = IceSummary(-1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, 0L, 0L, "")
 }
 
-/** One committed table version: Iceberg-style snapshot metadata.
-  * `files` maps hash-bucket id -> data file paths relative to the table
-  * root; bucket(key) = pmod(murmur3(key), numBuckets), so readers prune
-  * to touched buckets and writers rewrite only touched buckets
-  * (copy-on-write MERGE).
+/** One committed table version: Iceberg-style snapshot metadata with a
+  * merge-on-read layout (the Iceberg v2 equality-delete idea, rebuilt):
+  *
+  *   - `base`: per hash-bucket data files with at most one row per key;
+  *   - `deltas`: per-bucket ordered chains of change files (deduped
+  *     upserts + tombstones, each row carrying its (__vc,__vl) version).
+  *
+  * A MERGE apply only WRITES the deduped batch as delta files — it
+  * never reads or rewrites the table, so apply cost is O(batch), not
+  * O(touched table). Readers resolve key -> max-version row across
+  * base+deltas; compaction folds long chains back into base. This is
+  * what makes 10^10-event ingest feasible: the write path scales with
+  * the change rate while the read amplification is bounded by the
+  * compaction threshold.
+  * bucket(key) = pmod(murmur3(key), numBuckets).
   */
 final case class IceSnapshot(
     snapshotId: Long,
@@ -53,10 +65,12 @@ final case class IceSnapshot(
     schema: StructType,
     keyCol: String,
     numBuckets: Int,
-    files: Map[Int, Seq[String]],
+    base: Map[Int, Seq[String]],
+    deltas: Map[Int, Seq[String]],
     summary: IceSummary
 ) {
-  def allFiles: Seq[String] = files.values.flatten.toSeq
+  def allFiles: Seq[String] = (base.values ++ deltas.values).flatten.toSeq
+  def buckets: Seq[Int] = (base.keySet ++ deltas.keySet).toSeq
 }
 
 /** Minimal Iceberg-semantics table format ("IceLite"): parquet data
@@ -80,34 +94,70 @@ final class IceLiteTable private[icelite] (
 
   def dataPath(rel: String): String = s"$root/$rel"
 
-  /** User-facing read at the current snapshot: live rows, no engine
-    * metadata columns.
+  /** User-facing read at the current snapshot: merge-on-read resolved
+    * live rows, no engine metadata columns.
     */
   def read(): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
-    readSnapshot(snap, snap.files.keys.toSeq)
+    readMerged(snap.buckets)
       .where(not(col(IceLite.TOMB)))
       .drop(IceLite.metaColumns: _*)
   }
 
-  /** Raw read of the given buckets INCLUDING engine metadata columns
-    * (row version __vc/__vl and the tombstone flag) — the merge path
-    * needs them for version-conditional apply.
+  /** Raw scan of the given buckets (base + delta files) INCLUDING the
+    * engine metadata columns — multiple versions per key possible.
     */
-  def readBuckets(buckets: Seq[Int]): DataFrame = readSnapshot(snap, buckets)
+  def readRaw(buckets: Seq[Int]): DataFrame = readSnapshot(snap, buckets)
+
+  /** Merge-on-read of the given buckets: one row per key, max (__vc,
+    * __vl) version wins (tombstones included — caller filters). When no
+    * bucket has deltas the groupBy is skipped entirely (base files hold
+    * unique keys), so a freshly compacted table reads at raw scan cost.
+    */
+  def readMerged(buckets: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sm = snap.summary
+    // null-key rows are truncate markers; rows at/below the truncate
+    // floor were wiped by a TRUNCATE (E3) — both invisible to readers
+    val raw = readSnapshot(snap, buckets)
+      .where(col(snap.keyCol).isNotNull &&
+        (col(IceLite.VC) > sm.truncCommit ||
+          (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
+    val hasDeltas = buckets.exists(b => snap.deltas.getOrElse(b, Nil).nonEmpty)
+    if (!hasDeltas) raw
+    else {
+      val payload = struct(raw.columns.map(col).toSeq: _*)
+      raw.groupBy(col(snap.keyCol).as("__k"))
+        .agg(max_by(payload, struct(col(IceLite.VC), col(IceLite.VL))).as("w"))
+        .select(col("w.*"))
+    }
+  }
 
   /** Time travel: read the table as of an older snapshot id. */
   def readAt(snapshotId: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.functions._
     val s = IceLite.readSnapshotFile(root, snapshotId)
-    readSnapshot(s, s.files.keys.toSeq)
-      .where(not(col(IceLite.TOMB)))
-      .drop(IceLite.metaColumns: _*)
+    val sm = s.summary
+    val raw = readSnapshot(s, s.buckets)
+      .where(col(s.keyCol).isNotNull &&
+        (col(IceLite.VC) > sm.truncCommit ||
+          (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
+    val hasDeltas = s.deltas.values.exists(_.nonEmpty)
+    val merged =
+      if (!hasDeltas) raw
+      else {
+        val payload = struct(raw.columns.map(col).toSeq: _*)
+        raw.groupBy(col(s.keyCol).as("__k"))
+          .agg(max_by(payload, struct(col(IceLite.VC), col(IceLite.VL))).as("w"))
+          .select(col("w.*"))
+      }
+    merged.where(!col(IceLite.TOMB)).drop(IceLite.metaColumns: _*)
   }
 
   private def readSnapshot(s: IceSnapshot, buckets: Seq[Int]): DataFrame = {
     val full = IceLite.withMeta(s.schema)
-    val paths = buckets.flatMap(b => s.files.getOrElse(b, Nil)).map(dataPath)
+    val paths = buckets.flatMap(b =>
+      s.base.getOrElse(b, Nil) ++ s.deltas.getOrElse(b, Nil)).map(dataPath)
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     // explicit schema => files written before an additive ALTER read the
@@ -172,7 +222,7 @@ object IceLite {
       numBuckets: Int
   ): IceLiteTable = {
     Files.createDirectories(metaDir(root))
-    val s0 = IceSnapshot(0L, -1L, schema, keyCol, numBuckets, Map.empty, IceSummary.empty)
+    val s0 = IceSnapshot(0L, -1L, schema, keyCol, numBuckets, Map.empty, Map.empty, IceSummary.empty)
     if (!writeSnapshotAtomic(root, s0))
       throw new IllegalStateException(s"table already exists at $root")
     new IceLiteTable(spark, root)
@@ -191,9 +241,14 @@ object IceLite {
     n.put("schema", s.schema.json)
     n.put("keyCol", s.keyCol)
     n.put("numBuckets", s.numBuckets)
-    val files = n.putObject("files")
-    s.files.toSeq.sortBy(_._1).foreach { case (b, fs) =>
-      val arr = files.putArray(b.toString)
+    val base = n.putObject("base")
+    s.base.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = base.putArray(b.toString)
+      fs.foreach(arr.add)
+    }
+    val deltas = n.putObject("deltas")
+    s.deltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = deltas.putArray(b.toString)
       fs.foreach(arr.add)
     }
     val sm = n.putObject("summary")
@@ -203,6 +258,8 @@ object IceLite {
     sm.put("watermarkChange", s.summary.watermarkChange)
     sm.put("floorCommit", s.summary.floorCommit)
     sm.put("floorChange", s.summary.floorChange)
+    sm.put("truncCommit", s.summary.truncCommit)
+    sm.put("truncChange", s.summary.truncChange)
     sm.put("lsnLo", s.summary.lsnLo)
     sm.put("lsnHi", s.summary.lsnHi)
     sm.put("upserts", s.summary.upserts)
@@ -213,10 +270,12 @@ object IceLite {
 
   private def fromJson(js: String): IceSnapshot = {
     val n = mapper.readTree(js)
-    val filesNode = n.get("files")
-    val files = filesNode.properties().asScala.map { e =>
-      e.getKey.toInt -> e.getValue.elements().asScala.map(_.asText()).toSeq
-    }.toMap
+    def fileMap(field: String): Map[Int, Seq[String]] =
+      n.get(field).properties().asScala.map { e =>
+        e.getKey.toInt -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+    val base = fileMap("base")
+    val deltas = fileMap("deltas")
     val sm = n.get("summary")
     IceSnapshot(
       n.get("snapshotId").asLong(),
@@ -224,11 +283,13 @@ object IceLite {
       DataType.fromJson(n.get("schema").asText()).asInstanceOf[StructType],
       n.get("keyCol").asText(),
       n.get("numBuckets").asInt(),
-      files,
+      base,
+      deltas,
       IceSummary(
         sm.get("batchId").asLong(), sm.get("lastBatchId").asLong(),
         sm.get("watermarkCommit").asLong(), sm.get("watermarkChange").asLong(),
         sm.get("floorCommit").asLong(), sm.get("floorChange").asLong(),
+        sm.get("truncCommit").asLong(), sm.get("truncChange").asLong(),
         sm.get("lsnLo").asLong(), sm.get("lsnHi").asLong(),
         sm.get("upserts").asLong(), sm.get("deletes").asLong(),
         sm.get("note").asText())

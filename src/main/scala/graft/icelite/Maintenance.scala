@@ -22,7 +22,7 @@ object Maintenance {
   def compact(table: IceLiteTable, retentionFloorLsn: Long = -1L): Long = {
     val snap = table.refresh()
     val keyCol = snap.keyCol
-    val all = table.readBuckets(snap.files.keys.toSeq)
+    val all = table.readMerged(snap.buckets)
     val kept =
       if (retentionFloorLsn < 0) all
       else all.where(!col(IceLite.TOMB) || col(IceLite.VC) >= retentionFloorLsn)
@@ -42,7 +42,8 @@ object Maintenance {
       val next = cur.copy(
         snapshotId = cur.snapshotId + 1,
         parentId = cur.snapshotId,
-        files = written,
+        base = written,
+        deltas = Map.empty,
         summary = cur.summary.copy(note = s"compact(purge<$retentionFloorLsn)"))
       if (table.commit(next)) return next.snapshotId
       table.refresh()

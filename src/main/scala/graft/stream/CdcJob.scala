@@ -23,7 +23,11 @@ final case class CdcConfig(
     keyCol: String = "doc_id",
     numBuckets: Int = 64,
     maxFilesPerTrigger: Int = 4,
-    snapshotMode: SnapshotMode.Value = SnapshotMode.Initial
+    snapshotMode: SnapshotMode.Value = SnapshotMode.Initial,
+    /** Broadcast tx-metadata assembly: payload never shuffles for
+      * assembly. Right when transactions are sizeable (txs-per-batch
+      * small enough to broadcast); default windowed is always safe. */
+    broadcastAssembly: Boolean = false
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -62,7 +66,7 @@ object CdcJob {
       .withColumn(IceLite.VL, lit(Long.MaxValue))
       .withColumn(IceLite.TOMB, lit(false))
       .withColumn("__bucket", pmod(hash(col(cfg.keyCol)), lit(cfg.numBuckets)))
-    val commitRel = "data/commit-snapshot"
+    val commitRel = "data/base-snapshot"
     if (cfg.snapshotMode != SnapshotMode.NoData) {
       rows.write.mode("overwrite").partitionBy("__bucket")
         .parquet(s"${cfg.tableRoot}/$commitRel")
@@ -74,9 +78,9 @@ object CdcJob {
     val next = snap.copy(
       snapshotId = snap.snapshotId + 1,
       parentId = snap.snapshotId,
-      files = files,
+      base = files,
       summary = IceSummary(-1L, -1L, snapshotLsn, Long.MaxValue,
-        snapshotLsn, Long.MaxValue,
+        snapshotLsn, Long.MaxValue, -1L, -1L,
         -1L, -1L, nRows, 0L, s"snapshot:${cfg.snapshotMode}"))
     if (!table.commit(next))
       throw new IllegalStateException("snapshot commit conflict")
@@ -102,9 +106,26 @@ object CdcJob {
     }
   }
 
-  /** One micro-batch: raw log records -> committed events -> MERGE. */
-  def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long): MergeApply.MergeStats =
-    MergeApply.applyBatch(table, TxAssembler.assemble(rawBatch), batchId)
+  /** One micro-batch: raw log records -> committed events -> MERGE.
+    *
+    * The before-image is only ever consulted for the merge KEY (deletes
+    * carry the key in `before`), so it is pruned to that single nested
+    * field right above the scan — the parquet reader then decodes just
+    * the `before.<key>` leaf instead of the whole struct, and the
+    * assembly shuffle never carries dead before-image payload.
+    */
+  def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long,
+      broadcastAssembly: Boolean = false): MergeApply.MergeStats = {
+    val keyCol = table.current.keyCol
+    val pruned = rawBatch.select(
+      col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
+      col("table"), col("after"),
+      struct(col("before").getField(keyCol).as(keyCol)).as("before"))
+    val events =
+      if (broadcastAssembly) TxAssembler.assembleBroadcast(pruned)
+      else TxAssembler.assemble(pruned)
+    MergeApply.applyBatch(table, events, batchId)
+  }
 
   /** Phase 2 — continuous tail of the change log (S5/S6/E9): a
     * Structured Streaming file source over the append-only log, batch
@@ -127,7 +148,7 @@ object CdcJob {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        processBatch(table, df, batchId); ()
+        processBatch(table, df, batchId, cfg.broadcastAssembly); ()
       }
       .start()
   }
@@ -159,7 +180,7 @@ object CdcJob {
     chunks.zipWithIndex.drop(from.toInt).foreach { case (chunk, i) =>
       if (done < stopAfterBatches) {
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
-        out += processBatch(table, raw, i.toLong)
+        out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly)
         done += 1
       }
     }

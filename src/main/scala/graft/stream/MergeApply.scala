@@ -1,9 +1,9 @@
 package graft.stream
 
 import graft.icelite.{IceLite, IceLiteTable, IceSnapshot, IceSummary}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** MERGE INTO apply — the sink half of the CDC contract, re-created as
   * an engine operation (no Iceberg SQL exists here): last-writer-wins
@@ -25,8 +25,9 @@ import org.apache.spark.sql.types.StructType
   *     (`TxLogPosition.java:53-60`) applied per key;
   *   - deletes leave tombstones so a late-arriving older upsert cannot
   *     resurrect a deleted key (replay-skip R1/R2 as data);
-  *   - truncate raises a table-wide version FLOOR: events at or below
-  *     the floor can never apply, in any later batch.
+  *   - truncate raises a table-wide version FLOOR recorded in snapshot
+  *     metadata: rows and events at or below it are invisible/dead, in
+  *     any batch order — truncate costs zero data movement (E3).
   *
   * With that, apply is commutative and idempotent across batches, and
   * replay after failure converges to the sequential-replay state.
@@ -37,14 +38,22 @@ import org.apache.spark.sql.types.StructType
   *     window + row_number: hash aggregation does map-side partial
   *     aggregation, so a hot doc_id is reduced to one row per map task
   *     before the shuffle — Zipf skew never lands on a single reducer.
-  *   - copy-on-write touches only the hash buckets named by the batch's
-  *     keys; untouched buckets carry their files forward in metadata.
-  *   - when the deduped change set is small (the common case), the big
-  *     target side is NEVER shuffled: it flows bucket-pruned-scan ->
-  *     broadcast-join-with-changes -> writer in one stage; only the
-  *     small change side shuffles. Above the broadcast threshold the
-  *     merge falls back to a shuffled union + max_by group-by (AQE
-  *     handles partition sizing/skew).
+  *   - ONE full-data Spark job per batch: scan -> single shuffle
+  *     (repartition to numBuckets on the key; Spark's HashPartitioning
+  *     is pmod(murmur3(key), n) — exactly the bucket function — so the
+  *     groupBy reuses the exchange AND every output task holds exactly
+  *     one bucket for the partitioned delta write).
+  *   - the write path is merge-on-read: an apply only WRITES the
+  *     deduped batch as per-bucket delta files — it never reads or
+  *     rewrites existing data, so apply cost is O(batch) regardless of
+  *     table size. Readers resolve key -> max-version row; per-bucket
+  *     compaction (threshold `maxDeltaChain`) bounds read amplification
+  *     at amortized O(table/threshold) write cost.
+  *   - batch statistics, the watermark advance and lineage rows come
+  *     from a column-pruned scan of the just-written delta files (the
+  *     stat columns __op/__cnt/__minc/__trunc ride along in the parquet
+  *     but are outside the table schema) — the payload is never read
+  *     back, so the stats job is near-free.
   */
 object MergeApply {
 
@@ -61,8 +70,17 @@ object MergeApply {
       snapshotId: Long
   )
 
-  /** Deduped-keys-per-batch below which the change side is broadcast. */
-  var broadcastKeyThreshold: Long = 2000000L
+  /** Delta files per bucket before the chain is folded into base. */
+  var maxDeltaChain: Int = 8
+
+  /** Print per-phase wall times (diagnostics only). */
+  var debugTiming: Boolean = false
+  @inline private def phase[T](t0: Long, label: String)(f: => T): T = {
+    val s0 = System.nanoTime(); val r = f
+    if (debugTiming)
+      println(f"      [apply] $label: ${(System.nanoTime() - s0) / 1e9}%.2f s (t+${(System.nanoTime() - t0) / 1e9}%.2f)")
+    r
+  }
 
   import IceLite.{TOMB, VC, VL}
 
@@ -70,13 +88,12 @@ object MergeApply {
     * trip over containsNull/nullable flags that differ between in-memory
     * Datasets and parquet round trips.
     */
-  def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+  def asNullable(dt: DataType): DataType =
     dt match {
       case s: StructType =>
         StructType(s.fields.map(f => f.copy(dataType = asNullable(f.dataType), nullable = true)))
-      case a: org.apache.spark.sql.types.ArrayType =>
-        a.copy(elementType = asNullable(a.elementType), containsNull = true)
-      case m: org.apache.spark.sql.types.MapType =>
+      case a: ArrayType => a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
         m.copy(keyType = asNullable(m.keyType), valueType = asNullable(m.valueType),
           valueContainsNull = true)
       case other => other
@@ -96,8 +113,11 @@ object MergeApply {
   private def posGt(c: Column, l: Column, c0: Long, l0: Long): Column =
     (c > c0) || (c === c0 && l > l0)
 
+  private val posStruct = StructType(Seq(
+    StructField("c", LongType), StructField("l", LongType)))
+
   /** Apply one batch of committed ChangeEvent rows. Idempotent by
-    * batchId AND by row version; advances watermark and floor.
+    * batchId AND by row version; advances watermark and floors.
     */
   def applyBatch(table: IceLiteTable, events: DataFrame, batchId: Long): MergeStats = {
     val t0 = System.nanoTime()
@@ -114,77 +134,34 @@ object MergeApply {
     val numBuckets = snap.numBuckets
     val sm = snap.summary
 
-    // ---- floor filter: snapshot pin (S2) + all past truncates (E3) ----
+    // ---- event floor: snapshot pin (S2) + truncate floor (E3) ----
     val floored = events.where(
-      posGt(col("commit_lsn"), col("change_lsn"), sm.floorCommit, sm.floorChange))
+      posGt(col("commit_lsn"), col("change_lsn"), sm.floorCommit, sm.floorChange) &&
+        posGt(col("commit_lsn"), col("change_lsn"), sm.truncCommit, sm.truncChange))
 
     // ---- schema evolution (E4): widen table schema additively ----
     val afterSchema = floored.schema("after").dataType.asInstanceOf[StructType]
     val newSchema = mergedSchema(snap.schema, afterSchema)
     val userFields = newSchema.fields.toSeq
-
-    // ---- truncate position: raises the floor for this and all batches ----
-    val posCol = struct(col("commit_lsn"), col("change_lsn"))
-    val truncRow = floored.where(col("op") === "t").agg(max(posCol)).collect()(0)
-    val truncPos: Option[(Long, Long)] =
-      if (truncRow.isNullAt(0)) None
-      else { val r = truncRow.getStruct(0); Some((r.getLong(0), r.getLong(1))) }
-    // floor only ever rises (monotone, like the offset): an out-of-order
-    // batch carrying an OLD truncate must not lower it
-    val (floorC, floorL) = truncPos match {
-      case Some((tc, tl)) if tc > sm.floorCommit ||
-        (tc == sm.floorCommit && tl > sm.floorChange) => (tc, tl)
-      case _ => (sm.floorCommit, sm.floorChange)
-    }
-
-    val live = floored.where(posGt(col("commit_lsn"), col("change_lsn"), floorC, floorL))
-
-    // ---- LWW dedup (A2): one surviving event per key, map-side combined ----
-    val keyed = live
-      .withColumn("__key", coalesce(col("after").getField(keyCol), col("before").getField(keyCol)))
-      .where(col("__key").isNotNull)
-    val last = keyed.groupBy(col("__key"))
-      .agg(max_by(struct(col("op"), col("after"), col("commit_lsn"), col("change_lsn")),
-        posCol).as("w"))
-      .select(col("__key"), col("w.op").as("__op"), col("w.after").as("__after"),
-        col("w.commit_lsn").as("__cvc"), col("w.change_lsn").as("__cvl"))
-      .cache()
-
-    // batch stats (one pass over events; also primes `last`)
-    val statsRow = keyed.agg(
-      count(lit(1)).as("n"), min(col("commit_lsn")), max(posCol)).collect()(0)
-    val nEvents = statsRow.getLong(0)
-    val lsnLo = if (statsRow.isNullAt(1)) -1L else statsRow.getLong(1)
-    // watermark = monotone max over everything seen (R3), incl. truncates
-    val allMaxRow = floored.agg(max(posCol)).collect()(0)
-    val (wmC, wmL) =
-      if (allMaxRow.isNullAt(0)) (sm.watermarkCommit, sm.watermarkChange)
-      else {
-        val r = allMaxRow.getStruct(0); val (c, l) = (r.getLong(0), r.getLong(1))
-        if (c > sm.watermarkCommit || (c == sm.watermarkCommit && l > sm.watermarkChange)) (c, l)
-        else (sm.watermarkCommit, sm.watermarkChange)
-      }
-    val lsnHi = if (allMaxRow.isNullAt(0)) -1L else allMaxRow.getStruct(0).getLong(0)
-
-    if (nEvents == 0L && truncPos.isEmpty) {
-      // empty batch (rolled back / behind floor): metadata-only snapshot so
-      // the offset still advances — mirrors the reference updating offsets
-      // on rollback without emitting
-      // (`InformixStreamingChangeEventSource.java:393-403`).
-      last.unpersist()
-      var snapId = -1L
-      commitWithRetry(table, batchId) { cur =>
-        snapId = cur.snapshotId + 1
-        cur.copy(snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
-          summary = IceSummary(batchId, batchId, wmC, wmL, floorC, floorL,
-            -1L, -1L, 0L, 0L, "empty"))
-      }
-      return MergeStats(batchId, committed = true, alreadyApplied = false,
-        0L, 0L, 0L, truncated = false, -1L, -1L, snapId)
-    }
-
-    // ---- flatten change side onto the merged schema ----
     val afterHas = afterSchema.fieldNames.toSet
+
+    // ---- job 1 (the ONLY full-data job): LWW dedup + delta write.
+    // Truncate records keep their null key and ride along as marker
+    // rows (readers drop null keys); their max position is recovered by
+    // the stats job below, so no pre-scan for truncates is needed. ----
+    val posCol = struct(col("commit_lsn").as("c"), col("change_lsn").as("l"))
+    val keyed = floored
+      .withColumn("__key", coalesce(col("after").getField(keyCol), col("before").getField(keyCol)))
+    val last0 = keyed.repartition(numBuckets, col("__key")).groupBy(col("__key"))
+      .agg(max_by(struct(col("op"), col("after"), col("commit_lsn"), col("change_lsn")),
+        posCol).as("w"),
+        max(when(col("op") === "t", posCol)).as("__trunc"),
+        count(lit(1)).as("__cnt"),
+        min(col("commit_lsn")).as("__minc"))
+      .select(col("__key"), col("w.op").as("__op"), col("w.after").as("__after"),
+        col("w.commit_lsn").as("__cvc"), col("w.change_lsn").as("__cvl"),
+        col("__trunc"), col("__cnt"), col("__minc"))
+
     val changeCols: Seq[Column] = userFields.map { f =>
       val v =
         if (f.name == keyCol) col("__key")
@@ -193,105 +170,156 @@ object MergeApply {
       when(col("__op") === "d", if (f.name == keyCol) col("__key") else lit(null).cast(f.dataType))
         .otherwise(v).as(f.name)
     }
-    val changesFlat = last.select(
-      (changeCols :+ col("__cvc").as(VC) :+ col("__cvl").as(VL)
-        :+ (col("__op") === "d").as(TOMB)): _*)
+    val deltaRows = last0.select(
+      (changeCols ++ Seq(
+        col("__cvc").as(VC), col("__cvl").as(VL), (col("__op") === "d").as(TOMB),
+        col("__op"), col("__trunc"), col("__cnt"), col("__minc"))): _*)
+      .withColumn("__bucket",
+        coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)))
 
-    val nUpserts = last.where(col("__op") =!= "d").count()
-    val nDel = last.where(col("__op") === "d").count()
-    val nKeys = nUpserts + nDel
+    val commitRel = f"data/delta-$batchId%08d"
+    phase(t0, "job1-dedup-write")(
+      deltaRows.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(table.dataPath(commitRel)))
+    val written = IceLite.listCommittedFiles(table.root, commitRel)
 
-    // ---- touched buckets (<= numBuckets values — driver-safe collect) ----
-    val bucketOfKey = pmod(hash(col(keyCol)), lit(numBuckets))
-    val touched: Seq[Int] =
-      if (truncPos.isDefined) 0 until numBuckets
-      else changesFlat.select(bucketOfKey.as("b")).distinct().collect().map(_.getInt(0)).toSeq
-
-    // ---- version-conditional merge ----
-    val target: Option[DataFrame] =
-      if (truncPos.isDefined) None // floor wipes everything at/below it; all prior rows lose
-      else {
-        val t = table.readBuckets(touched)
-        val have = t.columns.toSet
-        Some(t.select((userFields.map(f =>
-          if (have.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)) ++ Seq(col(VC), col(VL), col(TOMB))): _*))
+    // ---- job 2: stats + lineage from the written deltas, column-pruned
+    // (payload columns are never read back) ----
+    val statSchema = StructType(Seq(
+      StructField(keyCol, newSchema(keyCol).dataType),
+      StructField(VC, LongType), StructField(VL, LongType),
+      StructField("__op", StringType), StructField("__trunc", posStruct),
+      StructField("__cnt", LongType), StructField("__minc", LongType)))
+    val bucketRows: Array[Row] =
+      if (written.isEmpty) Array.empty
+      else phase(t0, "job2-stats") {
+        spark.read.schema(statSchema)
+          .parquet(written.values.flatten.map(table.dataPath).toSeq: _*)
+          .withColumn("__bucket",
+            coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)))
+          .groupBy(col("__bucket"))
+          .agg(
+            count(when(col(keyCol).isNotNull, lit(1))).as("n_keys"),
+            sum(when(col(keyCol).isNotNull, col("__cnt")).otherwise(0L)).as("event_count"),
+            sum(when(col("__op") === "d", 1L).otherwise(0L)).as("deleted_keys"),
+            min(when(col(keyCol).isNotNull, col("__minc"))).as("lsn_lo"),
+            max(struct(col(VC), col(VL))).as("max_pos"),
+            max(col("__trunc")).as("trunc_pos"),
+            sum(col("__cnt")).as("n_all"))
+          .collect()
       }
 
-    val merged: DataFrame = target match {
-      case None => changesFlat
-      case Some(t) if nKeys <= broadcastKeyThreshold =>
-        // big side never shuffles: scan -> broadcast hash join -> writer
-        val bc = broadcast(changesFlat)
-        val joined = t.as("t").join(bc.as("c"),
-          col(s"t.$keyCol") === col(s"c.$keyCol"), "left")
-        val wins = col(s"c.$keyCol").isNotNull &&
-          (col(s"c.$VC") > col(s"t.$VC") ||
-            (col(s"c.$VC") === col(s"t.$VC") && col(s"c.$VL") > col(s"t.$VL")))
-        val updatedTarget = joined.select(
-          (userFields.map(f => when(wins, col(s"c.${f.name}")).otherwise(col(s"t.${f.name}")).as(f.name)) ++ Seq(
-            when(wins, col(s"c.$VC")).otherwise(col(s"t.$VC")).as(VC),
-            when(wins, col(s"c.$VL")).otherwise(col(s"t.$VL")).as(VL),
-            when(wins, col(s"c.$TOMB")).otherwise(col(s"t.$TOMB")).as(TOMB))): _*)
-        // keys with no existing row: append as fresh rows/tombstones
-        val matchedKeys = t.select(col(keyCol))
-          .join(broadcast(changesFlat.select(col(keyCol))), Seq(keyCol), "left_semi")
-        val newRows = changesFlat.join(matchedKeys, Seq(keyCol), "left_anti")
-        updatedTarget.unionByName(newRows)
-      case Some(t) =>
-        // giant change set: shuffled union + per-key max_by (rare path)
-        val all = t.unionByName(changesFlat)
-        val payload = struct((userFields.map(f => col(f.name)) ++
-          Seq(col(VC), col(VL), col(TOMB))): _*)
-        all.groupBy(col(keyCol).as("__k"))
-          .agg(max_by(payload, struct(col(VC), col(VL))).as("w"))
-          .select(col("w.*"))
+    // fold driver-side (<= numBuckets+1 rows)
+    var nKeys = 0L; var nEvents = 0L; var nDel = 0L; var nAll = 0L
+    var lsnLo = Long.MaxValue
+    var maxPos: Option[(Long, Long)] = None
+    var truncPos: Option[(Long, Long)] = None
+    bucketRows.foreach { r =>
+      nKeys += r.getLong(1); nEvents += r.getLong(2); nDel += r.getLong(3)
+      nAll += r.getLong(7)
+      if (!r.isNullAt(4)) lsnLo = math.min(lsnLo, r.getLong(4))
+      def pos(i: Int): Option[(Long, Long)] =
+        if (r.isNullAt(i)) None else { val s = r.getStruct(i); Some((s.getLong(0), s.getLong(1))) }
+      def maxOpt(a: Option[(Long, Long)], b: Option[(Long, Long)]) = (a, b) match {
+        case (Some(x), Some(y)) => if (x._1 > y._1 || (x._1 == y._1 && x._2 >= y._2)) Some(x) else Some(y)
+        case (x, None) => x
+        case (None, y) => y
+      }
+      maxPos = maxOpt(maxPos, pos(5))
+      truncPos = maxOpt(truncPos, pos(6))
+    }
+    val nUpserts = nKeys - nDel
+    val lsnLoOut = if (lsnLo == Long.MaxValue) -1L else lsnLo
+    val lsnHi = maxPos.map(_._1).getOrElse(-1L)
+
+    // monotone advances
+    val (wmC, wmL) = maxPos match {
+      case Some((c, l)) if c > sm.watermarkCommit ||
+        (c == sm.watermarkCommit && l > sm.watermarkChange) => (c, l)
+      case _ => (sm.watermarkCommit, sm.watermarkChange)
+    }
+    val (trC, trL) = truncPos match {
+      case Some((tc, tl)) if tc > sm.truncCommit ||
+        (tc == sm.truncCommit && tl > sm.truncChange) => (tc, tl)
+      case _ => (sm.truncCommit, sm.truncChange)
     }
 
-    val out = merged.withColumn("__bucket", bucketOfKey)
-
-    val commitRel = f"data/commit-$batchId%08d"
-    out.write.mode("overwrite").partitionBy("__bucket")
-      .parquet(table.dataPath(commitRel))
-    last.unpersist()
-
-    val written = IceLite.listCommittedFiles(table.root, commitRel)
+    // ---- opportunistic compaction: buckets whose delta chain reaches
+    // the threshold fold base+deltas into a fresh base (bounded read
+    // amplification; amortized O(table/threshold) per batch). Truncated
+    // and null-key marker rows are purged during the fold. ----
+    val cur0 = table.current
+    val toCompact: Seq[Int] = written.keys.toSeq.filter { b =>
+      cur0.deltas.getOrElse(b, Nil).size + written.getOrElse(b, Nil).size >= maxDeltaChain
+    }
+    val compacted: Map[Int, Seq[String]] =
+      if (toCompact.isEmpty) Map.empty
+      else phase(t0, "compact") {
+        val paths = toCompact.flatMap(b =>
+          cur0.base.getOrElse(b, Nil) ++ cur0.deltas.getOrElse(b, Nil) ++
+            written.getOrElse(b, Nil)).map(table.dataPath)
+        val raw = spark.read.schema(IceLite.withMeta(newSchema)).parquet(paths: _*)
+          .where(col(keyCol).isNotNull && posGt(col(VC), col(VL), trC, trL))
+        val payload = struct(raw.columns.map(col).toSeq: _*)
+        val folded = raw.groupBy(col(keyCol).as("__k"))
+          .agg(max_by(payload, struct(col(VC), col(VL))).as("w"))
+          .select(col("w.*"))
+          .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+        val compactRel = f"data/base-$batchId%08d"
+        folded.repartition(math.max(1, math.min(toCompact.size,
+          spark.sparkContext.defaultParallelism)), col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(table.dataPath(compactRel))
+        IceLite.listCommittedFiles(table.root, compactRel)
+      }
 
     // ---- snapshot commit (atomic, idempotent, optimistic retry) ----
     var snapId = -1L
     val committed = commitWithRetry(table, batchId) { cur =>
-      val keepOld: Map[Int, Seq[String]] =
-        if (truncPos.isDefined) Map.empty
-        else cur.files.view.filterKeys(b => !touched.contains(b)).toMap
+      val nb = cur.base ++ compacted
+      val nd = (cur.deltas.keySet ++ written.keySet).map { b =>
+        b -> (if (compacted.contains(b)) Seq.empty[String]
+              else cur.deltas.getOrElse(b, Nil) ++ written.getOrElse(b, Nil))
+      }.toMap.filter(_._2.nonEmpty)
+      val note =
+        if (truncPos.isDefined) "truncate" else if (nKeys == 0L) "empty" else ""
       val s = cur.copy(
         snapshotId = cur.snapshotId + 1,
         parentId = cur.snapshotId,
         schema = newSchema,
-        files = (keepOld ++ written).filter(_._2.nonEmpty),
-        summary = IceSummary(batchId, batchId, wmC, wmL, floorC, floorL,
-          lsnLo, lsnHi, nUpserts, nDel, if (truncPos.isDefined) "truncate" else ""))
+        base = nb.filter(_._2.nonEmpty),
+        deltas = nd,
+        summary = IceSummary(batchId, batchId, wmC, wmL,
+          sm.floorCommit, sm.floorChange, trC, trL,
+          lsnLoOut, lsnHi, nUpserts, nDel, note))
       snapId = s.snapshotId
       s
     }
 
-    // ---- lineage / metrics (E5/E6): per-bucket rows ----
+    // ---- job 3: lineage / metrics rows (E5/E6) — already collected
+    // per-bucket; written back as one tiny single-task append ----
     val latencyMs = (System.nanoTime() - t0) / 1000000L
-    if (committed) {
-      val lineage = keyed
-        .groupBy(pmod(hash(col("__key")), lit(numBuckets)).as("bucket"))
-        .agg(count(lit(1)).as("event_count"),
-          min(col("commit_lsn")).as("lsn_lo"),
-          max(col("commit_lsn")).as("lsn_hi"),
-          sum(when(col("op") === "d", 1L).otherwise(0L)).as("deletes"))
-        .withColumn("batch_id", lit(batchId))
-        .withColumn("snapshot_id", lit(snapId))
-        .withColumn("apply_latency_ms", lit(latencyMs))
-        .withColumn("committed_at_ms", lit(System.currentTimeMillis()))
-      table.appendLineage(lineage)
+    if (committed && bucketRows.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val lineageSchema = StructType(Seq(
+        StructField("bucket", IntegerType), StructField("event_count", LongType),
+        StructField("deleted_keys", LongType), StructField("lsn_lo", LongType),
+        StructField("lsn_hi", LongType), StructField("batch_id", LongType),
+        StructField("snapshot_id", LongType), StructField("apply_latency_ms", LongType),
+        StructField("committed_at_ms", LongType)))
+      val rows = bucketRows.toSeq.map { r =>
+        Row(r.getInt(0), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getStruct(5).getLong(0),
+          batchId, snapId, latencyMs, System.currentTimeMillis())
+      }
+      phase(t0, "job3-lineage")(
+        table.appendLineage(
+          spark.createDataFrame(rows.asJava, lineageSchema).coalesce(1)))
     }
 
     MergeStats(batchId, committed, alreadyApplied = !committed,
-      nEvents, nUpserts, nDel, truncPos.isDefined, lsnLo, lsnHi, snapId)
+      nEvents, nUpserts, nDel, truncPos.isDefined, lsnLoOut, lsnHi, snapId)
   }
 
   /** Optimistic commit loop: on version conflict, refresh and re-check

@@ -29,7 +29,48 @@ import org.apache.spark.sql.functions._
   */
 object TxAssembler {
 
-  /** Raw batch of LogRecord rows -> committed ChangeEvent rows. */
+  /** Raw batch of LogRecord rows -> committed ChangeEvent rows.
+    *
+    * Scale path: transaction metadata (BEGIN/COMMIT/ROLLBACK/DISCARD)
+    * is ~a few percent of log bytes, so it is aggregated from a
+    * column-pruned scan of the control records only and BROADCAST to
+    * the data ops — the heavy payload side is never shuffled for
+    * assembly (its one and only shuffle is the merge's bucket
+    * repartition). Rollback discard (T2) falls out of the inner join
+    * (no COMMIT row -> no match); savepoint DISCARD ranges (T3) ride
+    * along as a per-tx array.
+    */
+  def assembleBroadcast(batch: DataFrame): DataFrame = {
+    val ctrl = batch.where(col("op").isin("B", "C", "R", "D"))
+      .select(col("tx_id"), col("op"), col("lsn"), col("discard_from"), col("ts_ms"))
+    val txInfo = ctrl.groupBy(col("tx_id")).agg(
+      max(when(col("op") === "C", col("lsn"))).as("commit_lsn"),
+      max(when(col("op") === "C", col("ts_ms"))).as("commit_ts"),
+      max(when(col("op") === "B", col("lsn"))).as("begin_lsn"),
+      collect_list(when(col("op") === "D",
+        struct(col("discard_from").as("from"), col("lsn").as("at")))).as("__discards"))
+      .where(col("commit_lsn").isNotNull) // T1/T2: committed transactions only
+    batch.where(col("op").isin("c", "u", "d", "t"))
+      .join(broadcast(txInfo), Seq("tx_id"))
+      // savepoint partial rollback (T3): drop ops covered by a later DISCARD
+      .where(!exists(col("__discards"),
+        d => col("lsn") >= d.getField("from") && col("lsn") < d.getField("at")))
+      .select(
+        col("commit_lsn"),
+        col("lsn").as("change_lsn"),
+        col("begin_lsn"),
+        col("tx_id"),
+        col("op"),
+        col("table"),
+        col("before"),
+        col("after"),
+        col("commit_ts").as("ts_ms"))
+  }
+
+  /** Default assembly: single window shuffle on tx_id. Robust for any
+    * tx-count/batch shape; [[assembleBroadcast]] wins only when
+    * transactions are large (few txs per batch -> small broadcast).
+    */
   def assemble(batch: DataFrame): DataFrame = {
     val w = Window.partitionBy("tx_id")
     val commitLsn = max(when(col("op") === "C", col("lsn"))).over(w)

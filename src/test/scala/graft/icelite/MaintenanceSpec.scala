@@ -22,7 +22,7 @@ class MaintenanceSpec extends SparkSpec {
     val before = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d.tokens).toMap
     val snap = table.refresh()
     val filesBefore = snap.allFiles.size
-    val tombsBefore = table.readBuckets(snap.files.keys.toSeq)
+    val tombsBefore = table.readRaw(snap.buckets)
       .where(col(IceLite.TOMB)).count()
     assert(tombsBefore > 0, "fixture should have tombstones")
 
@@ -31,7 +31,7 @@ class MaintenanceSpec extends SparkSpec {
     val after = table.refresh()
     assert(after.allFiles.size <= 8, s"expected <=1 file/bucket, got ${after.allFiles.size}")
     assert(after.allFiles.size < filesBefore)
-    val tombsAfter = table.readBuckets(after.files.keys.toSeq)
+    val tombsAfter = table.readRaw(after.buckets)
       .where(col(IceLite.TOMB)).count()
     assert(tombsAfter == 0)
     val got = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d.tokens).toMap
