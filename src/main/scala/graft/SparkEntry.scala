@@ -196,7 +196,7 @@ object SparkEntry {
     "t6_before_after" ->
       s"$LOG, lg AS (SELECT key_id, lsn, op, value, lag(value) OVER (PARTITION BY key_id ORDER BY lsn) AS before_value FROM log) SELECT key_id, lsn, before_value, value AS after_value FROM lg WHERE op = 'u' AND before_value IS NOT NULL AND lsn < 2000 ORDER BY lsn",
     "r1_replay_skip" ->
-      s"$LOG SELECT op, count(*) AS n, min(lsn) AS first_lsn FROM log WHERE lsn > 5000 GROUP BY op ORDER BY op",
+      s"$LOG SELECT op, count(*) AS n, min(lsn) AS first_lsn FROM log WHERE lsn > (SELECT CAST(floor(max(lsn)/2) AS BIGINT) FROM log) GROUP BY op ORDER BY op",
     "r3_offset_advance" ->
       s"$LOG SELECT tx_id, lsn, max(lsn) OVER (PARTITION BY tx_id ORDER BY lsn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS offset_after FROM log WHERE tx_id < 8 ORDER BY tx_id, lsn",
     "a1_minmax" ->

@@ -141,10 +141,14 @@ object CdcRelational {
   /** R1 — replay-skip by commit LSN watermark
     * (`InformixStreamingChangeEventSource.java:142-163`).
     */
-  def r1ReplaySkip(events: DataFrame, watermark: Long = 5000L): DataFrame =
-    changeLog(events).where(col("lsn") > watermark)
+  def r1ReplaySkip(events: DataFrame): DataFrame = {
+    val log = changeLog(events)
+    // watermark = half the max LSN (scale-free fixture for the filter)
+    val wm = log.agg(floor(max(col("lsn")) / 2).cast("long").as("__wm"))
+    log.crossJoin(wm).where(col("lsn") > col("__wm"))
       .groupBy(col("op")).agg(count(lit(1)).as("n"), min(col("lsn")).as("first_lsn"))
       .orderBy(col("op"))
+  }
 
   /** R3 — monotone offset advance: per-tx running max LSN
     * (`TxLogPosition.java:53-60`).

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data operator specs over the driver-generated tables at
+  * sf0.001 (plus synthetic near-dup fixtures where the corpus has no
+  * duplicates by construction).
+  */
+class OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  private def embs: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def dupFixture: DataFrame = {
+    import spark.implicits._
+    // doc 1/2 identical, 3 near-dup of 1 (one word changed), 4 disjoint
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again and again"),
+      (4L, "completely different content with nothing shared at all whatsoever here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: identical texts collapse to one canonical id") {
+    val d = Dedup.exact(dupFixture).collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(d(1L) == 2L) // docs 1 and 2 share a fingerprint; canonical = min id
+    assert(d.values.sum == 4L)
+    // real corpus: 500 distinct docs -> 500 groups
+    assert(Dedup.exact(docs).count() == docs.count())
+  }
+
+  test("ngram jaccard: near-dups found, disjoint docs not") {
+    val pairs = Dedup.ngramJaccardPairs(dupFixture, threshold = 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates superset high-jaccard pairs; signatures identical for identical docs") {
+    val sig = Dedup.minhashSignatures(dupFixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sig(1L) == sig(2L)) // identical text -> identical signature
+    val cands = Dedup.minhashCandidates(dupFixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    // jaccard(1,3) is high (one word changed) -> banding should catch it
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash16(dupFixture).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= 6, s"got ${hamming(sh(1L), sh(3L))}")
+    assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L)))
+  }
+
+  test("brute-force ANN top-k: k results per query, self excluded, descending similarity") {
+    val res = Similarity.bruteForceTopK(embs, embs.where(col("vec_id") < 3), k = 5).collect()
+    assert(res.length == 15)
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getLong(2) == q)) // self excluded
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF(label) ANN returns only same-cell candidates; LSH buckets are deterministic") {
+    val labels = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val res = Similarity.ivfTopK(embs, embs.where(col("vec_id") < 3), k = 3).collect()
+    res.foreach(r => assert(labels(r.getLong(2)) == labels(r.getLong(0))))
+    val b1 = embs.select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = embs.select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1, "hyperplanes should split the corpus")
+  }
+
+  test("text ops: token counts, quality in [0,1], langid over markers, stable fingerprint") {
+    val tc = TextOps.tokenCounts(docs).collect()
+    tc.foreach { r => assert(r.getInt(1) > 0 && r.getInt(2) >= r.getInt(1) - 1) }
+    val q = TextOps.qualityScore(docs).collect()
+    q.foreach { r =>
+      val quality = r.getDouble(4)
+      assert(quality >= 0.0 && quality <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    val lang = TextOps.langId(docs).collect()
+    assert(lang.forall(r => Set("en", "es", "fr", "de", "und").contains(r.getString(1))))
+    val fp1 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // whitespace-normalization invariance
+    import spark.implicits._
+    val mangled = docs.select(col("doc_id"), concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
+    val fp2 = TextOps.fingerprint(mangled).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
+  }
+
+  test("multimodal plumbing: per-partition stub decode matches byte-level truth") {
+    val media = Multimodal.toMedia(docs)
+    assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    val truth = docs.select(col("doc_id"), octet_length(col("text")).as("n"),
+      ascii(substring(col("text"), 1, 1)).as("f")).collect()
+    truth.foreach { r =>
+      val f = feats(r.getLong(0))
+      assert(f.n_bytes == r.getInt(1))
+      assert(f.first_byte == r.getInt(2))
+      assert(f.feature.length == 4)
+    }
+  }
+}
