@@ -126,9 +126,10 @@ final class IceLiteTable private[icelite] (
     val hasDeltas = buckets.exists(b => snap.deltas.getOrElse(b, Nil).nonEmpty)
     if (!hasDeltas) raw
     else {
-      val payload = struct(raw.columns.map(col).toSeq: _*)
+      graft.plans.LwwMaxBy.register(spark)
+      val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
       raw.groupBy(col(snap.keyCol).as("__k"))
-        .agg(max_by(payload, struct(col(IceLite.VC), col(IceLite.VL))).as("w"))
+        .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
         .select(col("w.*"))
     }
   }
@@ -146,9 +147,10 @@ final class IceLiteTable private[icelite] (
     val merged =
       if (!hasDeltas) raw
       else {
-        val payload = struct(raw.columns.map(col).toSeq: _*)
+        graft.plans.LwwMaxBy.register(spark)
+        val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
         raw.groupBy(col(s.keyCol).as("__k"))
-          .agg(max_by(payload, struct(col(IceLite.VC), col(IceLite.VL))).as("w"))
+          .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
           .select(col("w.*"))
       }
     merged.where(!col(IceLite.TOMB)).drop(IceLite.metaColumns: _*)

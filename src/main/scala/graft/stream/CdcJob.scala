@@ -27,7 +27,12 @@ final case class CdcConfig(
     /** Broadcast tx-metadata assembly: payload never shuffles for
       * assembly. Right when transactions are sizeable (txs-per-batch
       * small enough to broadcast); default windowed is always safe. */
-    broadcastAssembly: Boolean = false
+    broadcastAssembly: Boolean = false,
+    /** Table include list (F1 — the reference's table.include.list,
+      * `InformixConnectorConfig.java:547-553`); None = capture all.
+      * System tables (sys*) are always excluded, as in the reference.
+      */
+    tableInclude: Option[Seq[String]] = None
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -115,9 +120,18 @@ object CdcJob {
     * assembly shuffle never carries dead before-image payload.
     */
   def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long,
-      broadcastAssembly: Boolean = false): MergeApply.MergeStats = {
+      broadcastAssembly: Boolean = false,
+      tableInclude: Option[Seq[String]] = None): MergeApply.MergeStats = {
     val keyCol = table.current.keyCol
-    val pruned = rawBatch.select(
+    // F1 table filter: keep control records (they close transactions for
+    // every table) and data ops of captured tables only; sys* always out
+    val filtered0 = rawBatch.where(!col("table").startsWith("sys"))
+    val filtered = tableInclude match {
+      case Some(incl) => filtered0.where(
+        col("op").isin("B", "C", "R", "D") || col("table").isin(incl.map(x => x: Any): _*))
+      case None => filtered0
+    }
+    val pruned = filtered.select(
       col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
       col("table"), col("after"),
       struct(col("before").getField(keyCol).as(keyCol)).as("before"))
@@ -148,7 +162,7 @@ object CdcJob {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        processBatch(table, df, batchId, cfg.broadcastAssembly); ()
+        processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude); ()
       }
       .start()
   }
@@ -180,7 +194,7 @@ object CdcJob {
     chunks.zipWithIndex.drop(from.toInt).foreach { case (chunk, i) =>
       if (done < stopAfterBatches) {
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
-        out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly)
+        out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly, cfg.tableInclude)
         done += 1
       }
     }

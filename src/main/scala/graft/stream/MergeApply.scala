@@ -149,12 +149,16 @@ object MergeApply {
     // Truncate records keep their null key and ride along as marker
     // rows (readers drop null keys); their max position is recovered by
     // the stats job below, so no pre-scan for truncates is needed. ----
+    graft.plans.LwwMaxBy.register(spark)
     val posCol = struct(col("commit_lsn").as("c"), col("change_lsn").as("l"))
     val keyed = floored
       .withColumn("__key", coalesce(col("after").getField(keyCol), col("before").getField(keyCol)))
+    // lww_max_by is the custom TypedImperativeAggregate: the presence of
+    // one typed-imperative function upgrades this whole aggregation from
+    // SortAggregate to ObjectHashAggregate — hash-based, map-side
+    // combined, no sort of the payload (see graft.plans.LwwMaxBy).
     val last0 = keyed.repartition(numBuckets, col("__key")).groupBy(col("__key"))
-      .agg(max_by(struct(col("op"), col("after"), col("commit_lsn"), col("change_lsn")),
-        posCol).as("w"),
+      .agg(expr("lww_max_by(struct(op, after, commit_lsn, change_lsn), commit_lsn, change_lsn)").as("w"),
         max(when(col("op") === "t", posCol)).as("__trunc"),
         count(lit(1)).as("__cnt"),
         min(col("commit_lsn")).as("__minc"))
@@ -260,9 +264,9 @@ object MergeApply {
             written.getOrElse(b, Nil)).map(table.dataPath)
         val raw = spark.read.schema(IceLite.withMeta(newSchema)).parquet(paths: _*)
           .where(col(keyCol).isNotNull && posGt(col(VC), col(VL), trC, trL))
-        val payload = struct(raw.columns.map(col).toSeq: _*)
+        val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
         val folded = raw.groupBy(col(keyCol).as("__k"))
-          .agg(max_by(payload, struct(col(VC), col(VL))).as("w"))
+          .agg(expr(s"lww_max_by($payloadSql, `$VC`, `$VL`)").as("w"))
           .select(col("w.*"))
           .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
         val compactRel = f"data/base-$batchId%08d"

@@ -73,18 +73,17 @@ object TxAssembler {
     */
   def assemble(batch: DataFrame): DataFrame = {
     val w = Window.partitionBy("tx_id")
-    val commitLsn = max(when(col("op") === "C", col("lsn"))).over(w)
-    val commitTs = max(when(col("op") === "C", col("ts_ms"))).over(w)
-    val beginLsn = max(when(col("op") === "B", col("lsn"))).over(w)
-    val discards = collect_list(
-      when(col("op") === "D", struct(col("discard_from").as("from"), col("lsn").as("at")))
-    ).over(w)
-
+    // all four expressions share one window spec and are defined in a
+    // single select, so Catalyst plans ONE Window operator (one pass per
+    // sorted partition) — sequential withColumn calls would plan four
     batch
-      .withColumn("commit_lsn", commitLsn)
-      .withColumn("begin_lsn", beginLsn)
-      .withColumn("commit_ts", commitTs)
-      .withColumn("__discards", discards)
+      .select(col("*"),
+        max(when(col("op") === "C", col("lsn"))).over(w).as("commit_lsn"),
+        max(when(col("op") === "B", col("lsn"))).over(w).as("begin_lsn"),
+        max(when(col("op") === "C", col("ts_ms"))).over(w).as("commit_ts"),
+        collect_list(when(col("op") === "D",
+          struct(col("discard_from").as("from"), col("lsn").as("at"))))
+          .over(w).as("__discards"))
       // data ops of committed transactions only (T1/T2)
       .where(col("op").isin("c", "u", "d", "t") && col("commit_lsn").isNotNull)
       // savepoint partial rollback (T3): drop ops covered by a later DISCARD

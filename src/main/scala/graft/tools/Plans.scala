@@ -1,0 +1,41 @@
+package graft.tools
+import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+import graft.model.LogRecord
+import graft.stream._
+import graft.util.Fs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = Fs.tempDir("graft-plans")
+    val cfg = ChangeLogConfig(nTx = 2000, nDocs = 1000)
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 16)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 4)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(), cdc, 0L)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 2)
+    val raw = spark.read.schema(LogRecord.schema).parquet(cdc.logDir)
+
+    println("########## PLAN 1: assemble (windowed) ##########")
+    TxAssembler.assemble(raw).explain("formatted")
+    println("########## PLAN 2: assemble (broadcast) ##########")
+    TxAssembler.assembleBroadcast(raw).explain("formatted")
+    println("########## PLAN 3: readMerged (bucket-pruned, with deltas) ##########")
+    table.readMerged(Seq(0, 1)).explain("formatted")
+    println("########## PLAN 4: read() user view ##########")
+    table.read().explain("formatted")
+    println("########## PLAN 5: a query with filter pushdown (f2) ##########")
+    graft.SparkEntry.queries("f2_column_projection")(spark, "/root/testdata/sf0.001").explain("formatted")
+    println("########## PLAN 6: dedup groupBy (LWW core) ##########")
+    val ev = TxAssembler.assemble(raw)
+    ev.withColumn("__key", coalesce(col("after.doc_id"), col("before.doc_id")))
+      .repartition(16, col("__key")).groupBy("__key")
+      .agg(max_by(struct(col("op"), col("after")), struct(col("commit_lsn"), col("change_lsn"))).as("w"))
+      .explain("formatted")
+    Fs.deleteRecursively(base)
+    spark.stop()
+  }
+}

@@ -1,0 +1,145 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+import graft.icelite.IceLite
+import graft.model.{LogRecord, TokenDoc}
+import graft.util.Fs
+
+/** Failure-window, mode, skew and ordering robustness — the hard parts
+  * called out in SURVEY.md §7.4.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private def oracle(cfg: ChangeLogConfig): Map[String, TokenDoc] = {
+    val initial = (0L until cfg.nDocs.toLong).map { k =>
+      val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+      ChangeLogGen.docId(k) -> TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+    }.toMap
+    ReplayOracle.replay(initial,
+      (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i)),
+      ChangeLogGen.snapshotLsn)
+  }
+
+  private def assertEqual(tableRoot: String, want: Map[String, TokenDoc]): Unit = {
+    import spark.implicits._
+    val got = IceLite.load(spark, tableRoot).read()
+      .as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(got.keySet == want.keySet,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens mismatch $k") }
+  }
+
+  test("crash between delta write and snapshot commit: retry converges (SURVEY §7.4.1)") {
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 47)
+    val base = Fs.tempDir("graft-crash")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    val files = Fs.listParquet(cdc.logDir).sorted
+    CdcJob.processBatch(table, spark.read.schema(LogRecord.schema).parquet(files.head), 0L)
+
+    // simulate the crash window for batch 1: delta files fully written,
+    // commit never happened (orphan dir exactly where a retry will write)
+    val raw1 = spark.read.schema(LogRecord.schema).parquet(files(1))
+    val snapBefore = table.refresh().snapshotId
+    val orphan = s"${cdc.tableRoot}/data/delta-00000001"
+    TxAssembler.assemble(raw1).limit(10).write.mode("overwrite").parquet(orphan)
+    assert(Fs.listParquet(orphan).nonEmpty)
+    assert(table.refresh().snapshotId == snapBefore) // nothing committed
+
+    // driver restarts, reprocesses batch 1 -> overwrites orphan, commits once
+    val s1 = CdcJob.processBatch(table, raw1, 1L)
+    assert(s1.committed && !s1.alreadyApplied)
+    assertEqual(cdc.tableRoot, oracle(cfg))
+    Fs.deleteRecursively(base)
+  }
+
+  test("snapshot modes: when_needed loads existing; always re-snapshots") {
+    val cfg = ChangeLogConfig(nTx = 40, nDocs = 30, seed = 53)
+    val base = Fs.tempDir("graft-modes")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 4, snapshotMode = SnapshotMode.WhenNeeded)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 1)
+    val t1 = CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, t1, cdc, filesPerBatch = 1)
+    val v1 = t1.refresh().snapshotId
+    // when_needed again: must load, not wipe
+    val t2 = CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    assert(t2.current.snapshotId == v1)
+    // always: fresh table (v1 state discarded)
+    val t3 = CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc.copy(snapshotMode = SnapshotMode.Always), ChangeLogGen.snapshotLsn)
+    assert(t3.current.snapshotId == 1L)
+    assert(t3.current.summary.lastBatchId == -1L)
+    Fs.deleteRecursively(base)
+  }
+
+  test("extreme hot-key skew (zipf alpha=6): correct and completes") {
+    val cfg = ChangeLogConfig(nTx = 400, nDocs = 50, seed = 59, zipfAlpha = 6.0)
+    // verify the fixture is actually skewed: most updates hit doc 0
+    val log = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
+    val updates = log.filter(r => r.op == "u" || r.op == "d")
+    val hot = updates.count(r =>
+      r.before.exists(_.doc_id == ChangeLogGen.docId(0L)))
+    assert(hot.toDouble / updates.size > 0.5, s"fixture not skewed: $hot/${updates.size}")
+    val base = Fs.tempDir("graft-skew")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 4)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 2)
+    assertEqual(cdc.tableRoot, oracle(cfg))
+    Fs.deleteRecursively(base)
+  }
+
+  test("random batch permutations converge (seeded, 3 shuffles)") {
+    val cfg = ChangeLogConfig(nTx = 150, nDocs = 100, seed = 61)
+    val want = oracle(cfg)
+    val base = Fs.tempDir("graft-perm")
+    val logDir = s"$base/log"
+    ChangeLogGen.writeLog(spark, cfg, logDir, 6)
+    val files = Fs.listParquet(logDir).sorted
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val cdc = CdcConfig(logDir, s"$base/table$trial", s"$base/ckpt$trial", numBuckets = 8)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      rnd.shuffle(files).zipWithIndex.foreach { case (f, i) =>
+        CdcJob.processBatch(table, spark.read.schema(LogRecord.schema).parquet(f), i.toLong)
+      }
+      assertEqual(cdc.tableRoot, want)
+    }
+    Fs.deleteRecursively(base)
+  }
+
+  test("table include filter (F1): uncaptured tables' ops never apply") {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 80, nDocs = 60, seed = 67)
+    val base = Fs.tempDir("graft-tfilter")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 4, tableInclude = Some(Seq("token_docs")))
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    // splice extra events for an uncaptured table + a sys table into the log
+    val alien = Seq(
+      LogRecord(Long.MaxValue - 10, 999999L, "B", -1L, "other_tbl", None, None, 0L),
+      LogRecord(Long.MaxValue - 9, 999999L, "c", -1L, "other_tbl", None,
+        Some(TokenDoc("docALIEN", Seq(1), 1, "alien")), 0L),
+      LogRecord(Long.MaxValue - 8, 999999L, "C", -1L, "other_tbl", None, None, 0L),
+      LogRecord(Long.MaxValue - 7, 999998L, "B", -1L, "systables", None, None, 0L),
+      LogRecord(Long.MaxValue - 6, 999998L, "c", -1L, "systables", None,
+        Some(TokenDoc("docSYS", Seq(2), 1, "sys")), 0L),
+      LogRecord(Long.MaxValue - 5, 999998L, "C", -1L, "systables", None, None, 0L))
+    alien.toDS().toDF().write.mode("append").parquet(cdc.logDir)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 10)
+    val got = table.read().as[TokenDoc].collect().map(_.doc_id).toSet
+    assert(!got.contains("docALIEN") && !got.contains("docSYS"))
+    assertEqual(cdc.tableRoot, oracle(cfg))
+    Fs.deleteRecursively(base)
+  }
+}
