@@ -32,7 +32,14 @@ final case class CdcConfig(
       * `InformixConnectorConfig.java:547-553`); None = capture all.
       * System tables (sys*) are always excluded, as in the reference.
       */
-    tableInclude: Option[Seq[String]] = None
+    tableInclude: Option[Seq[String]] = None,
+    /** Column transforms (F3 — the reference's column.mask.with.N.chars
+      * / column.mask.hash.*.with.salt / column.truncate.to.N.chars,
+      * asserted by `InformixConnectorIT.java:1000-1048`): column name ->
+      * "mask:N" | "sha256:SALT" | "truncate:N", applied to the after
+      * image before MERGE. The merge key must not be transformed.
+      */
+    columnTransforms: Map[String, String] = Map.empty
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -119,9 +126,33 @@ object CdcJob {
     * the `before.<key>` leaf instead of the whole struct, and the
     * assembly shuffle never carries dead before-image payload.
     */
+  /** Apply F3 column transforms to the after image, preserving nullity
+    * of the struct itself.
+    */
+  def transformAfter(df: DataFrame, transforms: Map[String, String]): DataFrame = {
+    if (transforms.isEmpty) return df
+    val afterType = df.schema("after").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val rebuilt = struct(afterType.fields.map { f =>
+      val c = col("after").getField(f.name)
+      (transforms.get(f.name) match {
+        case Some(spec) if spec.startsWith("mask:") =>
+          lit("*" * spec.stripPrefix("mask:").toInt)
+        case Some(spec) if spec.startsWith("sha256:") =>
+          sha2(concat(lit(spec.stripPrefix("sha256:")), c.cast("string")), 256)
+        case Some(spec) if spec.startsWith("truncate:") =>
+          substring(c.cast("string"), 1, spec.stripPrefix("truncate:").toInt)
+        case _ => c
+      }).as(f.name)
+    }.toSeq: _*)
+    val rebuiltType = df.select(rebuilt.as("x")).schema("x").dataType
+    df.withColumn("after",
+      when(col("after").isNull, lit(null).cast(rebuiltType)).otherwise(rebuilt))
+  }
+
   def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long,
       broadcastAssembly: Boolean = false,
-      tableInclude: Option[Seq[String]] = None): MergeApply.MergeStats = {
+      tableInclude: Option[Seq[String]] = None,
+      columnTransforms: Map[String, String] = Map.empty): MergeApply.MergeStats = {
     val keyCol = table.current.keyCol
     // F1 table filter: keep control records (they close transactions for
     // every table) and data ops of captured tables only; sys* always out
@@ -135,9 +166,10 @@ object CdcJob {
       col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
       col("table"), col("after"),
       struct(col("before").getField(keyCol).as(keyCol)).as("before"))
+    val transformed = transformAfter(pruned, columnTransforms - keyCol)
     val events =
-      if (broadcastAssembly) TxAssembler.assembleBroadcast(pruned)
-      else TxAssembler.assemble(pruned)
+      if (broadcastAssembly) TxAssembler.assembleBroadcast(transformed)
+      else TxAssembler.assemble(transformed)
     MergeApply.applyBatch(table, events, batchId)
   }
 
@@ -162,7 +194,8 @@ object CdcJob {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude); ()
+        processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
+          cfg.columnTransforms); ()
       }
       .start()
   }
@@ -194,7 +227,8 @@ object CdcJob {
     chunks.zipWithIndex.drop(from.toInt).foreach { case (chunk, i) =>
       if (done < stopAfterBatches) {
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
-        out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly, cfg.tableInclude)
+        out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly, cfg.tableInclude,
+          cfg.columnTransforms)
         done += 1
       }
     }

@@ -1,0 +1,47 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+import graft.util.Fs
+
+/** F3 — column masking / hashing / truncation applied to the after
+  * image before MERGE (`InformixConnectorIT.java:1000-1048`).
+  */
+class TransformSpec extends SparkSpec {
+
+  test("mask/sha256/truncate transforms reach the sink; key untouched") {
+    val cfg = ChangeLogConfig(nTx = 60, nDocs = 40, seed = 71)
+    val base = Fs.tempDir("graft-xform")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 4,
+      columnTransforms = Map(
+        "source" -> "mask:8",
+        "doc_id" -> "mask:4" // must be ignored: merge key is protected
+      ))
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 1)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val rows = table.read().collect()
+    val streamed = rows.filter(_.getString(3) != "seed") // snapshot rows untouched
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      assert(r.getString(3) == "********", s"source not masked: ${r.getString(3)}")
+      assert(r.getString(0).startsWith("doc"), "merge key must never be transformed")
+    }
+    Fs.deleteRecursively(base)
+  }
+
+  test("sha256 transform is salted and deterministic") {
+    import spark.implicits._
+    val df = Seq(("k1", "hello")).toDF("k", "v")
+      .select(org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("v")).as("after"))
+    val out = CdcJob.transformAfter(df, Map("v" -> "sha256:pepper"))
+      .select("after.v").collect()(0).getString(0)
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("pepperhello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == expected)
+  }
+}
