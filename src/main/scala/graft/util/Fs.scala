@@ -25,5 +25,13 @@ object Fs {
   }
 
   def tempDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    sys.env.get("GRAFT_TMPDIR") match {
+      case Some(d) => tempDirIn(d, prefix)
+      case None => Files.createTempDirectory(prefix).toString
+    }
+
+  def tempDirIn(base: String, prefix: String): String = {
+    Files.createDirectories(Paths.get(base))
+    Files.createTempDirectory(Paths.get(base), prefix).toString
+  }
 }
