@@ -115,6 +115,13 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "dedup_apply" -> ((s, d) =>
+      Dedup.applyExact(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))),
+    "events_sessionize" -> ((s, d) =>
+      CdcRelational.sessionize(t(s, d, "events"))),
+    "text_vocab" -> ((s, d) => TextOps.vocab(t(s, d, "documents"))),
     // ---- training-data ops: text analysis ----
     "text_token_count" -> ((s, d) =>
       TextOps.tokenCounts(t(s, d, "documents"))
@@ -258,6 +265,16 @@ object SparkEntry {
         |sc AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos FROM embeddings e JOIN q ON q.cell = e.label AND q.query_id <> e.vec_id),
         |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH c AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")})
+        |SELECT d.doc_id, d.n_chars, d.source FROM documents d JOIN c USING(doc_id) ORDER BY d.doc_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH s AS (SELECT user_id, ts, event_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms FROM events),
+        |x AS (SELECT user_id, event_id, CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END AS new_s, ts FROM s),
+        |y AS (SELECT user_id, event_id, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_vocab" ->
+      """SELECT w AS word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, count(*) AS term_count FROM (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents) GROUP BY w ORDER BY word""",
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS ws_tokens, len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     "text_quality" ->

@@ -176,6 +176,17 @@ final class IceLiteTable private[icelite] (
     ok
   }
 
+  /** Schema history: every committed snapshot's schema, oldest first —
+    * the analog of Debezium's schema-history topic replayed on restart
+    * (`InformixDatabaseSchema.java:59-78`; `SchemaHistoryTopicIT`).
+    */
+  def schemaHistory(): Seq[(Long, org.apache.spark.sql.types.StructType)] = {
+    (0L to current.snapshotId).flatMap { v =>
+      try Some(v -> IceLite.readSnapshotFile(root, v).schema)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   def lineagePath: String = s"$root/_lineage"
 
   /** Append per-partition lineage/metrics rows (LSN range, counts, apply

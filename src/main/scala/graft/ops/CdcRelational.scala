@@ -161,6 +161,27 @@ object CdcRelational {
       .orderBy(col("tx_id"), col("lsn"))
   }
 
+  /** Gap-based sessionization of the event stream (30-min inactivity
+    * boundary): lag + running sum of session starts — the standard
+    * streaming-analytics window pattern over CDC-shaped data.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("prev_ms", lag(col("__ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull ||
+          col("__ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   // ---- A: aggregates / joins ----
 
   /** A1 — min/max aggregates (`DbzTransactionEngine.java:194-196`). */

@@ -32,6 +32,14 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dups"))
 
+  /** Apply exact dedup: keep only each fingerprint group's canonical
+    * (min doc_id) document — the "deduplicated corpus" output.
+    */
+  def applyExact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val canon = exact(df, textCol).select(col("canonical_doc_id").as("doc_id"))
+    df.join(canon, Seq("doc_id"), "left_semi")
+  }
+
   /** Distinct word n-gram shingles per document. */
   def shingles(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val ws = TextOps.words(col(textCol))

@@ -46,6 +46,18 @@ object TextOps {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** Corpus vocabulary statistics: document frequency and term count
+    * per word — the building block of df-based quality filters and
+    * stopword inference at corpus scale (two map-side-combined
+    * aggregations, no skew risk: word keys hash-spread).
+    */
+  def vocab(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("term_count"))
+      .orderBy(col("word"))
+
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
   /** Quality scoring: length/stopword/word-shape heuristics, the
