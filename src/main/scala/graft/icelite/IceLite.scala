@@ -26,6 +26,7 @@ import scala.util.control.NonFatal
 final case class IceSummary(
     batchId: Long,
     lastBatchId: Long,
+    lastSignalBatchId: Long,
     watermarkCommit: Long,
     watermarkChange: Long,
     floorCommit: Long,
@@ -40,7 +41,7 @@ final case class IceSummary(
 )
 
 object IceSummary {
-  val empty: IceSummary = IceSummary(-1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, 0L, 0L, "")
+  val empty: IceSummary = IceSummary(-1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, 0L, 0L, "")
 }
 
 /** One committed table version: Iceberg-style snapshot metadata with a
@@ -267,6 +268,7 @@ object IceLite {
     val sm = n.putObject("summary")
     sm.put("batchId", s.summary.batchId)
     sm.put("lastBatchId", s.summary.lastBatchId)
+    sm.put("lastSignalBatchId", s.summary.lastSignalBatchId)
     sm.put("watermarkCommit", s.summary.watermarkCommit)
     sm.put("watermarkChange", s.summary.watermarkChange)
     sm.put("floorCommit", s.summary.floorCommit)
@@ -300,6 +302,7 @@ object IceLite {
       deltas,
       IceSummary(
         sm.get("batchId").asLong(), sm.get("lastBatchId").asLong(),
+        sm.get("lastSignalBatchId").asLong(),
         sm.get("watermarkCommit").asLong(), sm.get("watermarkChange").asLong(),
         sm.get("floorCommit").asLong(), sm.get("floorChange").asLong(),
         sm.get("truncCommit").asLong(), sm.get("truncChange").asLong(),

@@ -39,7 +39,10 @@ final case class CdcConfig(
       * "mask:N" | "sha256:SALT" | "truncate:N", applied to the after
       * image before MERGE. The merge key must not be transformed.
       */
-    columnTransforms: Map[String, String] = Map.empty
+    columnTransforms: Map[String, String] = Map.empty,
+    /** Signal directory (E7): polled between micro-batches for
+      * incremental/blocking snapshot requests — see [[Signals]]. */
+    signalDir: Option[String] = None
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -91,7 +94,7 @@ object CdcJob {
       snapshotId = snap.snapshotId + 1,
       parentId = snap.snapshotId,
       base = files,
-      summary = IceSummary(-1L, -1L, snapshotLsn, Long.MaxValue,
+      summary = IceSummary(-1L, -1L, -1L, snapshotLsn, Long.MaxValue,
         snapshotLsn, Long.MaxValue, -1L, -1L,
         -1L, -1L, nRows, 0L, s"snapshot:${cfg.snapshotMode}"))
     if (!table.commit(next))
@@ -194,6 +197,7 @@ object CdcJob {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms); ()
       }
@@ -226,6 +230,7 @@ object CdcJob {
     var done = 0
     chunks.zipWithIndex.drop(from.toInt).foreach { case (chunk, i) =>
       if (done < stopAfterBatches) {
+        cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
         out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms)

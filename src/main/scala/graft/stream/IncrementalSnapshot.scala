@@ -66,8 +66,11 @@ object IncrementalSnapshot {
     val keyCol = tbl.current.keyCol
     (0 until nChunks).map { i =>
       val chunk = source.where(pmod(hash(col(keyCol)), lit(nChunks)) === i)
-      val batchId = tbl.refresh().summary.lastBatchId + 1
-      val stats = MergeApply.applyBatch(tbl, asChangeEvents(chunk, pinLsn), batchId)
+      // snapshot chunks ride their own idempotency channel so their ids
+      // can never collide with (and never block) stream batch ids
+      val batchId = tbl.refresh().summary.lastSignalBatchId + 1
+      val stats = MergeApply.applyBatch(tbl, asChangeEvents(chunk, pinLsn), batchId,
+        signalChannel = true)
       betweenChunks(i)
       stats
     }

@@ -117,15 +117,20 @@ object MergeApply {
     StructField("c", LongType), StructField("l", LongType)))
 
   /** Apply one batch of committed ChangeEvent rows. Idempotent by
-    * batchId AND by row version; advances watermark and floors.
+    * batchId within its channel (stream batches and signal-driven
+    * snapshot chunks carry independent monotone counters) AND by row
+    * version; advances watermark and floors.
     */
-  def applyBatch(table: IceLiteTable, events: DataFrame, batchId: Long): MergeStats = {
+  def applyBatch(table: IceLiteTable, events: DataFrame, batchId: Long,
+      signalChannel: Boolean = false): MergeStats = {
     val t0 = System.nanoTime()
     val spark = table.spark
     val snap = table.refresh()
 
     // ---- idempotency gate (Iceberg replace-snapshot semantics) ----
-    if (batchId <= snap.summary.lastBatchId) {
+    val lastInChannel =
+      if (signalChannel) snap.summary.lastSignalBatchId else snap.summary.lastBatchId
+    if (batchId <= lastInChannel) {
       return MergeStats(batchId, committed = false, alreadyApplied = true,
         0L, 0L, 0L, truncated = false, -1L, -1L, snap.snapshotId)
     }
@@ -134,9 +139,16 @@ object MergeApply {
     val numBuckets = snap.numBuckets
     val sm = snap.summary
 
-    // ---- event floor: snapshot pin (S2) + truncate floor (E3) ----
+    // ---- event floor: snapshot pin (S2) + truncate floor (E3).
+    // READ events (op='r', a consistent source view at their pin) are
+    // exempt from the snapshot-pin floor — a signal-driven snapshot may
+    // legitimately re-deliver base state AT the pin; they still lose
+    // version ties against existing rows, so re-delivery is a no-op.
+    // The truncate floor applies to everything: a pre-truncate view
+    // must never resurrect wiped rows. ----
     val floored = events.where(
-      posGt(col("commit_lsn"), col("change_lsn"), sm.floorCommit, sm.floorChange) &&
+      (col("op") === "r" ||
+        posGt(col("commit_lsn"), col("change_lsn"), sm.floorCommit, sm.floorChange)) &&
         posGt(col("commit_lsn"), col("change_lsn"), sm.truncCommit, sm.truncChange))
 
     // ---- schema evolution (E4): widen table schema additively ----
@@ -193,7 +205,8 @@ object MergeApply {
       max(struct(col(VC), col(VL))).as("max_pos"),
       max(col("__trunc")).as("trunc_pos"))
 
-    val commitRel = f"data/delta-$batchId%08d"
+    val channelTag = if (signalChannel) "sig-" else ""
+    val commitRel = f"data/delta-$channelTag$batchId%08d"
     phase(t0, "job1-dedup-write")(
       observed.write.mode("overwrite").partitionBy("__bucket")
         .parquet(table.dataPath(commitRel)))
@@ -253,7 +266,7 @@ object MergeApply {
           .agg(expr(s"lww_max_by($payloadSql, `$VC`, `$VL`)").as("w"))
           .select(col("w.*"))
           .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
-        val compactRel = f"data/base-$batchId%08d"
+        val compactRel = f"data/base-$channelTag$batchId%08d"
         folded.repartition(math.max(1, math.min(toCompact.size,
           spark.sparkContext.defaultParallelism)), col("__bucket"))
           .write.mode("overwrite").partitionBy("__bucket")
@@ -263,7 +276,7 @@ object MergeApply {
 
     // ---- snapshot commit (atomic, idempotent, optimistic retry) ----
     var snapId = -1L
-    val committed = commitWithRetry(table, batchId) { cur =>
+    val committed = commitWithRetry(table, batchId, signalChannel) { cur =>
       val nb = cur.base ++ compacted
       val nd = (cur.deltas.keySet ++ written.keySet).map { b =>
         b -> (if (compacted.contains(b)) Seq.empty[String]
@@ -277,7 +290,10 @@ object MergeApply {
         schema = newSchema,
         base = nb.filter(_._2.nonEmpty),
         deltas = nd,
-        summary = IceSummary(batchId, batchId, wmC, wmL,
+        summary = IceSummary(batchId,
+          if (signalChannel) cur.summary.lastBatchId else batchId,
+          if (signalChannel) batchId else cur.summary.lastSignalBatchId,
+          wmC, wmL,
           sm.floorCommit, sm.floorChange, trC, trL,
           lsnLoOut, lsnHi, nUpserts, nDel, note))
       snapId = s.snapshotId
@@ -321,12 +337,14 @@ object MergeApply {
     * single-task by design, `InformixConnector.java:53-58`); this loop
     * exists so a zombie driver can never double-apply.
     */
-  private def commitWithRetry(table: IceLiteTable, batchId: Long)(
+  private def commitWithRetry(table: IceLiteTable, batchId: Long,
+      signalChannel: Boolean = false)(
       build: IceSnapshot => IceSnapshot): Boolean = {
     var attempts = 0
     while (attempts < 20) {
       val cur = table.current
-      if (batchId <= cur.summary.lastBatchId) return false
+      val last = if (signalChannel) cur.summary.lastSignalBatchId else cur.summary.lastBatchId
+      if (batchId <= last) return false
       if (table.commit(build(cur))) return true
       table.refresh()
       attempts += 1
