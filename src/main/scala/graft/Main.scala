@@ -1,0 +1,64 @@
+package graft
+
+import graft.stream._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Production entry point — `spark-submit --class graft.Main <jar>
+  * --log-dir ... --table ... --checkpoint ... [options]`.
+  *
+  * Runs the reference connector's lifecycle (snapshot-then-stream,
+  * `InformixConnectorTask.java:84-195`): ensure the sink table per the
+  * snapshot mode, then tail the change log continuously, applying each
+  * micro-batch via the merge-on-read MERGE with exactly-once commits.
+  * On a cluster, parallelism comes from executors; nothing in the job
+  * is local-mode specific.
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    def req(k: String): String =
+      a.getOrElse(k, throw new IllegalArgumentException(s"missing --$k"))
+
+    val spark = SparkSession.builder()
+      .appName("graft-cdc-ingest")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = CdcConfig(
+      logDir = req("log-dir"),
+      tableRoot = req("table"),
+      checkpointDir = req("checkpoint"),
+      keyCol = a.getOrElse("key-col", "doc_id"),
+      numBuckets = a.getOrElse("buckets", "256").toInt,
+      maxFilesPerTrigger = a.getOrElse("max-files-per-trigger", "32").toInt,
+      snapshotMode = SnapshotMode.withName(a.getOrElse("snapshot-mode", "WhenNeeded")),
+      broadcastAssembly = a.getOrElse("broadcast-assembly", "false").toBoolean,
+      tableInclude = a.get("tables").map(_.split(",").toSeq),
+      signalDir = a.get("signal-dir"))
+
+    val source = a.get("source")
+      .map(p => spark.read.parquet(p))
+      .getOrElse(spark.emptyDataFrame)
+    val snapshotLsn = a.getOrElse("snapshot-lsn", "0").toLong
+    val table = CdcJob.ensureTable(spark, source, cfg, snapshotLsn)
+
+    if (cfg.snapshotMode == SnapshotMode.InitialOnly) {
+      println(s"snapshot-only run complete: v${table.current.snapshotId}")
+      return
+    }
+    val trigger = a.get("trigger-seconds") match {
+      case Some(s) => Trigger.ProcessingTime(s.toLong * 1000L)
+      case None => Trigger.AvailableNow()
+    }
+    val q = CdcJob.stream(spark, table, cfg, trigger)
+    q.awaitTermination()
+  }
+}

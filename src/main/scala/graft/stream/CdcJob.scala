@@ -188,6 +188,7 @@ object CdcJob {
       cfg: CdcConfig,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
+    graft.plans.LwwMaxBy.register(spark) // clone sessions inherit the registry
     spark.readStream
       .schema(LogRecord.schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)

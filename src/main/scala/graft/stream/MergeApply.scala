@@ -124,7 +124,10 @@ object MergeApply {
   def applyBatch(table: IceLiteTable, events: DataFrame, batchId: Long,
       signalChannel: Boolean = false): MergeStats = {
     val t0 = System.nanoTime()
-    val spark = table.spark
+    // IMPORTANT: use the batch's own session — inside foreachBatch the
+    // DataFrame belongs to a cloned SparkSession whose function registry
+    // is isolated from the one the table was opened with
+    val spark = events.sparkSession
     val snap = table.refresh()
 
     // ---- idempotency gate (Iceberg replace-snapshot semantics) ----

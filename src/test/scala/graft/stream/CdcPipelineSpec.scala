@@ -131,9 +131,13 @@ class CdcPipelineSpec extends SparkSpec {
     val cfg = ChangeLogConfig(nTx = 200, nDocs = 150, seed = 19)
     val (base, cdc0) = setup(cfg, numFiles = 6)
     val cdc = cdc0.copy(maxFilesPerTrigger = 2)
-    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+    // fresh isolated session: reproduces production's empty function
+    // registry + foreachBatch session-clone semantics (a shared test
+    // session would mask registration bugs)
+    val fresh = spark.newSession()
+    val table = CdcJob.snapshot(fresh, ChangeLogGen.initialTable(fresh, cfg).toDF(),
       cdc, ChangeLogGen.snapshotLsn)
-    CdcJob.runAvailable(spark, table, cdc)
+    CdcJob.runAvailable(fresh, table, cdc)
     assertTokenEquality(finalState(cdc.tableRoot), oracleState(cfg))
     // second start with same checkpoint: nothing new, state unchanged
     val v = table.refresh().snapshotId
