@@ -80,6 +80,40 @@ object SparkEntry {
       CdcRelational.mergeApply(t(s, d, "events"), t(s, d, "documents"))),
     // rows-only: the REAL engine end-to-end on a generated log
     "cdc_engine_replay" -> ((s, d) => engineReplay(s)),
+    // ---- general engine demos: agg / join / window over TPC-H-ish data ----
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("disc_price_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q3_top_revenue_orders" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q_customer_order_rank" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(round(col("o_totalprice") * 100).cast("long").desc, col("o_orderkey"))
+      o.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2 && col("o_custkey") < 50)
+        .select(col("o_custkey"), col("rnk").cast("long").as("rnk"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
     // ---- training-data ops: dedup ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy(col("fp"))),
@@ -265,6 +299,12 @@ object SparkEntry {
         |sc AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos FROM embeddings e JOIN q ON q.cell = e.label AND q.query_id <> e.vec_id),
         |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents, CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_price_cents, count(*) AS n FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q3_top_revenue_orders" ->
+      """SELECT o_orderkey, c_mktsegment, CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY 1,2 ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""",
+    "q_customer_order_rank" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rnk FROM orders) SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, total_cents FROM r WHERE rnk <= 2 AND o_custkey < 50 ORDER BY o_custkey, rnk""",
     "dedup_apply" ->
       s"""WITH c AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")})
         |SELECT d.doc_id, d.n_chars, d.source FROM documents d JOIN c USING(doc_id) ORDER BY d.doc_id""".stripMargin,
