@@ -11,16 +11,17 @@ import org.apache.spark.sql.functions._
 object Prof {
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.map(_.toInt).getOrElse(32)
-    val nTx = sys.env.getOrElse("PROF_TX", "300000").toLong
+    val nTx = sys.env.getOrElse("PROF_TX", "140000").toLong
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_TMPDIR", "/tmp"))
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = Fs.tempDir("graft-prof")
     val cfg = ChangeLogConfig(seed = 42, nDocs = 150000, nTx = nTx,
-      maxOpsPerTx = 8, interleave = 16, zipfAlpha = 1.5)
+      maxOpsPerTx = 32, interleave = 16, zipfAlpha = 1.5)
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
@@ -32,7 +33,7 @@ object Prof {
     val table = time("snapshot")(CdcJob.snapshot(spark,
       ChangeLogGen.initialTable(spark, cfg).toDF(), cdc, 0L))
     val files = Fs.listParquet(cdc.logDir).sorted
-    files.grouped(math.max(1, files.size / 2)).zipWithIndex.foreach { case (f, i) =>
+    files.grouped(math.max(1, files.size / 4)).zipWithIndex.foreach { case (f, i) =>
       val raw = spark.read.schema(LogRecord.schema).parquet(f: _*)
       val events = time(s"assemble-$i")(TxAssembler.assemble(raw))
       // replicate applyBatch phases with timing
