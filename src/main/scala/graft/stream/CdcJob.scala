@@ -42,7 +42,17 @@ final case class CdcConfig(
     columnTransforms: Map[String, String] = Map.empty,
     /** Signal directory (E7): polled between micro-batches for
       * incremental/blocking snapshot requests — see [[Signals]]. */
-    signalDir: Option[String] = None
+    signalDir: Option[String] = None,
+    /** Cross-batch open-transaction carryover (the distributed analog of
+      * the reference's tx buffering, `DbzTransactionEngine.java:88-156`):
+      * records of transactions not yet closed in a batch are staged under
+      * `<table>/_pending/batch-N` and prepended to batch N+1, so log
+      * files need NOT be aligned to commit boundaries. Requires in-order
+      * batch delivery of a transaction's records (the reference reads its
+      * log sequentially too). Off by default: it costs one extra small
+      * write per batch and is unnecessary when the log writer closes
+      * files on commit boundaries (as graft.changelog does). */
+    txCarryover: Boolean = false
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -155,7 +165,9 @@ object CdcJob {
   def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long,
       broadcastAssembly: Boolean = false,
       tableInclude: Option[Seq[String]] = None,
-      columnTransforms: Map[String, String] = Map.empty): MergeApply.MergeStats = {
+      columnTransforms: Map[String, String] = Map.empty,
+      txCarryover: Boolean = false): MergeApply.MergeStats = {
+    val spark = rawBatch.sparkSession
     val keyCol = table.current.keyCol
     // F1 table filter: keep control records (they close transactions for
     // every table) and data ops of captured tables only; sys* always out
@@ -170,9 +182,46 @@ object CdcJob {
       col("table"), col("after"),
       struct(col("before").getField(keyCol).as(keyCol)).as("before"))
     val transformed = transformAfter(pruned, columnTransforms - keyCol)
+
+    val input =
+      if (!txCarryover) transformed
+      else {
+        // prepend last batch's unclosed-transaction records, stage this
+        // batch's unclosed ones for the next (idempotent per batchId:
+        // reprocessing batch N re-reads pending N-1 and overwrites N)
+        val pendDir = s"${table.root}/_pending"
+        val prev = java.nio.file.Paths.get(s"$pendDir/batch-${batchId - 1}")
+        val withPrev =
+          if (java.nio.file.Files.isDirectory(prev) &&
+            graft.util.Fs.listParquet(prev.toString).nonEmpty)
+            transformed.unionByName(
+              spark.read.schema(transformed.schema).parquet(prev.toString))
+          else transformed
+        import org.apache.spark.sql.expressions.Window
+        val closed = max(when(col("op").isin("C", "R"), lit(1)))
+          .over(Window.partitionBy(col("tx_id")))
+        val flagged = withPrev.withColumn("__closed", closed)
+        flagged.where(col("__closed").isNull).drop("__closed")
+          .write.mode("overwrite").parquet(s"$pendDir/batch-$batchId")
+        // GC staged dirs no restart can need anymore (< batchId-1)
+        val pd = java.nio.file.Paths.get(pendDir)
+        if (java.nio.file.Files.isDirectory(pd)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(pd).iterator().asScala
+            .filter { q =>
+              val n = q.getFileName.toString
+              n.startsWith("batch-") &&
+                scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+                  .exists(_ < batchId - 1)
+            }
+            .foreach(q => graft.util.Fs.deleteRecursively(q.toString))
+        }
+        flagged.where(col("__closed") === 1).drop("__closed")
+      }
+
     val events =
-      if (broadcastAssembly) TxAssembler.assembleBroadcast(transformed)
-      else TxAssembler.assemble(transformed)
+      if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
+      else TxAssembler.assemble(input)
     MergeApply.applyBatch(table, events, batchId)
   }
 
@@ -200,7 +249,7 @@ object CdcJob {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
-          cfg.columnTransforms); ()
+          cfg.columnTransforms, cfg.txCarryover); ()
       }
       .start()
   }
@@ -234,7 +283,7 @@ object CdcJob {
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
         out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly, cfg.tableInclude,
-          cfg.columnTransforms)
+          cfg.columnTransforms, cfg.txCarryover)
         done += 1
       }
     }
