@@ -1,0 +1,68 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+import graft.model.TokenDoc
+import graft.util.Fs
+
+/** flatMapGroupsWithState transaction assembly: arbitrary log splits,
+  * state survives in the SS state store; plus the watermarked windowed
+  * stream-metrics aggregation.
+  */
+class StatefulAssemblySpec extends SparkSpec {
+
+  test("stateful assembly over row-sliced log equals oracle (one file per trigger)") {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 107, maxOpsPerTx = 12)
+    val base = Fs.tempDir("graft-stateful")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 4, maxFilesPerTrigger = 1)
+    // row-sliced log: transactions straddle every file boundary. Flat
+    // files (not subdirs): the SS file source does not recurse into
+    // non-partition directories.
+    val log = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i)).sortBy(_.lsn)
+    log.grouped(math.max(1, log.size / 6)).zipWithIndex.foreach { case (slice, i) =>
+      val tmp = f"${cdc.logDir}-stage/slice-$i%03d"
+      slice.toDS().toDF().coalesce(1).write.parquet(tmp)
+      val part = Fs.listParquet(tmp).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdc.logDir))
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(f"${cdc.logDir}/slice-$i%03d.parquet"))
+    }
+    val fresh = spark.newSession()
+    val table = CdcJob.snapshot(fresh, ChangeLogGen.initialTable(fresh, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    StatefulAssembly.stream(fresh, table, cdc).awaitTermination()
+
+    val initial = (0L until cfg.nDocs.toLong).map { k =>
+      val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+      ChangeLogGen.docId(k) -> TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+    }.toMap
+    val want = ReplayOracle.replay(initial, log, ChangeLogGen.snapshotLsn)
+    val got = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(got.keySet == want.keySet,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens mismatch $k") }
+    Fs.deleteRecursively(base)
+  }
+
+  test("watermarked windowed event-rate metrics cover every data event") {
+    val cfg = ChangeLogConfig(nTx = 100, nDocs = 50, seed = 109)
+    val base = Fs.tempDir("graft-metrics")
+    ChangeLogGen.writeLog(spark, cfg, s"$base/log", 2)
+    val q = StreamMetrics.eventRate(spark, s"$base/log", windowSec = 600)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rates")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rates = spark.table("rates")
+    val totalWindowed = rates.agg(org.apache.spark.sql.functions.sum("events"))
+      .collect()(0).getLong(0)
+    val expected = (0L until cfg.nTx)
+      .flatMap(i => ChangeLogGen.txRecords(cfg, i))
+      .count(r => Set("c", "u", "d", "t").contains(r.op))
+    assert(totalWindowed == expected, s"windowed=$totalWindowed expected=$expected")
+    assert(rates.select("op").distinct().count() >= 2)
+    Fs.deleteRecursively(base)
+  }
+}
