@@ -181,7 +181,21 @@ object CdcJob {
       col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
       col("table"), col("after"),
       struct(col("before").getField(keyCol).as(keyCol)).as("before"))
-    val transformed = transformAfter(pruned, columnTransforms - keyCol)
+    // PK-changing update -> delete(old key) + insert(new key), matching
+    // the reference's envelope contract (a primary-key update arrives as
+    // delete+tombstone+insert, `InformixConnectorIT.java:257-352`).
+    // Defensive: sources following the contract never produce these.
+    val bKey = col("before").getField(keyCol)
+    val aKey = col("after").getField(keyCol)
+    val pkChanged = col("op") === "u" && bKey.isNotNull && aKey.isNotNull && bKey =!= aKey
+    val normalized = pruned.where(!pkChanged)
+      .unionByName(pruned.where(pkChanged)
+        .withColumn("op", lit("d"))
+        .withColumn("after", lit(null).cast(pruned.schema("after").dataType)))
+      .unionByName(pruned.where(pkChanged)
+        .withColumn("op", lit("c"))
+        .withColumn("before", lit(null).cast(pruned.schema("before").dataType)))
+    val transformed = transformAfter(normalized, columnTransforms - keyCol)
 
     val input =
       if (!txCarryover) transformed
