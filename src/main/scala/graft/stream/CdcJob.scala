@@ -184,17 +184,22 @@ object CdcJob {
     // PK-changing update -> delete(old key) + insert(new key), matching
     // the reference's envelope contract (a primary-key update arrives as
     // delete+tombstone+insert, `InformixConnectorIT.java:257-352`).
-    // Defensive: sources following the contract never produce these.
+    // Defensive — sources following the contract never produce these —
+    // and single-pass: an explode over a 1-or-2 element op array, so the
+    // batch is scanned once (a union of filtered branches would scan it
+    // three times).
     val bKey = col("before").getField(keyCol)
     val aKey = col("after").getField(keyCol)
-    val pkChanged = col("op") === "u" && bKey.isNotNull && aKey.isNotNull && bKey =!= aKey
-    val normalized = pruned.where(!pkChanged)
-      .unionByName(pruned.where(pkChanged)
-        .withColumn("op", lit("d"))
-        .withColumn("after", lit(null).cast(pruned.schema("after").dataType)))
-      .unionByName(pruned.where(pkChanged)
-        .withColumn("op", lit("c"))
-        .withColumn("before", lit(null).cast(pruned.schema("before").dataType)))
+    val normalized = pruned
+      .withColumn("__pk",
+        col("op") === "u" && bKey.isNotNull && aKey.isNotNull && bKey =!= aKey)
+      .withColumn("op",
+        explode(when(col("__pk"), array(lit("d"), lit("c"))).otherwise(array(col("op")))))
+      .withColumn("after", when(col("__pk") && col("op") === "d",
+        lit(null).cast(pruned.schema("after").dataType)).otherwise(col("after")))
+      .withColumn("before", when(col("__pk") && col("op") === "c",
+        lit(null).cast(pruned.schema("before").dataType)).otherwise(col("before")))
+      .drop("__pk")
     val transformed = transformAfter(normalized, columnTransforms - keyCol)
 
     val input =
