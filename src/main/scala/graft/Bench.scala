@@ -113,7 +113,7 @@ object Bench {
     val cfg = ChangeLogConfig(seed = 42, nDocs = nDocs, nTx = nTx,
       maxOpsPerTx = maxOps, interleave = 16, zipfAlpha = 1.5)
     val logDir = s"$base/log"
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "64").toInt
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "256").toInt
     locally {
       val s = session(cpus)
       ChangeLogGen.writeLog(s, cfg, logDir, nFiles)
