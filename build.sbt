@@ -27,4 +27,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // throughput-oriented GC for the batch pipeline (GRAFT_GC=UseG1GC to override)
+  s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
 )

@@ -29,14 +29,21 @@ object Bench {
         "/dev/shm/graft-bench"
       else System.getProperty("java.io.tmpdir"))
 
-  private def session(cpus: Int): SparkSession = {
+  /** CDC-pipeline sessions run with AQE OFF: the apply plan is fully
+    * explicit (one fixed repartition to the bucket layout + hash agg),
+    * so adaptive re-planning has nothing to improve and its per-stage
+    * driver re-optimization barrier only adds serial latency. Headline
+    * operator queries (ad-hoc shapes) keep AQE on.
+    */
+  private def session(cpus: Int, aqe: Boolean = false): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", aqe.toString))
       .config("spark.local.dir", scratchBase)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -51,45 +58,62 @@ object Bench {
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to
-    * steady state; the measured pass then times every micro-batch and
-    * reports peak sustained throughput (best batch) plus the full-pass
-    * average — replaying 10^10 events runs at steady state, so the
-    * warm number is the honest one. Returns (events per batch,
-    * best-batch seconds, measured-pass total seconds, total events).
+    * steady state; the measured pass then times every micro-batch —
+    * replaying 10^10 events runs at steady state, so the warm numbers
+    * are the honest ones. Returns the measured pass's (events, seconds)
+    * per micro-batch.
     */
-  private def cdcRun(cpus: Int, logDir: String, cfg: ChangeLogConfig,
-      base: String, warm: Boolean): (Long, Double, Double, Long) = {
+  /** One pass = snapshot + apply every chunk as a batch, in a FRESH
+    * SparkSession (stopping it afterwards releases the pass's shuffle
+    * files from scratch — otherwise tmpfs state accumulates across
+    * passes and skews later measurements; JIT warmth is JVM-level and
+    * survives). The pass's sink table is deleted afterwards for the
+    * same reason.
+    */
+  private def onePass(cpus: Int, tag: String, logDir: String, cfg: ChangeLogConfig,
+      base: String): Seq[(Long, Double)] = {
     import graft.model.LogRecord
     val spark = session(cpus)
     val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_BENCH_FPB", "64").toInt
-    val bcast = sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "false").toBoolean
+    // broadcast tx assembly: the payload's ONLY shuffle is the bucket
+    // repartition (control records aggregate + broadcast); measured ~25%
+    // faster than windowed assembly at 8 cores, same result
+    val bcast = sys.env.getOrElse("SPARK_GRAFT_BENCH_BCAST", "true").toBoolean
     val chunks = Fs.listParquet(logDir).sorted.grouped(filesPerBatch).toSeq
-    def pass(tag: String): Seq[(Long, Double)] = {
-      val cdc = CdcConfig(logDir, s"$base/table-c$cpus-$tag", s"$base/ckpt-c$cpus-$tag",
-        numBuckets = 64, maxFilesPerTrigger = 1, broadcastAssembly = bcast)
-      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
-        cdc, ChangeLogGen.snapshotLsn)
-      chunks.zipWithIndex.map { case (chunk, i) =>
-        val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
-        val t0 = System.nanoTime()
-        val stats = CdcJob.processBatch(table, raw, i.toLong, cdc.broadcastAssembly)
-        (stats.events, (System.nanoTime() - t0) / 1e9)
-      }
+    val cdc = CdcConfig(logDir, s"$base/table-c$cpus-$tag", s"$base/ckpt-c$cpus-$tag",
+      numBuckets = 64, maxFilesPerTrigger = 1, broadcastAssembly = bcast)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    val timed = chunks.zipWithIndex.map { case (chunk, i) =>
+      val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
+      val t0 = System.nanoTime()
+      val stats = CdcJob.processBatch(table, raw, i.toLong, cdc.broadcastAssembly)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (graft.stream.MergeApply.debugTiming)
+        println(f"  [bench] c$cpus $tag batch $i: ${stats.events} ev, $sec%.2f s (${stats.events / sec}%.0f ev/s)")
+      (stats.events, sec)
     }
-    if (warm) pass("warm")
-    val timed = pass("meas")
     spark.stop()
-    val best = timed.map { case (ev, sec) => (ev, sec, ev / sec) }.maxBy(_._3)
-    (best._1, best._2, timed.map(_._2).sum, timed.map(_._1).sum)
+    Fs.deleteRecursively(cdc.tableRoot)
+    Fs.deleteRecursively(cdc.checkpointDir)
+    System.gc()
+    timed
+  }
+
+  private def cdcRun(cpus: Int, logDir: String, cfg: ChangeLogConfig,
+      base: String, warm: Boolean): Seq[(Long, Double)] = {
+    if (warm) onePass(cpus, "warm", logDir, cfg, base)
+    onePass(cpus, "meas", logDir, cfg, base)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Scaling pair N -> 4N. Default hi=16: the single-box pipeline
-    // saturates shared memory bandwidth around 16 cores (see
-    // BASELINE.md curve), so 4 -> 16 is the honest N -> 4N comparison;
-    // 8 -> 32 is additionally reported by the curve in BASELINE.md.
+    // Scaling pair N -> 4N. Default hi=8 (so 2 -> 8 cores): above ~16
+    // cores this single box saturates shared memory bandwidth (see
+    // BASELINE.md curve), which a real multi-executor cluster does not —
+    // 2 -> 8 is the pair where per-core resources are actually constant.
+    // SPARK_GRAFT_BENCH_HI overrides; the full curve is in BASELINE.md.
     val hiCpus = math.min(cpus, sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "8").toInt)
     val lowCpus = math.max(1, hiCpus / 4)
     val nTx = sys.env.getOrElse("SPARK_GRAFT_BENCH_TX", "600000").toLong
@@ -97,16 +121,20 @@ object Bench {
     val maxOps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXOPS", "32").toInt
 
     // ---- part 1: headline query timings at full parallelism ----
-    var spark = session(cpus)
-    // warmup: JIT + parquet footer caches on a cheap query
-    SparkEntry.queries("a2_lww_dedup")(spark, sfDir).count()
-    val queryTimes = headline.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIPQ").exists(_.toBoolean)
+    val queryTimes = if (skipQueries) Seq.empty[(String, Double)] else {
+      val spark = session(cpus, aqe = true)
+      // warmup: JIT + parquet footer caches on a cheap query
+      SparkEntry.queries("a2_lww_dedup")(spark, sfDir).count()
+      val qt = headline.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      qt
     }
-    spark.stop()
 
     // ---- part 2: CDC apply throughput at two parallelism levels ----
     val base = Fs.tempDirIn(scratchBase, "graft-bench")
@@ -119,13 +147,30 @@ object Bench {
       ChangeLogGen.writeLog(s, cfg, logDir, nFiles)
       s.stop()
     }
-    // hi level runs first with a full warm pass; the lo level reuses the
-    // JVM's JIT/codegen warmth and skips its own warm pass
-    val (evHi, secHi, totSecHi, totEvHi) = cdcRun(hiCpus, logDir, cfg, base, warm = true)
-    val (evLo, secLo, totSecLo, totEvLo) = cdcRun(lowCpus, logDir, cfg, base, warm = false)
-    val thrLo = evLo / secLo
-    val thrHi = evHi / secHi
-    val efficiency = (thrHi / thrLo) / (hiCpus.toDouble / lowCpus)
+    // both levels get an identical full warm-up pass (symmetric protocol);
+    // LO runs FIRST: any residual box drift over the run then penalizes
+    // the hi level, biasing the reported efficiency conservatively
+    val timedLo = cdcRun(lowCpus, logDir, cfg, base, warm = true)
+    val timedHi = cdcRun(hiCpus, logDir, cfg, base, warm = true)
+    def stats(timed: Seq[(Long, Double)]): (Double, Double, Double, Long, Double) = {
+      val thr = timed.map { case (ev, sec) => ev / sec }
+      val best = thr.max
+      val sortedThr = thr.sorted
+      val median = sortedThr(sortedThr.size / 2)
+      val totEv = timed.map(_._1).sum
+      val totSec = timed.map(_._2).sum
+      (totEv / totSec, median, best, totEv, totSec)
+    }
+    val (avgHi, medHi, bestHi, totEvHi, totSecHi) = stats(timedHi)
+    val (avgLo, medLo, bestLo, totEvLo, totSecLo) = stats(timedLo)
+    // PRIMARY efficiency = full-pass average throughput ratio — the
+    // estimator that matches how 10^10 events would actually replay
+    // (every batch counts, not a best-case batch). Median-batch and
+    // best-batch ratios are reported alongside.
+    val ratio = hiCpus.toDouble / lowCpus
+    val efficiency = (avgHi / avgLo) / ratio
+    val effMedian = (medHi / medLo) / ratio
+    val effBest = (bestHi / bestLo) / ratio
     Fs.deleteRecursively(base)
     if (scratchBase.startsWith("/dev/shm")) Fs.deleteRecursively(scratchBase)
 
@@ -133,11 +178,13 @@ object Bench {
     val total = queryTimes.map(_._2).sum
     val cdcJson =
       f"""{"events_total":$totEvHi,"cores_lo":$lowCpus,"cores_hi":$hiCpus,""" +
-        f""""best_batch_events":$evHi,"best_batch_sec_lo":$secLo%.2f,"best_batch_sec_hi":$secHi%.2f,""" +
         f""""pass_sec_lo":$totSecLo%.2f,"pass_sec_hi":$totSecHi%.2f,""" +
-        f""""events_per_sec_lo":${thrLo}%.0f,"events_per_sec_hi":${thrHi}%.0f,""" +
-        f""""avg_events_per_sec_lo":${totEvLo / totSecLo}%.0f,"avg_events_per_sec_hi":${totEvHi / totSecHi}%.0f,""" +
-        f""""scaling_efficiency":$efficiency%.3f}"""
+        f""""events_per_sec_lo":$avgLo%.0f,"events_per_sec_hi":$avgHi%.0f,""" +
+        f""""median_events_per_sec_lo":$medLo%.0f,"median_events_per_sec_hi":$medHi%.0f,""" +
+        f""""best_events_per_sec_lo":$bestLo%.0f,"best_events_per_sec_hi":$bestHi%.0f,""" +
+        f""""scaling_efficiency":$efficiency%.3f,""" +
+        f""""scaling_efficiency_median_batch":$effMedian%.3f,""" +
+        f""""scaling_efficiency_best_batch":$effBest%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}""")
   }

@@ -37,6 +37,53 @@ object SparkEntry {
   // portable 56-bit hash (matches TextOps.portableHash)
   private def H(x: String) = s"(('0x' || substr(md5($x),1,14))::BIGINT)"
 
+  // ---- generated SQL fragments that mirror graft.ops constants ----
+
+  /** DF-capped distinct word-trigram shingles (mirrors
+    * Dedup.cappedShingles): CTEs w, sh0, hot, sh.
+    */
+  private def SHINGLES: String = {
+    val cap = Dedup.DefaultMaxDocFreq
+    """w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\s+')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
+      |""".stripMargin +
+      s"hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $cap),\n" +
+      "sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))"
+  }
+
+  /** MinHash signature CTEs hm, sig — generated from Dedup.MinhashA/B so
+    * the oracle replays the exact permutations.
+    */
+  private def MINHASH_SIG: String = {
+    val sigCols = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*h + $b) % ${Dedup.MinhashP}) AS s$i"
+    }.mkString(", ")
+    s"hm AS (SELECT doc_id, ${H("s")} % ${Dedup.MinhashP} AS h FROM sh),\n" +
+      s"sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id)"
+  }
+
+  /** LSH band buckets CTE b over sig (band i = s(2i)*31 + s(2i+1)). */
+  private def MINHASH_BANDS: String = {
+    val bands = (0 until Dedup.minhashBands).map { b =>
+      val lo = b * Dedup.MinhashRowsPerBand
+      s"SELECT doc_id, $b AS band, s$lo*31+s${lo + 1} AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"b AS ($bands)"
+  }
+
+  /** Quantized embeddings + integer sign-LSH plane dot products
+    * (mirrors Similarity.quantized/lshBucket): CTEs q, pl, s for planes
+    * [0, nPlanes).
+    */
+  private def LSH_PLANES(nPlanes: Int): String =
+    """q AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+      |""".stripMargin +
+      // 4096 is a generous constant dim bound (DuckDB's range() cannot take
+      // a subquery); the pl.i < len(qv) join guard keeps semantics exact
+      s"pl AS (SELECT p, i, ((('0x' || substr(md5(CAST(p AS VARCHAR)||':'||CAST(i AS VARCHAR)),1,14))::BIGINT) % 1000) - 500 AS c FROM range(0,$nPlanes) t(p), range(0,4096) u(i)),\n" +
+      """s AS (SELECT q.vec_id, pl.p, CAST(sum(q.qv[CAST(pl.i+1 AS INTEGER)] * pl.c) AS BIGINT) AS dp
+        |       FROM q, pl WHERE pl.i < len(q.qv) GROUP BY 1, 2)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S: sources / scans ----
     "s1_snapshot_scan" -> ((s, d) =>
@@ -54,6 +101,9 @@ object SparkEntry {
     "f3_mask_hash" -> ((s, d) => CdcRelational.f3MaskHash(t(s, d, "documents"))),
     "f4_message_key" -> ((s, d) => CdcRelational.f4MessageKey(t(s, d, "events"))),
     "f5_value_conversion" -> ((s, d) => CdcRelational.f5ValueConversion(t(s, d, "events"))),
+    // the full conversion-mode matrix (decimal modes, variable-scale
+    // decimal, temporal precisions, char padding, boolean literals)
+    "f5b_type_matrix" -> ((s, d) => ValueConv.typeMatrix(t(s, d, "events"))),
     // ---- T: transaction assembly ----
     "t1_tx_group" -> ((s, d) => CdcRelational.t1TxGroup(t(s, d, "events"))),
     "t2_rollback_discard" -> ((s, d) => CdcRelational.t2RollbackDiscard(t(s, d, "events"))),
@@ -73,6 +123,7 @@ object SparkEntry {
     "e2_tombstones" -> ((s, d) => CdcRelational.e2Tombstones(t(s, d, "events"))),
     "e5_tx_metadata" -> ((s, d) => CdcRelational.e5TxMetadata(t(s, d, "events"))),
     "e6_lineage" -> ((s, d) => CdcRelational.e6Lineage(t(s, d, "events"))),
+    "e8_cloudevents_id" -> ((s, d) => CdcRelational.e8CloudEventsId(t(s, d, "events"))),
     // ---- N: snapshot variants ----
     "n2_chunk_boundaries" -> ((s, d) => CdcRelational.n2ChunkBoundaries(t(s, d, "documents"))),
     // ---- flagship merge ----
@@ -127,8 +178,17 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, d, "documents")).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash16(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // the production near-dup shape: banded candidates -> exact verify
+    "dedup_lsh_verified" -> ((s, d) =>
+      Dedup.lshVerifiedPairs(t(s, d, "documents"))
+        .withColumn("inter", col("inter").cast("long"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // bucketed (banded sign-LSH) embedding near-dup — no corpus x corpus join
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings")).orderBy(col("id_a"), col("id_b"))),
+    // all-pairs form: the small-scale recall oracle for the bucketed path
+    "dedup_embedding_brute" -> ((s, d) =>
+      Dedup.embeddingNearDupsBrute(t(s, d, "embeddings")).orderBy(col("id_a"), col("id_b"))),
     // ---- training-data ops: similarity search ----
     "ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -142,10 +202,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
-    // rows-only: LSH-bucketed scale path (bucketing not SQL-portable)
+    // LSH-bucketed scale path (integer bucketing -> SQL-portable oracle)
     "ann_lsh_bucketed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // full IVF: sampled integer k-means trainer + nprobe=2 probing
+    "ann_ivf_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTrainedTopK(emb, emb.where(col("vec_id") < 5), k = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -181,10 +248,22 @@ object SparkEntry {
           col("first_byte").cast("long").as("first_byte"))
         .orderBy(col("doc_id"))
     }),
-    // rows-only: full feature vector incl. checksum (stub decode)
+    // full feature path incl. checksum (stub decode): the array<float>
+    // feature is emitted as its quantized byte components (lossless for
+    // the stub's byte/255 features), so the result is scalar-sortable
+    // and the byte-exact oracle can reproduce every column
     "mm_media_features" -> ((s, d) => {
       val media = Multimodal.toMedia(t(s, d, "documents"))
-      Multimodal.extractFeatures(media).toDF().orderBy(col("doc_id"))
+      val scalars = Seq(
+        col("doc_id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("first_byte").cast("long").as("first_byte"),
+        col("checksum").cast("long").as("checksum")) ++
+        (0 until 4).map(j =>
+          round(element_at(col("feature"), j + 1) * 255).cast("long").as(s"f$j"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(scalars: _*)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -224,6 +303,30 @@ object SparkEntry {
       s"$LOG SELECT lsn, key_id FROM log ORDER BY lsn",
     "f5_value_conversion" ->
       "SELECT event_id, value AS v_double, CAST(round(value*100) AS BIGINT) AS v_cents, CAST(floor(value) AS BIGINT) AS v_floor FROM events WHERE event_id < 500 ORDER BY event_id",
+    "f5b_type_matrix" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type, value,
+        |  CAST(round(value*100) AS BIGINT) AS cents, CAST(round(value*1000000) AS BIGINT) AS u6
+        |  FROM events WHERE event_id < 500)
+        |SELECT event_id,
+        |  CAST(event_id % 30000 AS SMALLINT) AS i16,
+        |  CAST(event_id AS INTEGER) AS i32,
+        |  CAST(user_id AS BIGINT) AS i64,
+        |  CAST(value AS REAL) AS f32,
+        |  CAST(value AS DOUBLE) AS f64,
+        |  {'unscaled': u6, 'scale': 6} AS dec_precise,
+        |  {'scale': CASE WHEN cents % 100 = 0 THEN 0 WHEN cents % 10 = 0 THEN 1 ELSE 2 END,
+        |   'value': CASE WHEN cents % 100 = 0 THEN cents//100 WHEN cents % 10 = 0 THEN cents//10 ELSE cents END} AS dec_varscale,
+        |  CAST(cents//100 AS VARCHAR) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS dec_string,
+        |  cents/100.0 AS dec_double,
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t_epoch_day,
+        |  ((epoch_us(ts)//1000000) % 86400) * 1000 AS t_time_ms,
+        |  ((epoch_us(ts)//1000000) % 86400) * 1000000 AS t_time_us,
+        |  (epoch_us(ts)//1000000) * 1000 AS t_ts_s_ms,
+        |  epoch_ms(ts) AS t_ts_ms,
+        |  (epoch_us(ts)//10) * 10 AS t_ts_us5,
+        |  rpad(event_type, 10, ' ') AS s_char_pad,
+        |  event_type = 'signup' AS b_bool
+        |FROM e ORDER BY event_id""".stripMargin,
     "t1_tx_group" ->
       s"$LOG SELECT tx_id, count(*) AS n_ops, min(lsn) AS begin_lsn, max(lsn) AS commit_lsn FROM log GROUP BY tx_id ORDER BY tx_id",
     "t2_rollback_discard" ->
@@ -254,6 +357,8 @@ object SparkEntry {
       s"$LOG SELECT tx_id, op, count(*) AS event_count, min(lsn) AS first_lsn, max(lsn) AS last_lsn, CAST(tx_id AS VARCHAR) || ':' || CAST(max(lsn) AS VARCHAR) AS tx_key FROM log GROUP BY tx_id, op ORDER BY tx_id, op",
     "e6_lineage" ->
       s"$LOG SELECT CAST(floor(lsn/1000) AS BIGINT) AS batch_id, min(lsn) AS lsn_lo, max(lsn) AS lsn_hi, count(*) AS event_count, CAST(sum(CASE WHEN op='d' THEN 1 ELSE 0 END) AS BIGINT) AS deletes FROM log GROUP BY 1 ORDER BY 1",
+    "e8_cloudevents_id" ->
+      s"$LOG SELECT lsn, 'name:graft;change_lsn:' || CAST(lsn AS VARCHAR) || ';commit_lsn:' || CAST(max(lsn) OVER (PARTITION BY tx_id) AS VARCHAR) AS ce_id FROM log QUALIFY lsn < 500 ORDER BY lsn",
     "n2_chunk_boundaries" ->
       "SELECT CAST(floor(doc_id/100) AS BIGINT) AS chunk, min(doc_id) AS key_lo, max(doc_id) AS key_hi, count(*) AS n_rows FROM documents GROUP BY 1 ORDER BY 1",
     "cdc_merge_apply" ->
@@ -261,34 +366,84 @@ object SparkEntry {
     "dedup_exact" ->
       s"SELECT ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS fp, min(doc_id) AS canonical_doc_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY fp",
     "dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
+      s"""WITH $SHINGLES,
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
         |SELECT da AS doc_a, db AS doc_b, inter, round(inter*1.0/(s1.n+s2.n-inter),4) AS jaccard
         |FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id
         |WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_sig" ->
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
-        |hm AS (SELECT doc_id, ${H("s")} % 2147483647 AS h FROM sh)
-        |SELECT doc_id, min((1103515245*h + 12345) % 2147483647) AS s0, min((1299709*h + 362437) % 2147483647) AS s1, min((15485863*h + 104729) % 2147483647) AS s2, min((32452843*h + 49979687) % 2147483647) AS s3 FROM hm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $SHINGLES,
+        |$MINHASH_SIG
+        |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
     "dedup_minhash_pairs" ->
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
-        |hm AS (SELECT doc_id, ${H("s")} % 2147483647 AS h FROM sh),
-        |sig AS (SELECT doc_id, min((1103515245*h + 12345) % 2147483647) AS s0, min((1299709*h + 362437) % 2147483647) AS s1, min((15485863*h + 104729) % 2147483647) AS s2, min((32452843*h + 49979687) % 2147483647) AS s3 FROM hm GROUP BY doc_id),
-        |b AS (SELECT doc_id, 0 AS band, s0*31+s1 AS bucket FROM sig UNION ALL SELECT doc_id, 1 AS band, s2*31+s3 AS bucket FROM sig)
+      s"""WITH $SHINGLES,
+        |$MINHASH_SIG,
+        |$MINHASH_BANDS
         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_lsh_verified" ->
+      s"""WITH $SHINGLES,
+        |$MINHASH_SIG,
+        |$MINHASH_BANDS,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT c.doc_a AS da, c.doc_b AS db, count(*) AS inter FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id AND sa.s = sb.s GROUP BY 1,2)
+        |SELECT da AS doc_a, db AS doc_b, inter, round(inter*1.0/(s1.n+s2.n-inter),4) AS jaccard
+        |FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id
+        |WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
         |hx AS (SELECT doc_id, ${H("w")} AS h FROM wx),
         |bits AS (SELECT doc_id, b, sum(((h >> CAST(b AS INTEGER)) & 1)*2 - 1) AS vote FROM hx, unnest(range(0,16)) t(b) GROUP BY 1,2)
         |SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // banded sign-LSH candidates (8 bands x 3 planes, integer bucketing
+    // replayed bit-exactly) -> exact cosine verify
     "dedup_embedding_cos" ->
+      s"""WITH ${LSH_PLANES(24)},
+        |bb AS (SELECT vec_id, CAST(p // 3 AS INTEGER) AS band, CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 3 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket FROM s GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b, round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),4) AS cos_sim
+        |FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id JOIN embeddings eb ON c.id_b = eb.vec_id
+        |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_brute" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh_bucketed" ->
+      s"""WITH ${LSH_PLANES(8)},
+        |bk AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket FROM s GROUP BY 1),
+        |qb AS (SELECT b.vec_id AS query_id, e.embedding AS q_emb, b.bucket FROM bk b JOIN embeddings e ON b.vec_id = e.vec_id WHERE b.vec_id < 5),
+        |sc AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos FROM bk c JOIN qb q ON c.bucket = q.bucket AND q.query_id <> c.vec_id JOIN embeddings e ON c.vec_id = e.vec_id),
+        |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // full replay of the deterministic integer k-means trainer (sample
+    // vec_id%4=0, init = k lowest sampled ids, 2 Lloyd iterations with
+    // integer sums + floor-div centroids) and nprobe=2 probing
+    "ann_ivf_trained" -> {
+      def dist(vecs: String, cents: String): String =
+        s"SELECT s.vec_id, s.qv, c.cid, CAST(list_sum(list_transform(range(1, len(s.qv)+1), i -> (s.qv[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)])*(s.qv[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)]))) AS BIGINT) AS d FROM $vecs s, $cents c"
+      def iter(i: Int, prev: String): String =
+        s"""d$i AS (${dist("samp", prev)}),
+          |a$i AS (SELECT vec_id, qv, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$i) WHERE rn = 1),
+          |u$i AS (SELECT cid, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n FROM (SELECT cid, unnest(range(1, len(qv)+1)) AS pos, unnest(qv) AS v FROM a$i) GROUP BY 1,2),
+          |n$i AS (SELECT cid, list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT) ORDER BY pos) AS c FROM u$i GROUP BY cid),
+          |c$i AS (SELECT $prev.cid, COALESCE(n$i.c, $prev.c) AS c FROM $prev LEFT JOIN n$i USING(cid))""".stripMargin
+      s"""WITH q AS (SELECT vec_id, embedding, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |samp AS (SELECT vec_id, qv FROM q WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS c FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT 8)),
+        |${iter(1, "c0")},
+        |${iter(2, "c1")},
+        |dq AS (${dist("q", "c2")}),
+        |cell AS (SELECT vec_id, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dq) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dq WHERE vec_id < 5) WHERE rn <= 2),
+        |sc AS (SELECT p.query_id, ce.vec_id, list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) AS cos
+        |       FROM probes p JOIN cell ce ON p.cell = ce.cell AND ce.vec_id <> p.query_id
+        |       JOIN embeddings eq ON eq.vec_id = p.query_id JOIN embeddings ec ON ec.vec_id = ce.vec_id),
+        |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    "s3_schema_discovery" ->
+      "SELECT * FROM (VALUES ('doc_id','bigint'),('lang','string'),('n_chars','bigint'),('source','string'),('text','string')) AS t(column_name, data_type) ORDER BY column_name",
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |sc AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
@@ -330,6 +485,20 @@ object SparkEntry {
     "text_fingerprint" ->
       s"SELECT doc_id, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS fingerprint, CAST(length(lower(regexp_replace(trim(text),'\\s+',' ','g'))) AS BIGINT) AS norm_len FROM documents ORDER BY doc_id",
     "mm_binary_features" ->
-      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, CAST(unicode(substr(text,1,1)) AS BIGINT) AS first_byte FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, CAST(unicode(substr(text,1,1)) AS BIGINT) AS first_byte FROM documents ORDER BY doc_id",
+    // byte-exact replay of the stub decoder: checksum = fold (a*31+x) mod 2^32
+    // over UTF-8 bytes (testdata text is ASCII, so unicode(char) == byte);
+    // f_j = payload byte at j mod len (the stub feature, dequantized)
+    "mm_media_features" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |  list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS bs
+        |  FROM documents)
+        |SELECT doc_id, n AS n_bytes, CAST(bs[1] AS BIGINT) AS first_byte,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a,x) -> (a*31+x) % 4294967296) AS BIGINT) AS checksum,
+        |  bs[CAST(0 % n AS BIGINT)+1] AS f0,
+        |  bs[CAST(1 % n AS BIGINT)+1] AS f1,
+        |  bs[CAST(2 % n AS BIGINT)+1] AS f2,
+        |  bs[CAST(3 % n AS BIGINT)+1] AS f3
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

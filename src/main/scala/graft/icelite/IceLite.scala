@@ -192,13 +192,104 @@ final class IceLiteTable private[icelite] (
 
   /** Append per-partition lineage/metrics rows (LSN range, counts, apply
     * latency) — the analog of the reference's heartbeat + transaction
-    * monitor (`InformixTransactionMonitor.java:28-52`).
+    * monitor (`InformixTransactionMonitor.java:28-52`). Driver-local
+    * JSONL (one file per batch, unique name, atomic via temp+move):
+    * lineage is O(buckets) metadata and must not cost a Spark job on the
+    * apply path.
     */
-  def appendLineage(df: DataFrame): Unit =
-    df.write.mode("append").parquet(lineagePath)
+  def appendLineageRows(rows: Seq[IceLite.LineageRow]): Unit = {
+    if (rows.isEmpty) return
+    val dir = Paths.get(lineagePath)
+    Files.createDirectories(dir)
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      sb.append(s"""{"bucket":${r.bucket},"event_count":${r.event_count},""" +
+        s""""deleted_keys":${r.deleted_keys},"rows_written":${r.rows_written},""" +
+        s""""lsn_lo":${r.lsn_lo},"lsn_hi":${r.lsn_hi},"batch_id":${r.batch_id},""" +
+        s""""snapshot_id":${r.snapshot_id},"apply_latency_ms":${r.apply_latency_ms},""" +
+        s""""committed_at_ms":${r.committed_at_ms}}""").append('\n')
+    }
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}.jsonl")
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(f"batch-${rows.head.batch_id}%08d-${java.util.UUID.randomUUID().toString.take(8)}.jsonl"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Lineage rows as a DataFrame (explicit schema — no inference job). */
+  def readLineage(): DataFrame =
+    if (!Files.isDirectory(Paths.get(lineagePath)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        IceLite.lineageSchema)
+    else spark.read.schema(IceLite.lineageSchema).json(lineagePath)
+
+  def notificationsPath: String = s"$root/_notifications"
+
+  /** E7 (outbound half) — progress notifications, the analog of the
+    * reference's snapshot-progress notification channel
+    * (`InformixConnectorTask.java:142-148`, `NotificationsIT.java:25-80`):
+    * one JSONL row per event {id, aggregate_type, type, data, ts_ms}.
+    * Driver-local append (notifications are metadata, never a Spark job).
+    */
+  def appendNotification(aggregateType: String, notifType: String, data: String): Unit = {
+    val dir = Paths.get(notificationsPath)
+    Files.createDirectories(dir)
+    val id = java.util.UUID.randomUUID().toString
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val line = s"""{"id":"$id","aggregate_type":"${esc(aggregateType)}",""" +
+      s""""type":"${esc(notifType)}","data":"${esc(data)}",""" +
+      s""""ts_ms":${System.currentTimeMillis()}}""" + "\n"
+    val tmp = dir.resolve(s".tmp-$id.jsonl")
+    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"n-$id.jsonl"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readNotifications(): DataFrame =
+    if (!Files.isDirectory(Paths.get(notificationsPath)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        IceLite.notificationSchema)
+    else spark.read.schema(IceLite.notificationSchema).json(notificationsPath)
 }
 
 object IceLite {
+
+  /** One lineage row: per-bucket per-batch apply metrics (E5/E6). */
+  final case class LineageRow(
+      bucket: Int,
+      event_count: Long,
+      deleted_keys: Long,
+      rows_written: Long,
+      lsn_lo: Long,
+      lsn_hi: Long,
+      batch_id: Long,
+      snapshot_id: Long,
+      apply_latency_ms: Long,
+      committed_at_ms: Long
+  )
+
+  val lineageSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("bucket", IntegerType),
+      StructField("event_count", LongType),
+      StructField("deleted_keys", LongType),
+      StructField("rows_written", LongType),
+      StructField("lsn_lo", LongType),
+      StructField("lsn_hi", LongType),
+      StructField("batch_id", LongType),
+      StructField("snapshot_id", LongType),
+      StructField("apply_latency_ms", LongType),
+      StructField("committed_at_ms", LongType)))
+  }
+
+  val notificationSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("aggregate_type", StringType),
+      StructField("type", StringType),
+      StructField("data", StringType),
+      StructField("ts_ms", LongType)))
+  }
 
   /** Engine metadata columns stored with every row:
     *   __vc/__vl — the (commit_lsn, change_lsn) version that wrote the

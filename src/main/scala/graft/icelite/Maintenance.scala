@@ -33,22 +33,20 @@ object Maintenance {
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(table.dataPath(commitRel))
     val written = IceLite.listCommittedFiles(table.root, commitRel)
-    var attempts = 0
-    while (attempts < 5) {
-      val cur = table.current
-      // compaction only applies if nothing changed underneath it
-      if (cur.snapshotId != snap.snapshotId)
-        throw new IllegalStateException("table changed during compaction; rerun")
-      val next = cur.copy(
-        snapshotId = cur.snapshotId + 1,
-        parentId = cur.snapshotId,
-        base = written,
-        deltas = Map.empty,
-        summary = cur.summary.copy(note = s"compact(purge<$retentionFloorLsn)"))
-      if (table.commit(next)) return next.snapshotId
-      table.refresh()
-      attempts += 1
-    }
-    throw new IllegalStateException("compaction commit contention")
+    // a full-table compaction is only valid against the exact snapshot it
+    // folded — any concurrent commit invalidates the rewrite, so there is
+    // nothing to retry: fail fast and let the caller rerun the fold
+    val cur = table.refresh()
+    if (cur.snapshotId != snap.snapshotId)
+      throw new IllegalStateException("table changed during compaction; rerun")
+    val next = cur.copy(
+      snapshotId = cur.snapshotId + 1,
+      parentId = cur.snapshotId,
+      base = written,
+      deltas = Map.empty,
+      summary = cur.summary.copy(note = s"compact(purge<$retentionFloorLsn)"))
+    if (!table.commit(next))
+      throw new IllegalStateException("table changed during compaction; rerun")
+    next.snapshotId
   }
 }

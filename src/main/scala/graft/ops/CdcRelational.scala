@@ -246,6 +246,22 @@ object CdcRelational {
         concat(col("tx_id").cast("string"), lit(":"), col("last_lsn").cast("string")))
       .orderBy(col("tx_id"), col("op"))
 
+  /** E8 — CloudEvents id: "name:<server>;change_lsn:<lsn>;commit_lsn:<lsn>"
+    * (`InformixCloudEventsMaker.java:36-45`; the reference's ceId uses
+    * the source's server name and the two LSNs). Here commit_lsn = the
+    * tx's max LSN.
+    */
+  def e8CloudEventsId(events: DataFrame, serverName: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col("tx_id"))
+    changeLog(events)
+      .withColumn("commit_lsn", max(col("lsn")).over(w))
+      .select(col("lsn"),
+        concat(lit(s"name:$serverName;change_lsn:"), col("lsn").cast("string"),
+          lit(";commit_lsn:"), col("commit_lsn").cast("string")).as("ce_id"))
+      .where(col("lsn") < 500)
+      .orderBy(col("lsn"))
+  }
+
   /** E6 — heartbeat / per-batch lineage rows: LSN range + counts per
     * micro-batch (`InformixConnectorIT.java:1352-1427` + north-star
     * lineage requirement).

@@ -10,19 +10,28 @@ import org.apache.spark.sql.functions._
   * Scale notes (the part that matters at 100 TB):
   *   - exact dedup is a single hash `groupBy` on a 56-bit content
   *     fingerprint — map-side combined, skew-free (hash keys).
+  *   - every shingle-based operator runs over [[cappedShingles]]: a
+  *     shingle whose document frequency exceeds `maxDocFreq` (a stopword
+  *     trigram shared by millions of docs — the join-skew bomb: one such
+  *     key alone yields df^2 join rows) is dropped BEFORE any join or
+  *     signature. The cap is part of the operator's semantics and is
+  *     mirrored in the SQL oracles.
   *   - pairwise shingle Jaccard is quadratic in the worst case; it is
-  *     the small-scale oracle. The scale path is MinHash+LSH: the
-  *     shingle->signature reduction is a `groupBy(doc)` over portable
-  *     per-permutation min-hashes (map-side combined), the candidate
-  *     join is an equi-join on (band, bucket) — shuffle bounded by
-  *     collision count, not |docs|^2.
-  *   - hot shingles (stopword trigrams) are dropped before the pair
-  *     join via a document-frequency cap — the skew-salting analog for
-  *     similarity joins.
+  *     the small-scale oracle. The scale path is [[lshVerifiedPairs]]:
+  *     MinHash banding proposes candidates via an equi-join on
+  *     (band, bucket) — shuffle bounded by collision count, not
+  *     |docs|^2 — then exact Jaccard verifies ONLY the candidates.
+  *   - embedding near-dup joins only within banded sign-LSH buckets
+  *     (integer bucketing, see [[Similarity.bandBuckets]]); the all-pairs
+  *     form survives as [[embeddingNearDupsBrute]], the small-scale
+  *     recall oracle.
   */
 object Dedup {
 
   import TextOps.portableHash
+
+  /** Default document-frequency cap for shingles (see class note). */
+  val DefaultMaxDocFreq: Int = 1000
 
   /** Exact dedup: group on the normalized-content fingerprint, keep the
     * smallest doc_id as canonical.
@@ -53,20 +62,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Shingles with the document-frequency cap applied: shingles present
+    * in more than `maxDocFreq` documents are dropped. The hot set is by
+    * definition small (few shingles can exceed the cap), so the anti-join
+    * broadcasts.
+    */
+  def cappedShingles(df: DataFrame, n: Int = 3, textCol: String = "text",
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val sh = shingles(df, n, textCol)
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
   /** Pairwise n-gram Jaccard similarity (candidate pairs above the
-    * threshold). Exact but quadratic — the correctness oracle for the
-    * MinHash path; at scale run [[minhashCandidates]] first and this
-    * only on candidates.
+    * threshold), over the DF-capped shingle sets. Exact but quadratic —
+    * the correctness oracle for the MinHash path; at scale run
+    * [[lshVerifiedPairs]] instead.
     */
   def ngramJaccardPairs(
-      df: DataFrame, n: Int = 3, threshold: Double = 0.2, textCol: String = "text"
+      df: DataFrame, n: Int = 3, threshold: Double = 0.2, textCol: String = "text",
+      maxDocFreq: Int = DefaultMaxDocFreq
   ): DataFrame = {
-    val sh = shingles(df, n, textCol).cache()
+    val sh = cappedShingles(df, n, textCol, maxDocFreq).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, sizes, threshold)
+  }
+
+  private def jaccardOf(inter: DataFrame, sizes: DataFrame, threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -75,20 +104,29 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-  }
 
   /** Fixed MinHash permutation constants (a*h+b mod p over the portable
     * shingle hash). Literals so SQL oracles can reproduce them.
+    * k = MinhashA.size = 8 permutations; banding below pairs them into
+    * 4 bands of 2 rows.
     */
   val MinhashP: Long = 2147483647L
-  val MinhashA: Seq[Long] = Seq(1103515245L, 1299709L, 15485863L, 32452843L)
-  val MinhashB: Seq[Long] = Seq(12345L, 362437L, 104729L, 49979687L)
+  val MinhashA: Seq[Long] = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
+    179424673L, 413158511L, 961748927L, 982451653L)
+  val MinhashB: Seq[Long] = Seq(12345L, 362437L, 104729L, 49979687L,
+    15487469L, 32452867L, 67867967L, 86028121L)
 
-  /** MinHash signatures: k portable permutations, min over shingles.
-    * One `groupBy(doc_id)` with map-side partial min — skew-free.
+  /** Rows (signature components) per LSH band. */
+  val MinhashRowsPerBand: Int = 2
+  def minhashBands: Int = MinhashA.size / MinhashRowsPerBand
+
+  /** MinHash signatures: k portable permutations, min over the DF-capped
+    * shingles. One `groupBy(doc_id)` with map-side partial min —
+    * skew-free.
     */
-  def minhashSignatures(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
-    val sh = shingles(df, n, textCol)
+  def minhashSignatures(df: DataFrame, n: Int = 3, textCol: String = "text",
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val sh = cappedShingles(df, n, textCol, maxDocFreq)
       .withColumn("h", pmod(portableHash(col("shingle")), lit(MinhashP)))
     val aggs = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MinhashP))).as(s"s$i")
@@ -96,23 +134,46 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: 2 bands of 2 signature components each; candidate
-    * pairs = docs sharing any band bucket. The equi-join on
-    * (band, bucket) is the scale path — no quadratic pair enumeration.
+  /** LSH banding: `minhashBands` bands of `MinhashRowsPerBand` signature
+    * components each; candidate pairs = docs sharing any band bucket.
+    * The equi-join on (band, bucket) is the scale path — no quadratic
+    * pair enumeration.
     */
-  def minhashCandidates(df: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
-    val sig = minhashSignatures(df, n, textCol)
-    val banded = sig.select(col("doc_id"),
-        array(
-          struct(lit(0).as("band"), (col("s0") * 31 + col("s1")).as("bucket")),
-          struct(lit(1).as("band"), (col("s2") * 31 + col("s3")).as("bucket"))).as("bands"))
-      .select(col("doc_id"), explode(col("bands")).as("bb"))
+  def minhashCandidates(df: DataFrame, n: Int = 3, textCol: String = "text",
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val sig = minhashSignatures(df, n, textCol, maxDocFreq)
+    val bandStructs = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        (col(s"s${b * MinhashRowsPerBand}") * 31 +
+          col(s"s${b * MinhashRowsPerBand + 1}")).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The production near-dup shape: MinHash-banded candidate generation
+    * followed by exact Jaccard verification of ONLY the candidate pairs
+    * — never an all-pairs join. Each candidate pair's intersection is
+    * counted by an equi-join of the pair list against the two documents'
+    * capped shingle sets.
+    */
+  def lshVerifiedPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      textCol: String = "text", maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    val cand = minhashCandidates(df, n, textCol, maxDocFreq)
+    val sh = cappedShingles(df, n, textCol, maxDocFreq).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, sizes, threshold)
   }
 
   /** 16-bit SimHash: per-word portable hash, bitwise weighted vote.
@@ -133,11 +194,31 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** Embedding-cosine near-duplicate pairs. Brute pairwise at test
-    * scale; at scale, pre-bucket by a coarse quantizer (label / IVF
-    * cell / LSH signs) and join within buckets — see Similarity.
+  /** Embedding-cosine near-duplicate pairs, bucketed: candidates share
+    * at least one banded sign-LSH bucket (equi-join on (band, bucket) —
+    * never corpus x corpus), then exact cosine verifies. Bucketing is
+    * integer-exact (see [[Similarity]]), so oracles replay it.
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4,
+      bands: Int = 8, planesPerBand: Int = 3): DataFrame = {
+    val bb = Similarity.bandBuckets(emb, bands, planesPerBand)
+    val cand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos", Similarity.cosine(col("e_a"), col("e_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** All-pairs embedding near-dup — O(n^2), the small-scale recall
+    * oracle for [[embeddingNearDups]]. Never the scale path.
+    */
+  def embeddingNearDupsBrute(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.join(b, col("id_a") < col("id_b"))

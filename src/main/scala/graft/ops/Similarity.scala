@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, plus two bucketed
-  * scale paths (IVF by coarse label, sign-LSH by deterministic
-  * hyperplanes) that bound the join to within-bucket candidates.
+  * scale paths (IVF with a trained coarse quantizer, sign-LSH by
+  * deterministic hyperplanes) that bound the join to within-bucket
+  * candidates.
   *
-  * All math is `functions._` higher-order expressions (zip_with +
+  * Scoring math is `functions._` higher-order expressions (zip_with +
   * aggregate) in double precision, element order preserved — codegen'd
-  * and bit-deterministic, so SQL oracles can reproduce values exactly.
+  * and bit-deterministic. All BUCKETING decisions (LSH signs, k-means
+  * training, cell assignment) are computed in INTEGER arithmetic over
+  * quantized vectors: integer sums are order-insensitive and exact, so
+  * the same bucketing is bit-reproducible by any engine (the SQL
+  * oracles replay it) and across any partitioning/shuffle order —
+  * floating-point reduction-order drift can never flip a bucket.
   */
 object Similarity {
 
@@ -41,11 +47,11 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** IVF-style search with a precomputed coarse assignment (here the
-    * `label` column stands in for the nearest-centroid id): candidates
-    * are restricted to the query's cell, turning the cross join into a
-    * per-cell equi-join. At 10^10 scale: centroids from a sampled
-    * k-means, cells hash-partitioned, nprobe>1 = union of cells.
+  /** IVF-style search with a precomputed coarse assignment (the `label`
+    * column stands in for the nearest-centroid id): candidates are
+    * restricted to the query's cell, turning the cross join into a
+    * per-cell equi-join. [[ivfTrainedTopK]] is the full version with a
+    * trained quantizer and nprobe > 1.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cellCol: String = "label"): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -60,26 +66,64 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  // ---------------------------------------------------------------------
+  // Integer quantization — the shared basis of every bucketing decision
+  // ---------------------------------------------------------------------
+
+  /** Quantized embedding: round(v * 10000) per element, as long. */
+  def quantized(e: Column): Column =
+    transform(e, v => round(v.cast("double") * 10000).cast("long"))
+
+  /** Integer squared L2 distance between two quantized vectors. */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Integer floor division (both engines agree: subtract the
+    * non-negative remainder, then the division is exact).
+    */
+  private def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Sign-LSH
+  // ---------------------------------------------------------------------
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * in [-0.5, 0.5), derived from the portable hash so any engine can
-    * reproduce the bucketing.
+    * integer in [-500, 500), derived from the portable MD5 hash so any
+    * engine can reproduce the bucketing exactly.
     */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(TextOps.portableHash(concat_ws(":", lit(plane), dim)), lit(1000L))
-      .cast("double") / 1000.0) - 0.5
+    pmod(TextOps.portableHash(concat_ws(":", lit(plane), dim)), lit(1000L)) - 500L
 
-  /** Sign-LSH bucket id from `nPlanes` deterministic hyperplanes: bit i
-    * = sign of dot(embedding, plane_i). Vectors in the same bucket are
-    * near-duplicate candidates; search joins only within buckets.
+  /** Sign-LSH bucket id from `nPlanes` deterministic hyperplanes
+    * starting at `planeBase`: bit p = sign of the INTEGER dot product
+    * of the quantized embedding with plane (planeBase + p). Vectors in
+    * the same bucket are near-duplicate candidates; search joins only
+    * within buckets.
     */
-  def lshBucket(emb: Column, nPlanes: Int = 8): Column = {
+  def lshBucket(emb: Column, nPlanes: Int = 8, planeBase: Int = 0): Column = {
+    val q = quantized(emb)
     val bits = (0 until nPlanes).map { p =>
-      val s = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
-        (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val s = aggregate(
+        zip_with(q, sequence(lit(0), size(emb) - 1),
+          (x, i) => x * planeComponent(planeBase + p, i)),
+        lit(0L), (acc, v) => acc + v)
       when(s > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Banded sign-LSH: `bands` independent bucket ids per vector (band b
+    * uses planes [b*planesPerBand, (b+1)*planesPerBand)). Candidates =
+    * pairs sharing ANY band's bucket — OR-amplification raises recall
+    * while every join stays an equi-join on (band, bucket).
+    */
+  def bandBuckets(emb: DataFrame, bands: Int = 8, planesPerBand: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        lshBucket(col(embCol), planesPerBand, b * planesPerBand).as("bucket")))
+    emb.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Bucketed ANN: exact cosine ranking within sign-LSH buckets.
@@ -92,6 +136,85 @@ object Similarity {
     val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       lshBucket(col("embedding"), nPlanes).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF with a trained coarse quantizer
+  // ---------------------------------------------------------------------
+
+  /** Deterministic IVF coarse-quantizer training: Lloyd's k-means over
+    * QUANTIZED vectors with integer sums, floor-division centroid
+    * updates and lowest-cid tie-breaks — every step is order-insensitive
+    * and integer-exact, so training is bit-reproducible across engines
+    * and partitionings. Trains on a deterministic sample
+    * (vec_id % sampleMod == 0); init = the k lowest-vec_id samples.
+    * Returns (cid, c: array<long>) — k rows.
+    *
+    * At 10^10 scale the sample (not the corpus) bounds training cost;
+    * assignment of the full corpus is a shuffle-free projection against
+    * the k collected centroids (see [[ivfTrainedTopK]]).
+    */
+  def trainIvfCentroids(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      sampleMod: Int = 4): DataFrame = {
+    val sample = corpus
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    val wInit = Window.orderBy(col("vec_id")) // k rows — single partition is fine
+    var centroids = sample.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(wInit) - 1).as("cid"), col("q").as("c"))
+    for (_ <- 0 until iters) {
+      val assigned = sample.crossJoin(broadcast(centroids))
+        .withColumn("__d", l2(col("q"), col("c")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"),
+          first(col("q")).as("q"))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => fdiv(x.getField("s"), x.getField("n"))).as("cNew"))
+      // a cell that lost all members keeps its previous centroid
+      centroids = centroids.join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cNew"), col("c")).as("c"))
+    }
+    centroids
+  }
+
+  /** Full IVF search: train centroids (sampled integer k-means), assign
+    * the corpus to cells via a SHUFFLE-FREE projection against the k
+    * collected centroids (k rows of model state — the broadcast-dict
+    * pattern), probe each query's `nprobe` nearest cells, rank by exact
+    * cosine within the probed cells. The only corpus-wide operations are
+    * one projection and one equi-join against the tiny probe set.
+    */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      kCells: Int = 8, nprobe: Int = 2, iters: Int = 2, sampleMod: Int = 4): DataFrame = {
+    val cents: Array[(Int, Seq[Long])] =
+      trainIvfCentroids(corpus, kCells, iters, sampleMod).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .sortBy(_._1)
+    def distStructs(q: Column): Seq[Column] = cents.map { case (cid, c) =>
+      struct(l2(q, typedLit(c)).as("d"), lit(cid).as("cid"))
+    }.toSeq
+    // nearest cell = lexicographic least of (distance, cid) structs
+    def cellOf(q: Column): Column = least(distStructs(q): _*).getField("cid")
+    // nprobe nearest cells = sorted prefix of the same structs
+    def probesOf(q: Column, n: Int): Column =
+      transform(slice(array_sort(array(distStructs(q): _*)), 1, n), x => x.getField("cid"))
+
+    val corpusCells = corpus.select(col("vec_id"), col("embedding"),
+      cellOf(quantized(col("embedding"))).as("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probesOf(quantized(col("embedding")), nprobe)).as("cell"))
+    val scored = corpusCells.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))

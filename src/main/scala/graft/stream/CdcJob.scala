@@ -92,14 +92,23 @@ object CdcJob {
       .withColumn(IceLite.TOMB, lit(false))
       .withColumn("__bucket", pmod(hash(col(cfg.keyCol)), lit(cfg.numBuckets)))
     val commitRel = "data/base-snapshot"
+    // row count observed ON the write — a 100 TB initial snapshot must be
+    // exactly ONE pass over the source, never a second count scan
+    val obs = org.apache.spark.sql.Observation()
     if (cfg.snapshotMode != SnapshotMode.NoData) {
-      rows.write.mode("overwrite").partitionBy("__bucket")
+      rows.observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").partitionBy("__bucket")
         .parquet(s"${cfg.tableRoot}/$commitRel")
     }
     val files =
       if (cfg.snapshotMode == SnapshotMode.NoData) Map.empty[Int, Seq[String]]
       else IceLite.listCommittedFiles(cfg.tableRoot, commitRel)
-    val nRows = if (cfg.snapshotMode == SnapshotMode.NoData) 0L else source.count()
+    val nRows =
+      if (cfg.snapshotMode == SnapshotMode.NoData) 0L
+      else obs.get.get("n") match {
+        case Some(v: java.lang.Number) => v.longValue()
+        case _ => -1L
+      }
     val next = snap.copy(
       snapshotId = snap.snapshotId + 1,
       parentId = snap.snapshotId,
@@ -131,25 +140,78 @@ object CdcJob {
     }
   }
 
-  /** One micro-batch: raw log records -> committed events -> MERGE.
-    *
-    * The before-image is only ever consulted for the merge KEY (deletes
-    * carry the key in `before`), so it is pruned to that single nested
-    * field right above the scan — the parquet reader then decodes just
-    * the `before.<key>` leaf instead of the whole struct, and the
-    * assembly shuffle never carries dead before-image payload.
+  /** R4 — offset validation on restart
+    * (`InformixConnection.java:105-120`): the resume point (max of the
+    * applied watermark and the snapshot pin) must cover everything the
+    * log may have garbage-collected. Events with lsn < minRetainedLsn
+    * can no longer be read, so they must all already be applied or
+    * covered by the snapshot pin: resume >= minRetainedLsn - 1.
     */
+  def validateRestartOffset(table: IceLiteTable, cfg: CdcConfig): Boolean = {
+    val sm = table.refresh().summary
+    val resume = math.max(sm.watermarkCommit, sm.floorCommit)
+    resume >= LogRetention.minRetainedLsn(cfg.logDir) - 1
+  }
+
+  /** R4 enforcement at stream start: when the checkpointed offset
+    * predates the retained log, either run an automatic blocking
+    * re-snapshot from a CURRENT consistent source view (snapshot modes
+    * when_needed/always — the reference's `when_needed` contract) or
+    * refuse to stream (all other modes), exactly like the reference
+    * refuses when `restartLsn < minAvailableLsn`.
+    *
+    * @param currentSource a consistent view of the source as of pinLsn
+    *                      (it must reflect every GC'd event)
+    */
+  def validateOrResnapshot(table: IceLiteTable, cfg: CdcConfig,
+      currentSource: => DataFrame, pinLsn: => Long): Boolean = {
+    if (validateRestartOffset(table, cfg)) false
+    else cfg.snapshotMode match {
+      case SnapshotMode.WhenNeeded | SnapshotMode.Always =>
+        // reconciling snapshot: upserts AND tombstones for keys whose
+        // deletes fell into the GC'd gap — state-complete recovery
+        IncrementalSnapshot.reconcile(table, currentSource, pinLsn)
+        true
+      case _ =>
+        val sm = table.current.summary
+        throw new IllegalStateException(
+          s"restart offset (watermark=${sm.watermarkCommit}, pin=${sm.floorCommit}) predates " +
+            s"the log's min retained LSN ${LogRetention.minRetainedLsn(cfg.logDir)}: events were " +
+            "garbage-collected before they were applied. Re-snapshot required " +
+            "(snapshot mode when_needed re-snapshots automatically).")
+    }
+  }
+
   /** Apply F3 column transforms to the after image, preserving nullity
-    * of the struct itself.
+    * of the struct itself and of each field (mask never materializes a
+    * value where the source had NULL). Transforms target STRING columns
+    * only — rewriting a non-string field to a string would make the
+    * delta parquet's physical type conflict with the table schema and
+    * corrupt every later read, so that is rejected up front.
     */
   def transformAfter(df: DataFrame, transforms: Map[String, String]): DataFrame = {
     if (transforms.isEmpty) return df
     val afterType = df.schema("after").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    transforms.keys.foreach { name =>
+      afterType.fields.find(_.name == name) match {
+        case None =>
+          throw new IllegalArgumentException(
+            s"column transform targets unknown column '$name' (after-image fields: " +
+              afterType.fieldNames.mkString(", ") + ")")
+        case Some(f) if f.dataType != org.apache.spark.sql.types.StringType =>
+          throw new IllegalArgumentException(
+            s"column transform '${transforms(name)}' targets non-string column " +
+              s"'$name: ${f.dataType.simpleString}' — mask/hash/truncate are defined " +
+              "for string columns only (reference: Debezium column.mask/truncate SMTs)")
+        case _ => ()
+      }
+    }
     val rebuilt = struct(afterType.fields.map { f =>
       val c = col("after").getField(f.name)
       (transforms.get(f.name) match {
         case Some(spec) if spec.startsWith("mask:") =>
-          lit("*" * spec.stripPrefix("mask:").toInt)
+          when(c.isNull, lit(null).cast("string"))
+            .otherwise(lit("*" * spec.stripPrefix("mask:").toInt))
         case Some(spec) if spec.startsWith("sha256:") =>
           sha2(concat(lit(spec.stripPrefix("sha256:")), c.cast("string")), 256)
         case Some(spec) if spec.startsWith("truncate:") =>
@@ -162,13 +224,20 @@ object CdcJob {
       when(col("after").isNull, lit(null).cast(rebuiltType)).otherwise(rebuilt))
   }
 
-  def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long,
-      broadcastAssembly: Boolean = false,
-      tableInclude: Option[Seq[String]] = None,
-      columnTransforms: Map[String, String] = Map.empty,
-      txCarryover: Boolean = false): MergeApply.MergeStats = {
-    val spark = rawBatch.sparkSession
-    val keyCol = table.current.keyCol
+  /** The shared raw-record preparation pipeline (F1 filter, before-image
+    * pruning, PK-changing-update normalization, F3 transforms) — every
+    * ingest path (micro-batch, deterministic runner, stateful assembly)
+    * MUST go through this so configured privacy transforms and table
+    * filters are never silently skipped.
+    *
+    * @param prune project the before image down to the merge key (the
+    *              only field the engine consults); leave false when the
+    *              caller needs full typed LogRecord rows (stateful path)
+    */
+  def prepareRaw(rawBatch: DataFrame, keyCol: String,
+      tableInclude: Option[Seq[String]],
+      columnTransforms: Map[String, String],
+      prune: Boolean = true): DataFrame = {
     // F1 table filter: keep control records (they close transactions for
     // every table) and data ops of captured tables only; sys* always out
     val filtered0 = rawBatch.where(!col("table").startsWith("sys"))
@@ -177,10 +246,16 @@ object CdcJob {
         col("op").isin("B", "C", "R", "D") || col("table").isin(incl.map(x => x: Any): _*))
       case None => filtered0
     }
-    val pruned = filtered.select(
-      col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
-      col("table"), col("after"),
-      struct(col("before").getField(keyCol).as(keyCol)).as("before"))
+    // The before-image is only ever consulted for the merge KEY (deletes
+    // carry the key in `before`), so the engine path prunes it to that
+    // single nested field right above the scan — the parquet reader then
+    // decodes just the `before.<key>` leaf.
+    val pruned =
+      if (!prune) filtered
+      else filtered.select(
+        col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
+        col("table"), col("after"),
+        struct(col("before").getField(keyCol).as(keyCol)).as("before"))
     // PK-changing update -> delete(old key) + insert(new key), matching
     // the reference's envelope contract (a primary-key update arrives as
     // delete+tombstone+insert, `InformixConnectorIT.java:257-352`).
@@ -200,7 +275,17 @@ object CdcJob {
       .withColumn("before", when(col("__pk") && col("op") === "c",
         lit(null).cast(pruned.schema("before").dataType)).otherwise(col("before")))
       .drop("__pk")
-    val transformed = transformAfter(normalized, columnTransforms - keyCol)
+    transformAfter(normalized, columnTransforms - keyCol)
+  }
+
+  def processBatch(table: IceLiteTable, rawBatch: DataFrame, batchId: Long,
+      broadcastAssembly: Boolean = false,
+      tableInclude: Option[Seq[String]] = None,
+      columnTransforms: Map[String, String] = Map.empty,
+      txCarryover: Boolean = false): MergeApply.MergeStats = {
+    val spark = rawBatch.sparkSession
+    val keyCol = table.current.keyCol
+    val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms)
 
     val input =
       if (!txCarryover) transformed
@@ -256,6 +341,17 @@ object CdcJob {
       cfg: CdcConfig,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
+    // R4: refuse to stream over a retention gap — silent corruption
+    // otherwise. Callers with a current consistent source view call
+    // validateOrResnapshot first (when_needed auto-resnapshots there).
+    if (!validateRestartOffset(table, cfg)) {
+      val sm = table.current.summary
+      throw new IllegalStateException(
+        s"restart offset (watermark=${sm.watermarkCommit}, pin=${sm.floorCommit}) predates " +
+          s"the log's min retained LSN ${LogRetention.minRetainedLsn(cfg.logDir)}: events were " +
+          "garbage-collected before they were applied — call validateOrResnapshot with a " +
+          "current source view (snapshot mode when_needed re-snapshots automatically)")
+    }
     graft.plans.LwwMaxBy.register(spark) // clone sessions inherit the registry
     spark.readStream
       .schema(LogRecord.schema)
@@ -292,6 +388,10 @@ object CdcJob {
       filesPerBatch: Int,
       stopAfterBatches: Int = Int.MaxValue
   ): Seq[MergeApply.MergeStats] = {
+    if (!validateRestartOffset(table, cfg))
+      throw new IllegalStateException(
+        "restart offset predates the log's min retained LSN — call validateOrResnapshot " +
+          "with a current source view (snapshot mode when_needed re-snapshots automatically)")
     val files = graft.util.Fs.listParquet(cfg.logDir).sorted
     val chunks = files.grouped(filesPerBatch).toSeq
     val from = table.refresh().summary.lastBatchId + 1

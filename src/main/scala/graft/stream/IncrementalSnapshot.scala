@@ -64,16 +64,26 @@ object IncrementalSnapshot {
       betweenChunks: Int => Unit = _ => ()
   ): Seq[MergeApply.MergeStats] = {
     val keyCol = tbl.current.keyCol
-    (0 until nChunks).map { i =>
+    // E7 notifications: progress events mirroring the reference's
+    // snapshot-progress channel (STARTED / IN_PROGRESS per chunk /
+    // COMPLETED — `NotificationsIT.java:25-80`)
+    tbl.appendNotification("Incremental Snapshot", "STARTED",
+      s"pinLsn=$pinLsn chunks=$nChunks")
+    val out = (0 until nChunks).map { i =>
       val chunk = source.where(pmod(hash(col(keyCol)), lit(nChunks)) === i)
       // snapshot chunks ride their own idempotency channel so their ids
       // can never collide with (and never block) stream batch ids
       val batchId = tbl.refresh().summary.lastSignalBatchId + 1
       val stats = MergeApply.applyBatch(tbl, asChangeEvents(chunk, pinLsn), batchId,
         signalChannel = true)
+      tbl.appendNotification("Incremental Snapshot", "IN_PROGRESS",
+        s"chunk=${i + 1}/$nChunks rows=${stats.upserts}")
       betweenChunks(i)
       stats
     }
+    tbl.appendNotification("Incremental Snapshot", "COMPLETED",
+      s"pinLsn=$pinLsn chunks=$nChunks rows=${out.map(_.upserts).sum}")
+    out
   }
 
   /** Blocking (on-demand) snapshot — N3: one chunk, stream paused by the
@@ -81,4 +91,39 @@ object IncrementalSnapshot {
     */
   def blocking(tbl: IceLiteTable, source: DataFrame, pinLsn: Long): MergeApply.MergeStats =
     run(tbl, source, pinLsn, nChunks = 1).head
+
+  /** Reconciling snapshot — the R4 recovery path: after a retention gap
+    * the table may hold rows whose DELETE events were garbage-collected,
+    * so a plain re-snapshot (upserts only) cannot converge. This variant
+    * additionally emits tombstones at the pin version for every key
+    * present in the table but absent from the consistent source view —
+    * one anti-join over the table, making recovery state-complete.
+    */
+  def reconcile(tbl: IceLiteTable, source: DataFrame, pinLsn: Long): MergeApply.MergeStats = {
+    val keyCol = tbl.current.keyCol
+    val structType = org.apache.spark.sql.types.StructType(source.schema.fields)
+    val missing = tbl.read().select(col(keyCol))
+      .join(source.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // the before image carries the full source struct shape (key set,
+    // rest null) so the union is exact
+    val beforeFull = struct(structType.fields.map(f =>
+      (if (f.name == keyCol) col(keyCol) else lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
+    val deletes = missing.select(
+      lit(pinLsn).as("commit_lsn"),
+      lit(Long.MaxValue).as("change_lsn"),
+      lit(pinLsn).as("begin_lsn"),
+      lit(-1L).as("tx_id"),
+      lit("d").as("op"),
+      lit("snapshot").as("table"),
+      beforeFull.as("before"),
+      lit(null).cast(structType).as("after"),
+      lit(0L).as("ts_ms"))
+    val events = asChangeEvents(source, pinLsn).unionByName(deletes)
+    tbl.appendNotification("Blocking Snapshot", "STARTED", s"reconcile pinLsn=$pinLsn")
+    val batchId = tbl.refresh().summary.lastSignalBatchId + 1
+    val stats = MergeApply.applyBatch(tbl, events, batchId, signalChannel = true)
+    tbl.appendNotification("Blocking Snapshot", "COMPLETED",
+      s"reconcile pinLsn=$pinLsn rows=${stats.upserts} deletes=${stats.deletes}")
+    stats
+  }
 }

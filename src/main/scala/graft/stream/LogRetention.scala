@@ -1,0 +1,62 @@
+package graft.stream
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Change-log retention — the engine-side half of R4.
+  *
+  * The reference can ask the server for the oldest retained log position
+  * and refuses to stream from an offset older than that
+  * (`InformixConnection.java:105-120`). For a file-based change log the
+  * equivalent server state is a retention marker maintained by whoever
+  * garbage-collects old segments: `_retention.json` carries
+  * `minRetainedLsn` = every record with lsn < minRetainedLsn may have
+  * been deleted.
+  */
+object LogRetention {
+
+  private val mapper = new ObjectMapper()
+
+  private def markerPath(logDir: String) = Paths.get(logDir, "_retention.json")
+
+  /** Min retained LSN of the log (0 when never truncated). */
+  def minRetainedLsn(logDir: String): Long = {
+    val p = markerPath(logDir)
+    if (!Files.exists(p)) 0L
+    else mapper.readTree(Files.readAllBytes(p)).get("minRetainedLsn").asLong()
+  }
+
+  /** Garbage-collect log segments fully below `beforeLsn` (every record
+    * in the file has lsn < beforeLsn) and advance the retention marker.
+    * Returns the number of deleted segment files.
+    */
+  def truncate(spark: SparkSession, logDir: String, beforeLsn: Long): Int = {
+    val files = graft.util.Fs.listParquet(logDir)
+    if (files.isEmpty) return 0
+    val maxPerFile = spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(max(col("lsn")).as("maxLsn"))
+      .collect()
+    var deleted = 0
+    maxPerFile.foreach { r =>
+      if (r.getLong(1) < beforeLsn) {
+        // input_file_name yields a URI; strip the scheme for local paths
+        val raw = r.getString(0)
+        val path = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
+        if (Files.deleteIfExists(Paths.get(path))) deleted += 1
+      }
+    }
+    val floor = math.max(beforeLsn, minRetainedLsn(logDir))
+    val n = mapper.createObjectNode()
+    n.put("minRetainedLsn", floor)
+    val tmp = Paths.get(logDir, s".retention-${java.util.UUID.randomUUID()}.json")
+    Files.write(tmp, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, markerPath(logDir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    deleted
+  }
+}

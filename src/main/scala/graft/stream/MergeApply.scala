@@ -49,11 +49,14 @@ import org.apache.spark.sql.types._
   *     table size. Readers resolve key -> max-version row; per-bucket
   *     compaction (threshold `maxDeltaChain`) bounds read amplification
   *     at amortized O(table/threshold) write cost.
-  *   - batch statistics, the watermark advance and lineage rows come
-  *     from a column-pruned scan of the just-written delta files (the
-  *     stat columns __op/__cnt/__minc/__trunc ride along in the parquet
-  *     but are outside the table schema) — the payload is never read
-  *     back, so the stats job is near-free.
+  *   - batch statistics, the watermark advance AND the per-bucket
+  *     lineage rows are observed DURING the write (CollectMetrics for
+  *     the global stats, a per-bucket AccumulatorV2 for lineage) — no
+  *     post-commit job, no second pass, no extra stage barrier. The
+  *     only serial per-batch work left is the O(buckets) snapshot-JSON
+  *     commit and a driver-local lineage append, which is what lets
+  *     throughput scale with cores (Amdahl) and, on a cluster, with
+  *     executors.
   */
 object MergeApply {
 
@@ -74,7 +77,7 @@ object MergeApply {
   var maxDeltaChain: Int = 8
 
   /** Print per-phase wall times (diagnostics only). */
-  var debugTiming: Boolean = false
+  var debugTiming: Boolean = sys.env.get("GRAFT_DEBUG_TIMING").exists(_.toBoolean)
   @inline private def phase[T](t0: Long, label: String)(f: => T): T = {
     val s0 = System.nanoTime(); val r = f
     if (debugTiming)
@@ -189,12 +192,26 @@ object MergeApply {
       when(col("__op") === "d", if (f.name == keyCol) col("__key") else lit(null).cast(f.dataType))
         .otherwise(v).as(f.name)
     }
+    // Per-bucket lineage statistics accumulate DURING this same job via a
+    // nondeterministic-marked identity UDF on the bucket column (one call
+    // per deduped key row, after the aggregation) — replaces the former
+    // post-commit readback job, which was a pure serial ~0.3-2s/batch tax
+    // that Amdahl-capped scaling.
+    val acc = new BucketStatsAcc
+    spark.sparkContext.register(acc, s"graft.bucketStats.$batchId")
+    val statsUdf = udf((bucket: Int, skip: Boolean, cnt: Long, isDel: Boolean,
+        minc: Long, vc: Long, vl: Long) => {
+      if (!skip) acc.add((bucket, cnt, isDel, minc, vc, vl))
+      bucket
+    }).asNondeterministic()
     val deltaRows = last0.select(
       (changeCols ++ Seq(
         col("__cvc").as(VC), col("__cvl").as(VL), (col("__op") === "d").as(TOMB),
         col("__op"), col("__trunc"), col("__cnt"), col("__minc"))): _*)
-      .withColumn("__bucket",
-        coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)))
+      .withColumn("__bucket", statsUdf(
+        coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)),
+        col(keyCol).isNull, col("__cnt"), col("__op") === "d",
+        col("__minc"), col(VC), col(VL)))
 
     // batch statistics are observed DURING the write (CollectMetrics on
     // the write plan) — no separate stats pass blocks the commit
@@ -208,14 +225,20 @@ object MergeApply {
       max(struct(col(VC), col(VL))).as("max_pos"),
       max(col("__trunc")).as("trunc_pos"))
 
+    // The delta directory is unique PER ATTEMPT (not just per batch): a
+    // zombie driver reprocessing the same batch can therefore never
+    // overwrite the data files a just-committed snapshot references —
+    // only the attempt that wins the snapshot commit publishes its files;
+    // a loser's directory is unreferenced garbage (GC'd by Maintenance).
     val channelTag = if (signalChannel) "sig-" else ""
-    val commitRel = f"data/delta-$channelTag$batchId%08d"
+    val attemptTag = java.util.UUID.randomUUID().toString.take(8)
+    val commitRel = f"data/delta-$channelTag$batchId%08d-$attemptTag"
     phase(t0, "job1-dedup-write")(
       observed.write.mode("overwrite").partitionBy("__bucket")
         .parquet(table.dataPath(commitRel)))
-    val written = IceLite.listCommittedFiles(table.root, commitRel)
+    val written = phase(t0, "list-files")(IceLite.listCommittedFiles(table.root, commitRel))
 
-    val m = obs.get
+    val m = phase(t0, "obs-get")(obs.get)
     def mLong(k: String, dflt: Long): Long = m.get(k) match {
       case Some(v: java.lang.Long) => v
       case Some(v: java.lang.Number) => v.longValue()
@@ -256,6 +279,11 @@ object MergeApply {
     val toCompact: Seq[Int] = written.keys.toSeq.filter { b =>
       cur0.deltas.getOrElse(b, Nil).size + written.getOrElse(b, Nil).size >= maxDeltaChain
     }
+    // record the exact pre-existing file set each compaction folds, so
+    // the commit can detect a concurrent writer changing those buckets
+    // underneath us and fall back to a written-only commit for them
+    val compactInputs: Map[Int, Set[String]] = toCompact.map(b =>
+      b -> (cur0.base.getOrElse(b, Nil) ++ cur0.deltas.getOrElse(b, Nil)).toSet).toMap
     val compacted: Map[Int, Seq[String]] =
       if (toCompact.isEmpty) Map.empty
       else phase(t0, "compact") {
@@ -269,7 +297,7 @@ object MergeApply {
           .agg(expr(s"lww_max_by($payloadSql, `$VC`, `$VL`)").as("w"))
           .select(col("w.*"))
           .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
-        val compactRel = f"data/base-$channelTag$batchId%08d"
+        val compactRel = f"data/base-$channelTag$batchId%08d-$attemptTag"
         folded.repartition(math.max(1, math.min(toCompact.size,
           spark.sparkContext.defaultParallelism)), col("__bucket"))
           .write.mode("overwrite").partitionBy("__bucket")
@@ -279,10 +307,18 @@ object MergeApply {
 
     // ---- snapshot commit (atomic, idempotent, optimistic retry) ----
     var snapId = -1L
-    val committed = commitWithRetry(table, batchId, signalChannel) { cur =>
-      val nb = cur.base ++ compacted
+    val committed = phase(t0, "commit")(commitWithRetry(table, batchId, signalChannel) { cur =>
+      // a compaction result is only publishable for buckets whose file
+      // set is still exactly what it folded; a concurrent commit that
+      // touched a bucket invalidates the fold for that bucket (its
+      // output would silently drop the other writer's rows)
+      val safeCompacted = compacted.filter { case (b, _) =>
+        (cur.base.getOrElse(b, Nil) ++ cur.deltas.getOrElse(b, Nil)).toSet ==
+          compactInputs.getOrElse(b, Set.empty[String])
+      }
+      val nb = cur.base ++ safeCompacted
       val nd = (cur.deltas.keySet ++ written.keySet).map { b =>
-        b -> (if (compacted.contains(b)) Seq.empty[String]
+        b -> (if (safeCompacted.contains(b)) Seq.empty[String]
               else cur.deltas.getOrElse(b, Nil) ++ written.getOrElse(b, Nil))
       }.toMap.filter(_._2.nonEmpty)
       val note =
@@ -301,32 +337,18 @@ object MergeApply {
           lsnLoOut, lsnHi, nUpserts, nDel, note))
       snapId = s.snapshotId
       s
-    }
+    })
 
-    // ---- job 2 (post-commit): per-bucket lineage rows (E5/E6) from a
-    // column-pruned scan of the written deltas (payload never re-read) ----
+    // ---- per-bucket lineage rows (E5/E6), zero extra Spark jobs: the
+    // statistics were accumulated inside the write job; the rows are a
+    // driver-local JSONL append (the payload is never re-read) ----
     val latencyMs = (System.nanoTime() - t0) / 1000000L
     if (committed && written.nonEmpty) {
-      val statSchema = StructType(Seq(
-        StructField(keyCol, newSchema(keyCol).dataType),
-        StructField(VC, LongType),
-        StructField("__op", StringType),
-        StructField("__cnt", LongType), StructField("__minc", LongType)))
-      val lineage = spark.read.schema(statSchema)
-        .parquet(written.values.flatten.map(table.dataPath).toSeq: _*)
-        .coalesce(8) // narrow columns only; avoid one task per delta file
-        .where(col(keyCol).isNotNull)
-        .groupBy(coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)).as("bucket"))
-        .agg(sum(col("__cnt")).as("event_count"),
-          sum(when(col("__op") === "d", 1L).otherwise(0L)).as("deleted_keys"),
-          min(col("__minc")).as("lsn_lo"),
-          max(col(VC)).as("lsn_hi"))
-        .withColumn("batch_id", lit(batchId))
-        .withColumn("snapshot_id", lit(snapId))
-        .withColumn("apply_latency_ms", lit(latencyMs))
-        .withColumn("committed_at_ms", lit(System.currentTimeMillis()))
-        .coalesce(1)
-      phase(t0, "job2-lineage")(table.appendLineage(lineage))
+      val rows = acc.value.toSeq.sortBy(_._1).map { case (b, st) =>
+        IceLite.LineageRow(b, st.events, st.deletes, st.keys, st.lsnLo, st.hiCommit,
+          batchId, snapId, latencyMs, System.currentTimeMillis())
+      }
+      phase(t0, "lineage")(table.appendLineageRows(rows))
     }
 
     MergeStats(batchId, committed, alreadyApplied = !committed,

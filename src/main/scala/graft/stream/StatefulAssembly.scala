@@ -78,7 +78,11 @@ object StatefulAssembly {
   }
 
   /** Full stateful pipeline: tail the log, assemble transactions in the
-    * state store, MERGE each emitted micro-batch.
+    * state store, MERGE each emitted micro-batch. Raw records go through
+    * the SAME prepare pipeline as the micro-batch path (F1 table filter
+    * incl. sys* exclusion, PK-changing-update normalization, F3
+    * masking/hash transforms) — configured privacy controls apply on
+    * every ingest path.
     */
   def stream(
       spark: SparkSession,
@@ -88,10 +92,13 @@ object StatefulAssembly {
   ): StreamingQuery = {
     import spark.implicits._
     graft.plans.LwwMaxBy.register(spark)
-    val raw = spark.readStream
-      .schema(LogRecord.schema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .parquet(cfg.logDir)
+    val keyCol = table.current.keyCol
+    val raw = CdcJob.prepareRaw(
+      spark.readStream
+        .schema(LogRecord.schema)
+        .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+        .parquet(cfg.logDir),
+      keyCol, cfg.tableInclude, cfg.columnTransforms, prune = false)
       .as[LogRecord]
     assemble(raw).toDF()
       .writeStream
@@ -99,6 +106,7 @@ object StatefulAssembly {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (events: DataFrame, batchId: Long) =>
+        cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         MergeApply.applyBatch(table, events, batchId); ()
       }
       .start()

@@ -75,7 +75,7 @@ object Demo {
     println(s"== PROBE time-travel to v1 rows: ${table.readAt(1L).count()} (initial=${cfg.nDocs})")
 
     // probe 4: lineage emitted
-    val lineage = spark.read.parquet(table.lineagePath)
+    val lineage = table.readLineage()
     println(s"== lineage rows: ${lineage.count()}")
     lineage.orderBy("batch_id", "bucket").show(5)
 

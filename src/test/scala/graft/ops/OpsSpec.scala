@@ -83,6 +83,69 @@ class OpsSpec extends SparkSpec {
     assert(b1.values.toSet.size > 1, "hyperplanes should split the corpus")
   }
 
+  test("shingle DF cap: hot shingles are dropped before any pair join") {
+    import spark.implicits._
+    // every doc shares the hot trigram "aaa bbb ccc"; pairs 1-2 also share real content
+    val corpus = Seq(
+      (1L, "aaa bbb ccc unique one text body here padding words extra"),
+      (2L, "aaa bbb ccc unique one text body here padding words other"),
+      (3L, "aaa bbb ccc totally different third document body content x"),
+      (4L, "aaa bbb ccc nothing shared with anyone else at all y")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.cappedShingles(corpus, maxDocFreq = 3).collect().map(_.getString(0)).toSet
+    assert(!capped.contains("aaa bbb ccc"), "hot shingle must be dropped")
+    assert(capped.nonEmpty)
+    // with the cap, docs 3/4 share NOTHING -> no pair; 1/2 still found
+    val pairs = Dedup.ngramJaccardPairs(corpus, threshold = 0.2, maxDocFreq = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("lshVerifiedPairs: candidates-only verification matches the exact pair set on near-dups") {
+    val exact = Dedup.ngramJaccardPairs(dupFixture, threshold = 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.lshVerifiedPairs(dupFixture, threshold = 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(exact), s"verified pairs must be exact-true: ${verified -- exact}")
+    assert(verified.contains((1L, 2L))) // identical docs always collide in every band
+  }
+
+  test("banded embedding near-dup: no cartesian in the plan; recall vs brute measured") {
+    val banded = Dedup.embeddingNearDups(embs)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "bucketed near-dup must never plan a corpus x corpus join")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.embeddingNearDupsBrute(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want), "banded pairs must be true pairs (exact cosine verify)")
+    // 8 bands x 3 planes at threshold 0.4 -> expect most true pairs found
+    if (want.nonEmpty) {
+      val recall = got.size.toDouble / want.size
+      info(f"banded near-dup recall vs brute: $recall%.2f (${got.size}/${want.size})")
+      assert(recall >= 0.5, f"recall collapsed: $recall%.2f")
+    }
+  }
+
+  test("trained IVF: deterministic training, no cartesian over the corpus, recall vs brute") {
+    val q = embs.where(col("vec_id") < 10)
+    val res1 = Similarity.ivfTrainedTopK(embs, q, k = 3).collect()
+    val res2 = Similarity.ivfTrainedTopK(embs, q, k = 3).collect()
+    assert(res1.map(_.toString).sorted.sameElements(res2.map(_.toString).sorted))
+    assert(res1.length == 30) // 10 queries x k (cells hold >> k vectors)
+    val brute = Similarity.bruteForceTopK(embs, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val trained = res1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = trained.intersect(brute).size.toDouble / brute.size
+    info(f"ivf nprobe=2 recall@3 vs brute: $recall%.2f")
+    assert(recall >= 0.3, f"recall collapsed: $recall%.2f")
+    // centroid training is the only corpus aggregation; search is an
+    // equi-join against probed cells
+    val plan = Similarity.ivfTrainedTopK(embs, q, k = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("text ops: token counts, quality in [0,1], langid over markers, stable fingerprint") {
     val tc = TextOps.tokenCounts(docs).collect()
     tc.foreach { r => assert(r.getInt(1) > 0 && r.getInt(2) >= r.getInt(1) - 1) }

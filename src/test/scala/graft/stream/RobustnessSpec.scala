@@ -116,6 +116,77 @@ class RobustnessSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("R4: restart over a GC'd log gap refuses to stream; when_needed reconciles to oracle") {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 200, nDocs = 120, seed = 71)
+    val base = Fs.tempDir("graft-r4")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 8)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    // apply the first 2 of 8 segments, then a long outage
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1, stopAfterBatches = 2)
+    val wm = table.refresh().summary.watermarkCommit
+    assert(CdcJob.validateRestartOffset(table, cdc)) // still fine
+
+    // log GC truncates PAST the watermark: events in (wm, gcLsn) are lost
+    val allLog = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
+    val maxLsn = allLog.map(_.lsn).max
+    val gcLsn = wm + (maxLsn - wm) / 2
+    assert(LogRetention.truncate(spark, cdc.logDir, gcLsn) > 0, "no segments were GC'd")
+    assert(LogRetention.minRetainedLsn(cdc.logDir) == gcLsn)
+    assert(!CdcJob.validateRestartOffset(table, cdc))
+
+    // default mode: refuses (silent gap = corruption)
+    val ex = intercept[IllegalStateException] {
+      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    }
+    assert(ex.getMessage.contains("min retained LSN"))
+
+    // when_needed: automatic reconciling re-snapshot from a CURRENT
+    // consistent view (= the oracle's end state at pin maxLsn), then
+    // applying the retained (older) segments is a version no-op
+    val want = oracle(cfg)
+    val sourceNow = want.values.toSeq.toDS().toDF()
+    val did = CdcJob.validateOrResnapshot(table, cdc.copy(snapshotMode = SnapshotMode.WhenNeeded),
+      sourceNow, maxLsn)
+    assert(did)
+    assert(CdcJob.validateRestartOffset(table, cdc))
+    // retained segments re-deliver: all at or below the pin -> no-ops
+    Fs.listParquet(cdc.logDir).sorted.zipWithIndex.foreach { case (f, i) =>
+      CdcJob.processBatch(table,
+        spark.read.schema(LogRecord.schema).parquet(f), 1000L + i)
+    }
+    assertEqual(cdc.tableRoot, want)
+    // E7 notifications were emitted for the recovery snapshot
+    val notes = graft.icelite.IceLite.load(spark, cdc.tableRoot).readNotifications()
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(notes.contains(("Blocking Snapshot", "STARTED")))
+    assert(notes.contains(("Blocking Snapshot", "COMPLETED")))
+    Fs.deleteRecursively(base)
+  }
+
+  test("E7 notifications: incremental snapshot emits STARTED/IN_PROGRESS/COMPLETED") {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 30, nDocs = 40, seed = 73)
+    val base = Fs.tempDir("graft-notif")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 1)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val want = oracle(cfg)
+    IncrementalSnapshot.run(table, want.values.toSeq.toDS().toDF(),
+      pinLsn = Long.MaxValue - 1, nChunks = 3)
+    val notes = graft.icelite.IceLite.load(spark, cdc.tableRoot).readNotifications()
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(notes.count(_ == ("Incremental Snapshot", "IN_PROGRESS")) == 3)
+    assert(notes.contains(("Incremental Snapshot", "STARTED")))
+    assert(notes.contains(("Incremental Snapshot", "COMPLETED")))
+    assertEqual(cdc.tableRoot, want)
+    Fs.deleteRecursively(base)
+  }
+
   test("table include filter (F1): uncaptured tables' ops never apply") {
     import spark.implicits._
     val cfg = ChangeLogConfig(nTx = 80, nDocs = 60, seed = 67)
