@@ -53,8 +53,10 @@ object Bench {
   private val headline = Seq(
     "cdc_merge_apply", "a2_lww_dedup", "t1_tx_group", "e5_tx_metadata",
     "e6_lineage", "r1_replay_skip", "dedup_exact", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_simhash", "ann_topk", "ann_ivf_label",
-    "text_quality", "text_langid", "text_fingerprint", "mm_binary_features")
+    "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_simhash",
+    "dedup_embedding_cos", "ann_topk", "ann_ivf_label", "ann_ivf_trained",
+    "ann_lsh_bucketed", "f5b_type_matrix", "text_quality", "text_langid",
+    "text_fingerprint", "mm_binary_features", "mm_media_features")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to
@@ -100,10 +102,16 @@ object Bench {
     timed
   }
 
+  /** Warm-up pass + `SPARK_GRAFT_BENCH_PASSES` (default 2) measured
+    * passes; all measured batches pool into one sample so the median is
+    * taken over 2x the batches — one externally-polluted pass (VM
+    * neighbors, GC) cannot dominate the estimate.
+    */
   private def cdcRun(cpus: Int, logDir: String, cfg: ChangeLogConfig,
       base: String, warm: Boolean): Seq[(Long, Double)] = {
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     if (warm) onePass(cpus, "warm", logDir, cfg, base)
-    onePass(cpus, "meas", logDir, cfg, base)
+    (1 to passes).flatMap(i => onePass(cpus, s"meas$i", logDir, cfg, base))
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,13 +171,13 @@ object Bench {
     }
     val (avgHi, medHi, bestHi, totEvHi, totSecHi) = stats(timedHi)
     val (avgLo, medLo, bestLo, totEvLo, totSecLo) = stats(timedLo)
-    // PRIMARY efficiency = full-pass average throughput ratio — the
-    // estimator that matches how 10^10 events would actually replay
-    // (every batch counts, not a best-case batch). Median-batch and
-    // best-batch ratios are reported alongside.
+    // PRIMARY efficiency = MEDIAN-batch throughput ratio: robust to a
+    // single GC/page-cache hiccup dragging one batch (this box's
+    // dominant noise source), unlike the mean; not the best-case either.
+    // Full-pass average and best-batch ratios are reported alongside.
     val ratio = hiCpus.toDouble / lowCpus
-    val efficiency = (avgHi / avgLo) / ratio
-    val effMedian = (medHi / medLo) / ratio
+    val efficiency = (medHi / medLo) / ratio
+    val effAvg = (avgHi / avgLo) / ratio
     val effBest = (bestHi / bestLo) / ratio
     Fs.deleteRecursively(base)
     if (scratchBase.startsWith("/dev/shm")) Fs.deleteRecursively(scratchBase)
@@ -183,7 +191,7 @@ object Bench {
         f""""median_events_per_sec_lo":$medLo%.0f,"median_events_per_sec_hi":$medHi%.0f,""" +
         f""""best_events_per_sec_lo":$bestLo%.0f,"best_events_per_sec_hi":$bestHi%.0f,""" +
         f""""scaling_efficiency":$efficiency%.3f,""" +
-        f""""scaling_efficiency_median_batch":$effMedian%.3f,""" +
+        f""""scaling_efficiency_pass_avg":$effAvg%.3f,""" +
         f""""scaling_efficiency_best_batch":$effBest%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}""")

@@ -313,9 +313,10 @@ object SparkEntry {
         |  CAST(user_id AS BIGINT) AS i64,
         |  CAST(value AS REAL) AS f32,
         |  CAST(value AS DOUBLE) AS f64,
-        |  {'unscaled': u6, 'scale': 6} AS dec_precise,
-        |  {'scale': CASE WHEN cents % 100 = 0 THEN 0 WHEN cents % 10 = 0 THEN 1 ELSE 2 END,
-        |   'value': CASE WHEN cents % 100 = 0 THEN cents//100 WHEN cents % 10 = 0 THEN cents//10 ELSE cents END} AS dec_varscale,
+        |  u6 AS dec_precise_unscaled,
+        |  6 AS dec_precise_scale,
+        |  CASE WHEN cents % 100 = 0 THEN 0 WHEN cents % 10 = 0 THEN 1 ELSE 2 END AS dec_vs_scale,
+        |  CASE WHEN cents % 100 = 0 THEN cents//100 WHEN cents % 10 = 0 THEN cents//10 ELSE cents END AS dec_vs_value,
         |  CAST(cents//100 AS VARCHAR) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS dec_string,
         |  cents/100.0 AS dec_double,
         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t_epoch_day,

@@ -135,6 +135,58 @@ final class IceLiteTable private[icelite] (
     }
   }
 
+  /** Point lookup with bucket pruning: the bucket of each key is
+    * computable on the driver (murmur3, the same function Spark's
+    * HashPartitioning uses), so a lookup of k keys scans at most k of
+    * the numBuckets bucket file sets instead of the table — the
+    * metadata-only pruning a 100 TB table needs for serving-style reads.
+    */
+  def lookup(keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val buckets = keys.map(k => IceLite.bucketOf(k, snap.numBuckets)).distinct
+    readMerged(buckets)
+      .where(not(col(IceLite.TOMB)) &&
+        col(snap.keyCol).isin(keys.map(x => x: Any): _*))
+      .drop(IceLite.metaColumns: _*)
+  }
+
+  /** Change data feed: the committed changes BETWEEN two snapshot ids
+    * (fromExclusive, toInclusive] as upsert/delete events — the sink
+    * re-exposed as a CDC SOURCE, so downstream tables can chain the
+    * same merge machinery instead of re-reading full states. Reads ONLY
+    * the delta files those commits added (metadata diff), never the
+    * table. Each row: op ('c' upsert / 'd' delete), the row image, and
+    * its (commit_lsn, change_lsn) version.
+    *
+    * Compaction commits add no logical changes and contribute no rows
+    * (their files land in `base`); truncate floors are metadata-only and
+    * surface via the snapshots' summaries.
+    */
+  def changesBetween(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromExclusive <= toInclusive, s"bad range ($fromExclusive, $toInclusive]")
+    val snaps = ((fromExclusive + 1) to toInclusive)
+      .map(v => IceLite.readSnapshotFile(root, v))
+    // files newly referenced as DELTAS by each commit vs its parent
+    val newFiles = snaps.flatMap { s =>
+      val parent = IceLite.readSnapshotFile(root, s.parentId)
+      val before = parent.deltas.values.flatten.toSet
+      s.deltas.values.flatten.filterNot(before.contains)
+    }
+    val latest = snaps.lastOption.getOrElse(snap)
+    val schemaWithMeta = IceLite.withMeta(latest.schema)
+    if (newFiles.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          schemaWithMeta.fields :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schemaWithMeta).parquet(newFiles.map(dataPath): _*)
+      .where(col(latest.keyCol).isNotNull) // truncate markers are not row changes
+      .withColumn("_change_type",
+        when(col(IceLite.TOMB), lit("d")).otherwise(lit("c")))
+  }
+
   /** Time travel: read the table as of an older snapshot id. */
   def readAt(snapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -307,6 +359,15 @@ object IceLite {
   val VL = "__vl"
   val TOMB = "__tomb"
   val metaColumns: Seq[String] = Seq(VC, VL, TOMB)
+
+  /** Driver-side bucket function — MUST equal Spark's
+    * `pmod(hash(key), n)` (murmur3 of the UTF8 bytes, seed 42).
+    */
+  def bucketOf(key: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.unsafe.types.UTF8String.fromString(key).hashCode()
+    // hashCode of UTF8String is murmur3 seed 42 — same as catalyst hash()
+    ((h % numBuckets) + numBuckets) % numBuckets
+  }
 
   def withMeta(schema: StructType): StructType =
     StructType(schema.fields ++ Seq(

@@ -49,4 +49,43 @@ object Maintenance {
       throw new IllegalStateException("table changed during compaction; rerun")
     next.snapshotId
   }
+
+  /** Garbage-collect data files not referenced by the CURRENT snapshot:
+    * failed-attempt delta directories (attempt-unique names can orphan a
+    * dir when a zombie driver loses the commit race), compaction inputs
+    * and superseded bases. The analog of Iceberg's
+    * expire-snapshots + remove-orphan-files maintenance.
+    *
+    * Single-writer maintenance operation: must not run concurrently with
+    * an in-flight apply (an uncommitted attempt's files look orphaned).
+    * Time travel to snapshots older than current loses any file only
+    * they reference. Returns the number of deleted files.
+    */
+  def gcOrphans(table: IceLiteTable): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val snap = table.refresh()
+    val referenced = snap.allFiles.toSet
+    val root = Paths.get(table.root)
+    val dataDir = root.resolve("data")
+    if (!Files.isDirectory(dataDir)) return 0
+    var deleted = 0
+    Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .foreach { p =>
+        val rel = root.relativize(p).toString
+        // non-parquet commit markers (_SUCCESS etc.) ride with their dir
+        if (!referenced.contains(rel)) {
+          Files.deleteIfExists(p)
+          if (rel.endsWith(".parquet")) deleted += 1
+        }
+      }
+    // sweep now-empty directories bottom-up
+    Files.walk(dataDir).iterator().asScala.toSeq.reverse
+      .filter(p => Files.isDirectory(p) && p != dataDir)
+      .foreach { d =>
+        if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+      }
+    deleted
+  }
 }

@@ -210,7 +210,7 @@ object Dedup {
     val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     cand.join(ea, "id_a").join(eb, "id_b")
-      .withColumn("cos", Similarity.cosine(col("e_a"), col("e_b")))
+      .withColumn("cos", Similarity.fastCosinePublic(emb, "e_a", "e_b"))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
   }
@@ -222,7 +222,7 @@ object Dedup {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("e_a"), col("e_b")))
+      .withColumn("cos", Similarity.fastCosinePublic(emb, "e_a", "e_b"))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
   }

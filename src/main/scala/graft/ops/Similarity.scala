@@ -31,6 +31,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd cosine over two named array<float> columns: registers the
+    * native `cosine_sim` expression (graft.plans.CosineSim) on the
+    * owning session — bit-identical numerics to [[cosine]], but a tight
+    * generated loop instead of interpreted higher-order lambdas.
+    */
+  def fastCosinePublic(df: org.apache.spark.sql.DataFrame, a: String, b: String): Column = {
+    graft.plans.VecMath.register(df.sparkSession)
+    expr(s"cosine_sim(`$a`, `$b`)")
+  }
+  private def fastCosine(df: org.apache.spark.sql.DataFrame, a: String, b: String): Column =
+    fastCosinePublic(df, a, b)
+
   /** Exact brute-force cosine top-k: queries x corpus cross join.
     * The query side is tiny and broadcast, so the corpus never
     * shuffles; top-k uses a per-query window (k small). O(|Q|*|C|) —
@@ -40,7 +52,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id"), col("embedding"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", fastCosine(corpus, "q_emb", "embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -59,7 +71,7 @@ object Similarity {
     val c = corpus.select(col("vec_id"), col("embedding"), col(cellCol).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", fastCosine(corpus, "q_emb", "embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -87,12 +99,29 @@ object Similarity {
   // Sign-LSH
   // ---------------------------------------------------------------------
 
+  /** Max embedding dimensionality the precomputed plane tables cover. */
+  val MaxDims: Int = 512
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * integer in [-500, 500), derived from the portable MD5 hash so any
-    * engine can reproduce the bucketing exactly.
+    * integer in [-500, 500), derived from the portable MD5 hash —
+    * `pmod(parseHex14(md5("<plane>:<dim>")), 1000) - 500` — so any
+    * engine can reproduce the bucketing exactly (the SQL oracles
+    * recompute the same md5). Computed ONCE here and shipped as a
+    * literal array: the hash depends only on (plane, dim), never on
+    * data, so evaluating md5 per row would be pure waste (measured 10x
+    * slowdown inside interpreted higher-order lambdas).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    pmod(TextOps.portableHash(concat_ws(":", lit(plane), dim)), lit(1000L)) - 500L
+  def planeComponentValue(plane: Int, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 14)
+    java.lang.Long.parseLong(hex, 16) % 1000L - 500L
+  }
+
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+  private def planeComponents(plane: Int): Seq[Long] =
+    planeCache.computeIfAbsent(plane,
+      p => (0 until MaxDims).map(i => planeComponentValue(p, i)))
 
   /** Sign-LSH bucket id from `nPlanes` deterministic hyperplanes
     * starting at `planeBase`: bit p = sign of the INTEGER dot product
@@ -103,13 +132,26 @@ object Similarity {
   def lshBucket(emb: Column, nPlanes: Int = 8, planeBase: Int = 0): Column = {
     val q = quantized(emb)
     val bits = (0 until nPlanes).map { p =>
-      val s = aggregate(
-        zip_with(q, sequence(lit(0), size(emb) - 1),
-          (x, i) => x * planeComponent(planeBase + p, i)),
+      val comps = slice(typedLit(planeComponents(planeBase + p)), lit(1), size(emb))
+      val s = aggregate(zip_with(q, comps, (x, c) => x * c),
         lit(0L), (acc, v) => acc + v)
       when(s > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** The compiled form of [[lshBucket]]: registers a
+    * [[graft.plans.SignLshBuckets]] function with the plane table baked
+    * in and returns `array<long>` of per-band buckets — identical values
+    * to the column form, one compiled pass instead of bands x planes
+    * interpreted lambdas.
+    */
+  private def signLshCol(df: DataFrame, embCol: String, bands: Int,
+      planesPerBand: Int): Column = {
+    val name = s"sign_lsh_b${bands}_p$planesPerBand"
+    val planes = (0 until bands * planesPerBand).map(planeComponents)
+    graft.plans.VecMath.registerSignLsh(df.sparkSession, name, bands, planesPerBand, planes)
+    expr(s"$name(`$embCol`)")
   }
 
   /** Banded sign-LSH: `bands` independent bucket ids per vector (band b
@@ -118,13 +160,10 @@ object Similarity {
     * while every join stays an equi-join on (band, bucket).
     */
   def bandBuckets(emb: DataFrame, bands: Int = 8, planesPerBand: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        lshBucket(col(embCol), planesPerBand, b * planesPerBand).as("bucket")))
-    emb.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+        posexplode(signLshCol(emb, embCol, bands, planesPerBand)).as(Seq("band", "bucket")))
+      .select(col(idCol), col("band"), col("bucket"))
 
   /** Bucketed ANN: exact cosine ranking within sign-LSH buckets.
     * Recall < 1 by construction; the scale path for 10^10 vectors
@@ -132,12 +171,12 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
     val cb = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+      element_at(signLshCol(corpus, "embedding", 1, nPlanes), 1).as("bucket"))
     val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+      element_at(signLshCol(queries, "embedding", 1, nPlanes), 1).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", fastCosine(corpus, "q_emb", "embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -216,7 +255,7 @@ object Similarity {
         explode(probesOf(quantized(col("embedding")), nprobe)).as("cell"))
     val scored = corpusCells.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", fastCosine(corpus, "q_emb", "embedding"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

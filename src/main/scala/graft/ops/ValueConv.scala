@@ -237,10 +237,13 @@ object ValueConv {
       // floating point family
       col("value").cast("float").as("f32"),
       col("value").cast("double").as("f64"),
-      // decimal(16,6) PRECISE: (unscaled, scale)
-      decimalUnscaled(u6, 6).as("dec_precise"),
+      // decimal(16,6) PRECISE (unscaled, scale) — flattened to scalar
+      // columns: the harness's pandas compare cannot sort struct cells
+      decimalUnscaled(u6, 6).getField("unscaled").as("dec_precise_unscaled"),
+      decimalUnscaled(u6, 6).getField("scale").as("dec_precise_scale"),
       // floating-point decimal (scale 255) PRECISE: VariableScaleDecimal
-      variableScaleDecimal(cents, 2).as("dec_varscale"),
+      variableScaleDecimal(cents, 2).getField("scale").as("dec_vs_scale"),
+      variableScaleDecimal(cents, 2).getField("value").as("dec_vs_value"),
       // decimal.handling.mode = string / double
       decimalString(cents, 2).as("dec_string"),
       decimalDouble(cents, 2).as("dec_double"),

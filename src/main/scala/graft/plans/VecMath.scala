@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `cosine_sim(a, b)` — cosine similarity of two float vectors as a
+  * native codegen'd Catalyst expression.
+  *
+  * Why not `aggregate(zip_with(...))`: higher-order functions evaluate
+  * their lambdas INTERPRETED (no whole-stage codegen), which made the
+  * verification step of the bucketed similarity operators the hot spot
+  * (~10s of the sf0.1 bench was lambda dispatch). This expression is a
+  * tight generated loop over the two ArrayDatas.
+  *
+  * Numerics are BIT-IDENTICAL to the higher-order form and the DuckDB
+  * oracles: one sequential left-to-right fold per vector, every element
+  * widened float->double before multiply, final
+  * `dot / (sqrt(na) * sqrt(nb))` — same operations in the same order.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `<name>(emb)` -> array<long> of `bands` sign-LSH bucket ids, computed
+  * in ONE compiled pass: quantize each float once (Spark-exact HALF_UP
+  * via BigDecimal — bit-identical to `round(v*10000)`), then integer dot
+  * products against the baked-in plane table; bit p of band b = sign of
+  * plane (b*planesPerBand + p).
+  *
+  * CodegenFallback is fine here: the cost that mattered was per-ELEMENT
+  * interpreted lambda dispatch in aggregate/zip_with (bands x planes x
+  * dims calls per row); this is one virtual call per row around tight
+  * JIT-compiled loops.
+  */
+case class SignLshBuckets(child: Expression, bands: Int, planesPerBand: Int,
+    planes: Seq[Seq[Long]])
+    extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_buckets requires array<float>, got ${dt.simpleString}")
+    }
+
+  @transient private lazy val planeArr: Array[Array[Long]] =
+    planes.map(_.toArray).toArray
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = VecMath.roundHalfUp(arr.getFloat(i).toDouble * 10000.0)
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val comps = planeArr(b * planesPerBand + p)
+        var s = 0L
+        var j = 0
+        while (j < n && j < comps.length) { s += q(j) * comps(j); j += 1 }
+        if (s > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+}
+
+object VecMath {
+  /** Spark-exact HALF_UP rounding of a double to a long — the same
+    * BigDecimal path `round()` takes, so quantization never drifts from
+    * the column form (or the SQL oracles).
+    */
+  def roundHalfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Register the vector expressions in the session registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Register a sign-LSH bucketing function with its plane table baked
+    * in (name must encode the config — the registry closure captures it).
+    */
+  def registerSignLsh(spark: SparkSession, name: String, bands: Int,
+      planesPerBand: Int, planes: Seq[Seq[Long]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => SignLshBuckets(exprs(0), bands, planesPerBand, planes),
+      "built-in")
+}

@@ -43,6 +43,15 @@ final case class CdcConfig(
     /** Signal directory (E7): polled between micro-batches for
       * incremental/blocking snapshot requests — see [[Signals]]. */
     signalDir: Option[String] = None,
+    /** Emission parity switches (consumed by [[TxAssembler.emitRecords]] /
+      * [[TxAssembler.transactionMetadataAll]] when wiring the emitted
+      * record stream to an external sink): the reference's
+      * `tombstones.on.delete` (`InformixConnectorIT.java:117-221`) and
+      * `cdc.return.empty.transactions`
+      * (`InformixConnectorConfig.java:377-385`).
+      */
+    tombstonesOnDelete: Boolean = true,
+    returnEmptyTransactions: Boolean = false,
     /** Cross-batch open-transaction carryover (the distributed analog of
       * the reference's tx buffering, `DbzTransactionEngine.java:88-156`):
       * records of transactions not yet closed in a batch are staged under

@@ -126,4 +126,48 @@ object TxAssembler {
         min(col("change_lsn")).as("first_change_lsn"),
         max(col("change_lsn")).as("last_change_lsn"))
       .withColumn("tx_key", concat_ws(":", col("tx_id"), col("commit_lsn")))
+
+  /** E5 over the RAW batch with the reference's
+    * `cdc.return.empty.transactions` switch
+    * (`InformixConnectorConfig.java:377-385`,
+    * `TransactionMetadataIT.java:175-180`): committed transactions get a
+    * metadata row; empty ones (zero surviving data ops) only when
+    * `returnEmptyTransactions` is set.
+    */
+  def transactionMetadataAll(rawBatch: DataFrame,
+      returnEmptyTransactions: Boolean): DataFrame =
+    rawBatch.groupBy(col("tx_id"))
+      .agg(
+        max(when(col("op") === "C", col("lsn"))).as("commit_lsn"),
+        min(when(col("op") === "B", col("lsn"))).as("begin_lsn"),
+        sum(when(col("op").isin("c", "u", "d", "t"), 1L).otherwise(0L)).as("event_count"))
+      .where(col("commit_lsn").isNotNull &&
+        (if (returnEmptyTransactions) lit(true) else col("event_count") > 0))
+      .withColumn("tx_key", concat_ws(":", col("tx_id"), col("commit_lsn")))
+
+  /** E1/E2 emission surface with the reference's `tombstones.on.delete`
+    * switch (`InformixConnectorIT.java:117-221`): the Kafka-facing
+    * record stream — each committed event as (key, envelope); when
+    * enabled, every delete is followed by a (key, null) tombstone record
+    * (emit_seq orders it strictly after its delete at the same
+    * position). The MERGE path never consumes tombstone records (they
+    * are a log-compaction artifact); this is for users wiring the
+    * emitted stream to a compacted topic or their own sink.
+    */
+  def emitRecords(events: DataFrame, tombstonesOnDelete: Boolean,
+      keyCol: String = "doc_id"): DataFrame = {
+    val afterType = events.schema("after").dataType
+    val keyed = events.withColumn("key",
+      coalesce(col("after").getField(keyCol), col("before").getField(keyCol)))
+    val base =
+      if (!tombstonesOnDelete) keyed.withColumn("emit_seq", lit(0))
+      else keyed
+        .withColumn("emit_seq",
+          explode(when(col("op") === "d", array(lit(0), lit(1))).otherwise(array(lit(0)))))
+        .withColumn("op", when(col("emit_seq") === 1, "tombstone").otherwise(col("op")))
+        .withColumn("after", when(col("emit_seq") === 1, lit(null).cast(afterType))
+          .otherwise(col("after")))
+    base.select(col("commit_lsn"), col("change_lsn"), col("emit_seq"),
+      col("op"), col("key"), col("after"), col("ts_ms"))
+  }
 }

@@ -36,6 +36,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(tombsAfter == 0)
     val got = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d.tokens).toMap
     assert(got == before)
+
+    // orphan GC: compaction inputs + a fake failed-attempt dir are swept,
+    // referenced files and table state untouched
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${table.root}/data/delta-zombie-attempt/__bucket=0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${table.root}/data/delta-zombie-attempt/__bucket=0/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val removed = Maintenance.gcOrphans(table)
+    assert(removed > 0, "compaction inputs + zombie attempt should be orphans")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${table.root}/data/delta-zombie-attempt")))
+    val cur = table.refresh()
+    cur.allFiles.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${table.root}/$f")), f)
+    }
+    val got2 = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d.tokens).toMap
+    assert(got2 == before)
     Fs.deleteRecursively(base)
   }
 }

@@ -1,0 +1,69 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+import graft.model.LogRecord
+import graft.util.Fs
+import org.apache.spark.sql.functions._
+
+/** Emission-config parity: `tombstones.on.delete`
+  * (`InformixConnectorIT.java:117-221`) and
+  * `cdc.return.empty.transactions`
+  * (`InformixConnectorConfig.java:377-385`,
+  * `TransactionMetadataIT.java:175-180`).
+  */
+class EmissionSpec extends SparkSpec {
+
+  private def fixture() = {
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 83)
+    val base = Fs.tempDir("graft-emit")
+    ChangeLogGen.writeLog(spark, cfg, s"$base/log", 2)
+    val raw = spark.read.schema(LogRecord.schema).parquet(s"$base/log")
+    (base, raw)
+  }
+
+  test("tombstones.on.delete=true: every delete is followed by a (key, null) record") {
+    val (base, raw) = fixture()
+    val events = TxAssembler.assemble(raw)
+    val off = TxAssembler.emitRecords(events, tombstonesOnDelete = false).cache()
+    val on = TxAssembler.emitRecords(events, tombstonesOnDelete = true).cache()
+    val deletes = off.where(col("op") === "d").count()
+    assert(deletes > 0, "fixture must contain deletes")
+    assert(off.where(col("op") === "tombstone").count() == 0)
+    assert(on.where(col("op") === "tombstone").count() == deletes)
+    assert(on.count() == off.count() + deletes)
+    // each tombstone: null value, same key and position as its delete, ordered after
+    val tombs = on.where(col("op") === "tombstone")
+    assert(tombs.where(col("after").isNotNull).count() == 0)
+    assert(tombs.where(col("key").isNull).count() == 0)
+    assert(tombs.where(col("emit_seq") =!= 1).count() == 0)
+    val paired = on.where(col("op") === "d").as("d")
+      .join(tombs.as("t"),
+        col("d.commit_lsn") === col("t.commit_lsn") &&
+          col("d.change_lsn") === col("t.change_lsn") && col("d.key") === col("t.key"))
+    assert(paired.count() == deletes)
+    Fs.deleteRecursively(base)
+  }
+
+  test("cdc.return.empty.transactions: empty committed txs appear only when enabled") {
+    val (base, raw) = fixture()
+    // splice a committed-but-empty transaction into the raw batch
+    import spark.implicits._
+    val empty = Seq(
+      LogRecord(Long.MaxValue - 4, 777777L, "B", -1L, "token_docs", None, None, 0L),
+      LogRecord(Long.MaxValue - 3, 777777L, "C", -1L, "token_docs", None, None, 0L)).toDS().toDF()
+    val withEmpty = raw.unionByName(empty)
+    val keep = TxAssembler.transactionMetadataAll(withEmpty, returnEmptyTransactions = false)
+    val all = TxAssembler.transactionMetadataAll(withEmpty, returnEmptyTransactions = true)
+    assert(keep.where(col("tx_id") === 777777L).count() == 0)
+    assert(all.where(col("tx_id") === 777777L).count() == 1)
+    assert(all.count() == keep.count() + 1)
+    // rolled-back transactions never get metadata rows in either mode
+    val rolledBack = withEmpty.groupBy(col("tx_id"))
+      .agg(max(when(col("op") === "R", 1).otherwise(0)).as("rb"),
+        max(when(col("op") === "C", 1).otherwise(0)).as("cm"))
+      .where(col("rb") === 1 && col("cm") === 0).select("tx_id")
+    assert(all.join(rolledBack, "tx_id").count() == 0)
+    Fs.deleteRecursively(base)
+  }
+}
