@@ -191,7 +191,10 @@ object CdcRelational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
-  /** A2 — last-writer-wins dedup per key (the apply-side window). */
+  /** A2 — last-writer-wins dedup per key. Query-form (window +
+    * row_number, SQL-oracle-expressible); the engine uses the
+    * hash-aggregate `lww_max_by` instead — see [[mergeApply]]'s note.
+    */
   def a2LwwDedup(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key_id")).orderBy(col("lsn").desc)
     changeLog(events)
@@ -291,6 +294,14 @@ object CdcRelational {
   /** The flagship MERGE: documents + LWW-deduped derived changes ->
     * final upserted state (c/u upsert, d delete, unmatched insert) —
     * the observable form of `MergeApply.applyBatch`.
+    *
+    * NOTE on shape: this QUERY-FORM uses Window+row_number because the
+    * DuckDB oracle must express the identical plan in ANSI SQL. The
+    * ENGINE path deliberately avoids that skew-prone shape — it dedups
+    * with the map-side-combined `lww_max_by` hash aggregate
+    * (`MergeApply.applyBatch`, `plans/LwwMaxBy.scala`). Same semantics,
+    * different physical strategy; do not copy this window into an
+    * engine path.
     */
   def mergeApply(events: DataFrame, documents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key_id")).orderBy(col("lsn").desc)
