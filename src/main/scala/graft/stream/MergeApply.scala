@@ -119,28 +119,18 @@ object MergeApply {
   private val posStruct = StructType(Seq(
     StructField("c", LongType), StructField("l", LongType)))
 
-  /** Apply one batch of committed ChangeEvent rows. Idempotent by
-    * batchId within its channel (stream batches and signal-driven
-    * snapshot chunks carry independent monotone counters) AND by row
-    * version; advances watermark and floors.
+  /** Build (NOT execute) the ONE full-data plan of a batch apply:
+    * floor filter -> key extraction -> single bucket exchange ->
+    * `lww_max_by` hash dedup -> delta projection with riding stats and
+    * the per-bucket lineage accumulator, observed by CollectMetrics.
+    * Returns (plan, lineage accumulator, global-stats observation,
+    * post-evolution schema). `applyBatch` writes the plan; plan-shape
+    * tests inspect it without executing (the exchange count and
+    * aggregate strategy here ARE the engine's scale claims).
     */
-  def applyBatch(table: IceLiteTable, events: DataFrame, batchId: Long,
-      signalChannel: Boolean = false): MergeStats = {
-    val t0 = System.nanoTime()
-    // IMPORTANT: use the batch's own session — inside foreachBatch the
-    // DataFrame belongs to a cloned SparkSession whose function registry
-    // is isolated from the one the table was opened with
+  def buildDeltaPlan(snap: IceSnapshot, events: DataFrame, batchId: Long)
+      : (DataFrame, BucketStatsAcc, org.apache.spark.sql.Observation, StructType) = {
     val spark = events.sparkSession
-    val snap = table.refresh()
-
-    // ---- idempotency gate (Iceberg replace-snapshot semantics) ----
-    val lastInChannel =
-      if (signalChannel) snap.summary.lastSignalBatchId else snap.summary.lastBatchId
-    if (batchId <= lastInChannel) {
-      return MergeStats(batchId, committed = false, alreadyApplied = true,
-        0L, 0L, 0L, truncated = false, -1L, -1L, snap.snapshotId)
-    }
-
     val keyCol = snap.keyCol
     val numBuckets = snap.numBuckets
     val sm = snap.summary
@@ -163,10 +153,9 @@ object MergeApply {
     val userFields = newSchema.fields.toSeq
     val afterHas = afterSchema.fieldNames.toSet
 
-    // ---- job 1 (the ONLY full-data job): LWW dedup + delta write.
-    // Truncate records keep their null key and ride along as marker
-    // rows (readers drop null keys); their max position is recovered by
-    // the stats job below, so no pre-scan for truncates is needed. ----
+    // ---- LWW dedup. Truncate records keep their null key and ride
+    // along as marker rows (readers drop null keys); their max position
+    // is recovered by the riding stats, so no pre-scan is needed. ----
     graft.plans.LwwMaxBy.register(spark)
     val posCol = struct(col("commit_lsn").as("c"), col("change_lsn").as("l"))
     val keyed = floored
@@ -224,6 +213,34 @@ object MergeApply {
       min(when(col(keyCol).isNotNull, col("__minc"))).as("lsn_lo"),
       max(struct(col(VC), col(VL))).as("max_pos"),
       max(col("__trunc")).as("trunc_pos"))
+    (observed, acc, obs, newSchema)
+  }
+
+  /** Apply one batch of committed ChangeEvent rows. Idempotent by
+    * batchId within its channel (stream batches and signal-driven
+    * snapshot chunks carry independent monotone counters) AND by row
+    * version; advances watermark and floors.
+    */
+  def applyBatch(table: IceLiteTable, events: DataFrame, batchId: Long,
+      signalChannel: Boolean = false): MergeStats = {
+    val t0 = System.nanoTime()
+    // IMPORTANT: use the batch's own session — inside foreachBatch the
+    // DataFrame belongs to a cloned SparkSession whose function registry
+    // is isolated from the one the table was opened with
+    val spark = events.sparkSession
+    val snap = table.refresh()
+
+    // ---- idempotency gate (Iceberg replace-snapshot semantics) ----
+    val lastInChannel =
+      if (signalChannel) snap.summary.lastSignalBatchId else snap.summary.lastBatchId
+    if (batchId <= lastInChannel) {
+      return MergeStats(batchId, committed = false, alreadyApplied = true,
+        0L, 0L, 0L, truncated = false, -1L, -1L, snap.snapshotId)
+    }
+
+    val keyCol = snap.keyCol
+    val (observed, acc, obs, newSchema) = buildDeltaPlan(snap, events, batchId)
+    val sm = snap.summary
 
     // The delta directory is unique PER ATTEMPT (not just per batch): a
     // zombie driver reprocessing the same batch can therefore never
@@ -258,6 +275,8 @@ object MergeApply {
     val nUpserts = nKeys - nDel
     val lsnLoOut = mLong("lsn_lo", -1L)
     val lsnHi = maxPos.map(_._1).getOrElse(-1L)
+    val numBuckets = snap.numBuckets
+    locally { val _ = nAll } // observed for diagnostics only
 
     // monotone advances
     val (wmC, wmL) = maxPos match {

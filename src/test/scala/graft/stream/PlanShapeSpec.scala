@@ -1,0 +1,76 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+import graft.model.LogRecord
+import graft.util.Fs
+
+/** Physical-plan regression net for the engine's scale claims
+  * (PLANS.md): the apply pipeline must stay ONE bucket exchange with a
+  * hash-based (ObjectHashAggregate) dedup — never SortAggregate, never
+  * an extra payload shuffle. If a refactor silently changes the plan,
+  * this fails before any benchmark does.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(broadcastAssembly: Boolean): String = {
+    val cfg = ChangeLogConfig(nTx = 60, nDocs = 40, seed = 103)
+    val base = Fs.tempDir("graft-plan")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 1)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    val raw = spark.read.schema(LogRecord.schema)
+      .parquet(Fs.listParquet(cdc.logDir).sorted: _*)
+    val prepared = CdcJob.prepareRaw(raw, "doc_id", None, Map.empty)
+    val events =
+      if (broadcastAssembly) TxAssembler.assembleBroadcast(prepared)
+      else TxAssembler.assemble(prepared)
+    val (plan, _, _, _) = MergeApply.buildDeltaPlan(table.current, events, 0L)
+    val s = plan.queryExecution.executedPlan.toString
+    Fs.deleteRecursively(base)
+    s
+  }
+
+  private def count(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  test("broadcast assembly: the PAYLOAD shuffles exactly once (the bucket exchange)") {
+    val plan = planOf(broadcastAssembly = true)
+    // exactly one exchange on the merge key — the payload's only shuffle
+    assert(count(plan, "Exchange hashpartitioning(__key") == 1,
+      s"expected exactly one payload (key) exchange:\n$plan")
+    // any other hash exchange must be the CONTROL-records aggregation
+    // (tiny tx metadata feeding the broadcast build side), never payload
+    val allEx = count(plan, "Exchange hashpartitioning")
+    val txEx = count(plan, "Exchange hashpartitioning(tx_id")
+    assert(allEx == 1 + txEx, s"unexpected extra exchange:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"dedup fell back to SortAggregate (payload sort!):\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tx assembly should broadcast control metadata:\n$plan")
+  }
+
+  test("windowed assembly: one tx exchange + one bucket exchange, still hash dedup") {
+    val plan = planOf(broadcastAssembly = false)
+    assert(count(plan, "Exchange hashpartitioning(__key") == 1,
+      s"expected exactly one payload (key) exchange:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning(tx_id") == 1,
+      s"expected exactly one tx (window) exchange:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 2,
+      s"expected exactly two hash exchanges (tx window + bucket):\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"dedup fell back to SortAggregate (payload sort!):\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    // exactly ONE Window operator (all assembly expressions share a spec)
+    assert(count(plan, "Window [") == 1, s"expected a single Window operator:\n$plan")
+  }
+
+  test("before-image read is pruned to the merge key") {
+    val plan = planOf(broadcastAssembly = true)
+    // the parquet ReadSchema must carry before as a single-field struct
+    assert(plan.contains("before:struct<doc_id:string>"),
+      s"before image not pruned to the key leaf:\n$plan")
+  }
+}
