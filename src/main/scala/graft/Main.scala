@@ -42,6 +42,10 @@ object Main {
       snapshotMode = SnapshotMode.withName(a.getOrElse("snapshot-mode", "WhenNeeded")),
       broadcastAssembly = a.getOrElse("broadcast-assembly", "false").toBoolean,
       tableInclude = a.get("tables").map(_.split(",").toSeq),
+      // --transforms "col=mask:8,col2=sha256:SALT,col3=truncate:10" (F3)
+      columnTransforms = a.get("transforms").map(_.split(",").map { kv =>
+        val Array(c, spec) = kv.split("=", 2); c -> spec
+      }.toMap).getOrElse(Map.empty),
       signalDir = a.get("signal-dir"))
 
     val source = a.get("source")
@@ -53,6 +57,14 @@ object Main {
     if (cfg.snapshotMode == SnapshotMode.InitialOnly) {
       println(s"snapshot-only run complete: v${table.current.snapshotId}")
       return
+    }
+    // R4 — offset validity on restart: if the checkpointed offset
+    // predates the log's retained floor, recover via a reconciling
+    // re-snapshot from the provided current source view (when_needed),
+    // or fail fast inside CdcJob.stream otherwise.
+    if (!CdcJob.validateRestartOffset(table, cfg) && a.contains("source")) {
+      val did = CdcJob.validateOrResnapshot(table, cfg, source, snapshotLsn)
+      if (did) println(s"R4 recovery: reconciling re-snapshot at pin $snapshotLsn")
     }
     val trigger = a.get("trigger-seconds") match {
       case Some(s) => Trigger.ProcessingTime(s.toLong * 1000L)

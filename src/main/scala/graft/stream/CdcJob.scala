@@ -333,7 +333,7 @@ object CdcJob {
       }
 
     val events =
-      if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
+      if (broadcastAssembly) TxAssembler.assembleBroadcast(input, slim = true)
       else TxAssembler.assemble(input)
     MergeApply.applyBatch(table, events, batchId)
   }

@@ -213,7 +213,14 @@ object MergeApply {
       min(when(col(keyCol).isNotNull, col("__minc"))).as("lsn_lo"),
       max(struct(col(VC), col(VL))).as("max_pos"),
       max(col("__trunc")).as("trunc_pos"))
-    (observed, acc, obs, newSchema)
+    // the stat columns and the null-key truncate-marker rows exist ONLY
+    // for the metrics above (collected by the same job) — no reader
+    // consumes them, so they are projected/filtered away ABOVE the
+    // CollectMetrics node and never encoded into the delta parquet
+    val slim = observed
+      .drop("__op", "__trunc", "__cnt", "__minc")
+      .where(col(keyCol).isNotNull)
+    (slim, acc, obs, newSchema)
   }
 
   /** Apply one batch of committed ChangeEvent rows. Idempotent by

@@ -40,15 +40,23 @@ object TxAssembler {
     * (no COMMIT row -> no match); savepoint DISCARD ranges (T3) ride
     * along as a per-tx array.
     */
-  def assembleBroadcast(batch: DataFrame): DataFrame = {
+  /** @param slim broadcast ONLY what the MERGE consumes (commit_lsn +
+    *             discard ranges): the broadcast build is per-batch
+    *             SERIAL driver work (collect + serialize + ship), so on
+    *             the engine's apply path the unused begin_lsn/commit_ts
+    *             columns are dropped from the build side and emitted as
+    *             nulls. Full emission surfaces use slim=false.
+    */
+  def assembleBroadcast(batch: DataFrame, slim: Boolean = false): DataFrame = {
     val ctrl = batch.where(col("op").isin("B", "C", "R", "D"))
       .select(col("tx_id"), col("op"), col("lsn"), col("discard_from"), col("ts_ms"))
+    val fullAggs = if (slim) Nil else Seq(
+      max(when(col("op") === "C", col("ts_ms"))).as("commit_ts"),
+      max(when(col("op") === "B", col("lsn"))).as("begin_lsn"))
     val txInfo = ctrl.groupBy(col("tx_id")).agg(
       max(when(col("op") === "C", col("lsn"))).as("commit_lsn"),
-      max(when(col("op") === "C", col("ts_ms"))).as("commit_ts"),
-      max(when(col("op") === "B", col("lsn"))).as("begin_lsn"),
-      collect_list(when(col("op") === "D",
-        struct(col("discard_from").as("from"), col("lsn").as("at")))).as("__discards"))
+      (fullAggs :+ collect_list(when(col("op") === "D",
+        struct(col("discard_from").as("from"), col("lsn").as("at")))).as("__discards")): _*)
       .where(col("commit_lsn").isNotNull) // T1/T2: committed transactions only
     batch.where(col("op").isin("c", "u", "d", "t"))
       .join(broadcast(txInfo), Seq("tx_id"))
@@ -58,13 +66,13 @@ object TxAssembler {
       .select(
         col("commit_lsn"),
         col("lsn").as("change_lsn"),
-        col("begin_lsn"),
+        (if (slim) lit(null).cast("long") else col("begin_lsn")).as("begin_lsn"),
         col("tx_id"),
         col("op"),
         col("table"),
         col("before"),
         col("after"),
-        col("commit_ts").as("ts_ms"))
+        (if (slim) lit(null).cast("long") else col("commit_ts")).as("ts_ms"))
   }
 
   /** Default assembly: single window shuffle on tx_id. Robust for any
