@@ -317,7 +317,7 @@ object SparkEntry {
         |  6 AS dec_precise_scale,
         |  CASE WHEN cents % 100 = 0 THEN 0 WHEN cents % 10 = 0 THEN 1 ELSE 2 END AS dec_vs_scale,
         |  CASE WHEN cents % 100 = 0 THEN cents//100 WHEN cents % 10 = 0 THEN cents//10 ELSE cents END AS dec_vs_value,
-        |  CAST(cents//100 AS VARCHAR) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS dec_string,
+        |  CASE WHEN cents < 0 THEN '-' ELSE '' END || CAST(abs(cents)//100 AS VARCHAR) || '.' || lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0') AS dec_string,
         |  cents/100.0 AS dec_double,
         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t_epoch_day,
         |  ((epoch_us(ts)//1000000) % 86400) * 1000 AS t_time_ms,

@@ -68,7 +68,16 @@ final case class IceSnapshot(
     numBuckets: Int,
     base: Map[Int, Seq[String]],
     deltas: Map[Int, Seq[String]],
-    summary: IceSummary
+    summary: IceSummary,
+    /** Change-data-feed manifest: the delta files THIS commit's apply
+      * wrote, per bucket — recorded even when the same commit folded a
+      * bucket's chain into base (the files then appear in neither `base`
+      * nor `deltas`, but the change feed must still surface them:
+      * without this, every change to a bucket compacted in its own
+      * commit would silently vanish from [[IceLiteTable.changesBetween]]).
+      * Empty for non-apply commits (snapshot, compaction, metadata).
+      */
+    changed: Map[Int, Seq[String]] = Map.empty
 ) {
   def allFiles: Seq[String] = (base.values ++ deltas.values).flatten.toSeq
   def buckets: Seq[Int] = (base.keySet ++ deltas.keySet).toSeq
@@ -161,17 +170,28 @@ final class IceLiteTable private[icelite] (
     * Compaction commits add no logical changes and contribute no rows
     * (their files land in `base`); truncate floors are metadata-only and
     * surface via the snapshots' summaries.
+    *
+    * Each apply commit carries its own change manifest
+    * ([[IceSnapshot.changed]]), so the feed is exact even when the same
+    * commit folded a changed bucket's delta chain into base (the
+    * parent-diff of `deltas` would miss those files entirely). The
+    * parent-diff remains as the fallback for snapshots written before
+    * the manifest existed. Feed horizon: `Maintenance.expireSnapshots` +
+    * `gcOrphans` bound how far back the feed reaches.
     */
   def changesBetween(fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromExclusive <= toInclusive, s"bad range ($fromExclusive, $toInclusive]")
     val snaps = ((fromExclusive + 1) to toInclusive)
       .map(v => IceLite.readSnapshotFile(root, v))
-    // files newly referenced as DELTAS by each commit vs its parent
     val newFiles = snaps.flatMap { s =>
-      val parent = IceLite.readSnapshotFile(root, s.parentId)
-      val before = parent.deltas.values.flatten.toSet
-      s.deltas.values.flatten.filterNot(before.contains)
+      if (s.changed.nonEmpty) s.changed.values.flatten.toSeq
+      else {
+        // legacy fallback: files newly referenced as DELTAS vs the parent
+        val parent = IceLite.readSnapshotFile(root, s.parentId)
+        val before = parent.deltas.values.flatten.toSet
+        s.deltas.values.flatten.filterNot(before.contains).toSeq
+      }
     }
     val latest = snaps.lastOption.getOrElse(snap)
     val schemaWithMeta = IceLite.withMeta(latest.schema)
@@ -396,7 +416,8 @@ object IceLite {
 
   def load(spark: SparkSession, root: String): IceLiteTable = new IceLiteTable(spark, root)
 
-  def exists(root: String): Boolean = Files.exists(versionFile(root, 0L))
+  def exists(root: String): Boolean =
+    Files.exists(versionFile(root, 0L)) || retainedVersions(root).nonEmpty
 
   // ---- snapshot (de)serialization ----
 
@@ -415,6 +436,11 @@ object IceLite {
     val deltas = n.putObject("deltas")
     s.deltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       val arr = deltas.putArray(b.toString)
+      fs.foreach(arr.add)
+    }
+    val changed = n.putObject("changed")
+    s.changed.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = changed.putArray(b.toString)
       fs.foreach(arr.add)
     }
     val sm = n.putObject("summary")
@@ -438,11 +464,13 @@ object IceLite {
   private def fromJson(js: String): IceSnapshot = {
     val n = mapper.readTree(js)
     def fileMap(field: String): Map[Int, Seq[String]] =
-      n.get(field).properties().asScala.map { e =>
+      if (!n.has(field)) Map.empty
+      else n.get(field).properties().asScala.map { e =>
         e.getKey.toInt -> e.getValue.elements().asScala.map(_.asText()).toSeq
       }.toMap
     val base = fileMap("base")
     val deltas = fileMap("deltas")
+    val changed = fileMap("changed")
     val sm = n.get("summary")
     IceSnapshot(
       n.get("snapshotId").asLong(),
@@ -460,27 +488,45 @@ object IceLite {
         sm.get("truncCommit").asLong(), sm.get("truncChange").asLong(),
         sm.get("lsnLo").asLong(), sm.get("lsnHi").asLong(),
         sm.get("upserts").asLong(), sm.get("deletes").asLong(),
-        sm.get("note").asText())
+        sm.get("note").asText()),
+      changed
     )
   }
 
   def readSnapshotFile(root: String, v: Long): IceSnapshot =
     fromJson(new String(Files.readAllBytes(versionFile(root, v)), StandardCharsets.UTF_8))
 
+  /** All snapshot version numbers still on disk (ascending). Expired
+    * versions leave gaps — see `Maintenance.expireSnapshots`.
+    */
+  def retainedVersions(root: String): Seq[Long] = {
+    val dir = metaDir(root)
+    if (!Files.isDirectory(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v") && name.endsWith(".json"))
+          scala.util.Try(name.stripPrefix("v").stripSuffix(".json").toLong).toOption
+        else None
+      }.toSeq.sorted
+  }
+
   /** Latest committed snapshot: follow the version-hint then probe
     * forward (hint is advisory — a crash between commit and hint update
-    * must not lose the commit).
+    * must not lose the commit). When the hint is missing or stale, fall
+    * back to a directory scan for the max retained version — probing
+    * forward from v0 would stop at the first gap left by snapshot
+    * expiry and resurrect an ancient version.
     */
   def readLatest(root: String): Option[IceSnapshot] = {
     if (!Files.exists(metaDir(root))) return None
     val hinted = try {
       val p = metaDir(root).resolve("version-hint.text")
-      if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong else 0L
-    } catch { case NonFatal(_) => 0L }
+      if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong else -1L
+    } catch { case NonFatal(_) => -1L }
     var v = hinted
-    if (!Files.exists(versionFile(root, v))) {
-      if (!Files.exists(versionFile(root, 0L))) return None
-      v = 0L
+    if (v < 0 || !Files.exists(versionFile(root, v))) {
+      v = retainedVersions(root).lastOption.getOrElse(return None)
     }
     while (Files.exists(versionFile(root, v + 1))) v += 1
     Some(readSnapshotFile(root, v))

@@ -44,17 +44,44 @@ object Maintenance {
       parentId = cur.snapshotId,
       base = written,
       deltas = Map.empty,
+      changed = Map.empty, // compaction adds no logical changes
       summary = cur.summary.copy(note = s"compact(purge<$retentionFloorLsn)"))
     if (!table.commit(next))
       throw new IllegalStateException("table changed during compaction; rerun")
     next.snapshotId
   }
 
+  /** Expire old snapshot version files, bounding metadata growth and the
+    * change-feed / time-travel horizon — the analog of Iceberg's
+    * expire-snapshots. Keeps the most recent `keepLast` versions (and
+    * always the current one). After expiry, `gcOrphans` may reclaim data
+    * files only the expired versions referenced. Returns the number of
+    * version files deleted.
+    */
+  def expireSnapshots(table: IceLiteTable, keepLast: Int): Int = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    import java.nio.file.Files
+    val cur = table.refresh().snapshotId
+    val cutoff = cur - keepLast + 1
+    var deleted = 0
+    IceLite.retainedVersions(table.root).foreach { v =>
+      if (v < cutoff && Files.deleteIfExists(IceLite.versionFile(table.root, v)))
+        deleted += 1
+    }
+    deleted
+  }
+
   /** Garbage-collect data files not referenced by the CURRENT snapshot:
     * failed-attempt delta directories (attempt-unique names can orphan a
     * dir when a zombie driver loses the commit race), compaction inputs
     * and superseded bases. The analog of Iceberg's
-    * expire-snapshots + remove-orphan-files maintenance.
+    * remove-orphan-files maintenance.
+    *
+    * The change-data-feed manifests (`IceSnapshot.changed`) of every
+    * RETAINED snapshot version are also protected, so `changesBetween`
+    * keeps working over the retained history even for delta files that
+    * a same-commit compaction folded into base. Run `expireSnapshots`
+    * first to bound that horizon.
     *
     * Single-writer maintenance operation: must not run concurrently with
     * an in-flight apply (an uncommitted attempt's files look orphaned).
@@ -65,7 +92,11 @@ object Maintenance {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val snap = table.refresh()
-    val referenced = snap.allFiles.toSet
+    val cdfProtected = IceLite.retainedVersions(table.root).flatMap { v =>
+      try IceLite.readSnapshotFile(table.root, v).changed.values.flatten
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    }
+    val referenced = snap.allFiles.toSet ++ cdfProtected
     val root = Paths.get(table.root)
     val dataDir = root.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0

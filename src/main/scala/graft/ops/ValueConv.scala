@@ -75,14 +75,19 @@ object ValueConv {
   }
 
   /** decimal.handling.mode=string: plain decimal string at the given
-    * scale (non-negative values).
+    * scale. Sign is rendered explicitly from the unscaled value (the
+    * integer-division-plus-pmod form silently dropped the '-' for
+    * decimals in (-1, 0): -50 at scale 2 rendered "0.50").
     */
   def decimalString(unscaled: Column, scale: Int): Column =
     if (scale == 0) unscaled.cast("long").cast("string")
     else {
       val pow = math.pow(10, scale).toLong
-      concat((unscaled.cast("long") / pow).cast("long").cast("string"), lit("."),
-        lpad(pmod(unscaled.cast("long"), lit(pow)).cast("string"), scale, "0"))
+      val u = unscaled.cast("long")
+      val a = abs(u)
+      concat(when(u < 0, lit("-")).otherwise(lit("")),
+        (a / pow).cast("long").cast("string"), lit("."),
+        lpad(pmod(a, lit(pow)).cast("string"), scale, "0"))
     }
 
   /** decimal.handling.mode=double. */

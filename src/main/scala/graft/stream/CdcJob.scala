@@ -2,7 +2,7 @@ package graft.stream
 
 import graft.icelite.{IceLite, IceLiteTable, IceSummary}
 import graft.model.LogRecord
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -14,6 +14,32 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object SnapshotMode extends Enumeration {
   val Initial, InitialOnly, NoData, Always, WhenNeeded = Value
+}
+
+/** Regex capture filters — the reference's `table.include.list` /
+  * `table.exclude.list` / `column.exclude.list` config surface
+  * (`InformixConnectorConfig.java:547-553`; behavior pinned by
+  * `InformixConnectorIT.java:588-806`). Table patterns match the table
+  * name; column patterns match the qualified `<table>.<column>` name.
+  * A table is captured iff it matches the include side (always true when
+  * no include is configured) and matches no exclude pattern; an excluded
+  * column is never captured (its value ships as NULL on every event —
+  * the closed-schema analog of the reference omitting the field). The
+  * merge key is exempt from column exclusion, as from masking.
+  */
+final case class CaptureFilters(
+    tableIncludeRegex: Option[Seq[String]] = None,
+    tableExcludeRegex: Seq[String] = Nil,
+    columnExcludeRegex: Seq[String] = Nil) {
+  def isEmpty: Boolean =
+    tableIncludeRegex.isEmpty && tableExcludeRegex.isEmpty && columnExcludeRegex.isEmpty
+}
+
+object CaptureFilters {
+  val none: CaptureFilters = CaptureFilters()
+  /** One anchored alternation so a row is tested with a single regex. */
+  def anchored(patterns: Seq[String]): String =
+    patterns.mkString("^(?:", "|", ")$")
 }
 
 final case class CdcConfig(
@@ -33,6 +59,10 @@ final case class CdcConfig(
       * System tables (sys*) are always excluded, as in the reference.
       */
     tableInclude: Option[Seq[String]] = None,
+    /** Regex include/exclude lists for tables and columns (F1/F2 parity
+      * with the reference's regex config surface — see [[CaptureFilters]]).
+      */
+    filters: CaptureFilters = CaptureFilters.none,
     /** Column transforms (F3 — the reference's column.mask.with.N.chars
       * / column.mask.hash.*.with.salt / column.truncate.to.N.chars,
       * asserted by `InformixConnectorIT.java:1000-1048`): column name ->
@@ -43,10 +73,19 @@ final case class CdcConfig(
     /** Signal directory (E7): polled between micro-batches for
       * incremental/blocking snapshot requests — see [[Signals]]. */
     signalDir: Option[String] = None,
-    /** Emission parity switches (consumed by [[TxAssembler.emitRecords]] /
-      * [[TxAssembler.transactionMetadataAll]] when wiring the emitted
-      * record stream to an external sink): the reference's
-      * `tombstones.on.delete` (`InformixConnectorIT.java:117-221`) and
+    /** Emitted-record sink (the Kafka-topic analog): when set, every
+      * micro-batch ALSO writes its committed change events as
+      * (key, envelope) records — with `tombstonesOnDelete` applied — to
+      * `<emitDir>/batch-N`, and per-transaction metadata rows — with
+      * `returnEmptyTransactions` applied — to `<emitDir>/tx-batch-N`
+      * (both overwrite-per-batchId, so replays are idempotent). Off by
+      * default: emission is a second pass over the batch, for users who
+      * chain a compacted topic / downstream consumer off the stream.
+      */
+    emitDir: Option[String] = None,
+    /** Emission parity switches (applied on the [[emitDir]] sink): the
+      * reference's `tombstones.on.delete`
+      * (`InformixConnectorIT.java:117-221`) and
       * `cdc.return.empty.transactions`
       * (`InformixConnectorConfig.java:377-385`).
       */
@@ -61,7 +100,10 @@ final case class CdcConfig(
       * log sequentially too). Off by default: it costs one extra small
       * write per batch and is unnecessary when the log writer closes
       * files on commit boundaries (as graft.changelog does). */
-    txCarryover: Boolean = false
+    txCarryover: Boolean = false,
+    /** Stateful-assembly state bound: max buffered records per open
+      * transaction (see [[StatefulAssembly.DefaultMaxBufferedPerTx]]). */
+    maxTxRecords: Int = StatefulAssembly.DefaultMaxBufferedPerTx
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -122,6 +164,7 @@ object CdcJob {
       snapshotId = snap.snapshotId + 1,
       parentId = snap.snapshotId,
       base = files,
+      changed = Map.empty, // snapshot base state is not a change-feed entry
       summary = IceSummary(-1L, -1L, -1L, snapshotLsn, Long.MaxValue,
         snapshotLsn, Long.MaxValue, -1L, -1L,
         -1L, -1L, nRows, 0L, s"snapshot:${cfg.snapshotMode}"))
@@ -246,22 +289,56 @@ object CdcJob {
   def prepareRaw(rawBatch: DataFrame, keyCol: String,
       tableInclude: Option[Seq[String]],
       columnTransforms: Map[String, String],
-      prune: Boolean = true): DataFrame = {
+      prune: Boolean = true,
+      filters: CaptureFilters = CaptureFilters.none): DataFrame = {
     // F1 table filter: keep control records (they close transactions for
-    // every table) and data ops of captured tables only; sys* always out
+    // every table) and data ops of captured tables only; sys* always out.
+    // Include side = literal list OR regex list (a table passes if it
+    // matches either configured form; both absent = capture all); the
+    // exclude regexes then remove matches — reference precedence
+    // (`InformixConnectorConfig.java:547-553`).
     val filtered0 = rawBatch.where(!col("table").startsWith("sys"))
-    val filtered = tableInclude match {
-      case Some(incl) => filtered0.where(
-        col("op").isin("B", "C", "R", "D") || col("table").isin(incl.map(x => x: Any): _*))
-      case None => filtered0
-    }
+    val includeTests: Seq[Column] =
+      tableInclude.map(incl => col("table").isin(incl.map(x => x: Any): _*)).toSeq ++
+        filters.tableIncludeRegex.filter(_.nonEmpty)
+          .map(ps => col("table").rlike(CaptureFilters.anchored(ps))).toSeq
+    val includeOk =
+      if (includeTests.isEmpty) lit(true) else includeTests.reduce(_ || _)
+    val excludeHit =
+      if (filters.tableExcludeRegex.isEmpty) lit(false)
+      else col("table").rlike(CaptureFilters.anchored(filters.tableExcludeRegex))
+    val filtered =
+      if (includeTests.isEmpty && filters.tableExcludeRegex.isEmpty) filtered0
+      else filtered0.where(
+        col("op").isin("B", "C", "R", "D") || (includeOk && !excludeHit))
+    // F2 column exclusion: an excluded column is never captured — its
+    // value is nulled on every before/after image (qualified-name regex;
+    // the merge key is exempt, like masking).
+    val colFiltered =
+      if (filters.columnExcludeRegex.isEmpty) filtered
+      else {
+        val pat = CaptureFilters.anchored(filters.columnExcludeRegex)
+        def scrub(field: String): Column = {
+          val st = filtered.schema(field).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val rebuilt = struct(st.fields.map { f =>
+            val v = col(field).getField(f.name)
+            (if (f.name == keyCol) v
+             else when(concat(col("table"), lit("." + f.name)).rlike(pat),
+               lit(null).cast(f.dataType)).otherwise(v)).as(f.name)
+          }.toSeq: _*)
+          when(col(field).isNull, lit(null).cast(st)).otherwise(rebuilt)
+        }
+        filtered.withColumn("before", scrub("before"))
+          .withColumn("after", scrub("after"))
+      }
     // The before-image is only ever consulted for the merge KEY (deletes
     // carry the key in `before`), so the engine path prunes it to that
     // single nested field right above the scan — the parquet reader then
     // decodes just the `before.<key>` leaf.
     val pruned =
-      if (!prune) filtered
-      else filtered.select(
+      if (!prune) colFiltered
+      else colFiltered.select(
         col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
         col("table"), col("after"),
         struct(col("before").getField(keyCol).as(keyCol)).as("before"))
@@ -291,10 +368,15 @@ object CdcJob {
       broadcastAssembly: Boolean = false,
       tableInclude: Option[Seq[String]] = None,
       columnTransforms: Map[String, String] = Map.empty,
-      txCarryover: Boolean = false): MergeApply.MergeStats = {
+      txCarryover: Boolean = false,
+      emitDir: Option[String] = None,
+      tombstonesOnDelete: Boolean = true,
+      returnEmptyTransactions: Boolean = false,
+      filters: CaptureFilters = CaptureFilters.none): MergeApply.MergeStats = {
     val spark = rawBatch.sparkSession
     val keyCol = table.current.keyCol
-    val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms)
+    val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms,
+      prune = true, filters = filters)
 
     val input =
       if (!txCarryover) transformed
@@ -335,6 +417,19 @@ object CdcJob {
     val events =
       if (broadcastAssembly) TxAssembler.assembleBroadcast(input, slim = true)
       else TxAssembler.assemble(input)
+    // E1/E2/E5 outbound sink (opt-in): the emitted record stream and the
+    // transaction-metadata stream, with the reference's switches applied.
+    // Envelope-complete assembly (slim = false) so ts_ms/begin_lsn are
+    // populated on the emitted records.
+    emitDir.foreach { dir =>
+      val full =
+        if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
+        else events
+      TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol)
+        .write.mode("overwrite").parquet(f"$dir/batch-$batchId%08d")
+      TxAssembler.transactionMetadataAll(input, returnEmptyTransactions)
+        .write.mode("overwrite").parquet(f"$dir/tx-batch-$batchId%08d")
+    }
     MergeApply.applyBatch(table, events, batchId)
   }
 
@@ -373,7 +468,8 @@ object CdcJob {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
-          cfg.columnTransforms, cfg.txCarryover); ()
+          cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
+          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters); ()
       }
       .start()
   }
@@ -385,10 +481,21 @@ object CdcJob {
   }
 
   /** Deterministic batch-incremental runner (same applyBatch code path,
-    * no SS machinery): chunk the sorted segment-file list, batchId =
-    * chunk index; resume point = the table's own lastBatchId, so a
-    * restarted run skips applied chunks — used by tests to kill/resume
-    * at exact batch boundaries.
+    * no SS machinery): chunk the sorted segment-file list and apply each
+    * chunk as one batch — used by tests to kill/resume at exact batch
+    * boundaries.
+    *
+    * Resume alignment is by CONTENT, not position: a legitimate
+    * `LogRetention.truncate` below the watermark deletes applied
+    * segments, which both shrinks and RE-GROUPS the file listing, so a
+    * positional `drop(lastBatchId + 1)` would silently skip
+    * retained-but-unapplied chunks. Instead, on resume each chunk's max
+    * record LSN (one column-pruned footer scan of the log) is compared
+    * with the applied resume point — chunks entirely at or below it are
+    * already applied (or GC'd); everything else replays, which is safe
+    * because apply is idempotent by row version. Fresh batch ids
+    * continue from lastBatchId + 1, preserving the idempotency gate and
+    * the carryover-staging chain.
     */
   def runBatchIncremental(
       spark: SparkSession,
@@ -404,15 +511,33 @@ object CdcJob {
     val files = graft.util.Fs.listParquet(cfg.logDir).sorted
     val chunks = files.grouped(filesPerBatch).toSeq
     val from = table.refresh().summary.lastBatchId + 1
+    val todo: Seq[Seq[String]] =
+      if (from <= 0 || files.isEmpty) chunks
+      else {
+        val sm = table.current.summary
+        val resume = math.max(sm.watermarkCommit, sm.floorCommit)
+        val maxPerFile: Map[String, Long] = spark.read
+          .schema(LogRecord.schema).parquet(files: _*)
+          .select(input_file_name().as("f"), col("lsn"))
+          .groupBy(col("f")).agg(max(col("lsn")).as("m"))
+          .collect()
+          .map { r =>
+            val raw = r.getString(0)
+            val p = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
+            p -> r.getLong(1)
+          }.toMap
+        def chunkMax(chunk: Seq[String]): Long =
+          chunk.map(f => maxPerFile.getOrElse(f, Long.MaxValue)).max
+        chunks.filter(chunkMax(_) > resume)
+      }
     val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
-    var done = 0
-    chunks.zipWithIndex.drop(from.toInt).foreach { case (chunk, i) =>
-      if (done < stopAfterBatches) {
+    todo.zipWithIndex.foreach { case (chunk, j) =>
+      if (j < stopAfterBatches) {
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
-        out += processBatch(table, raw, i.toLong, cfg.broadcastAssembly, cfg.tableInclude,
-          cfg.columnTransforms, cfg.txCarryover)
-        done += 1
+        out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
+          cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
+          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters)
       }
     }
     out.toSeq

@@ -33,24 +33,45 @@ object LogRetention {
   /** Garbage-collect log segments fully below `beforeLsn` (every record
     * in the file has lsn < beforeLsn) and advance the retention marker.
     * Returns the number of deleted segment files.
+    *
+    * `beforeLsn` is additionally BOUNDED by the oldest open transaction
+    * still in the log (a tx with records but no COMMIT/ROLLBACK yet):
+    * such records precede the applied commit watermark, so a caller
+    * passing the watermark would otherwise GC change records the engine
+    * still needs when that transaction's COMMIT finally arrives — the
+    * reference's restart LSN is likewise the oldest position needed
+    * INCLUDING open transactions, not the last committed one
+    * (`InformixStreamingChangeEventSource.java:264-267`,
+    * `DbzTransactionEngine.java:194-196`).
     */
   def truncate(spark: SparkSession, logDir: String, beforeLsn: Long): Int = {
     val files = graft.util.Fs.listParquet(logDir)
     if (files.isEmpty) return 0
-    val maxPerFile = spark.read.parquet(files: _*)
+    val log = spark.read.parquet(files: _*)
+    val openRow = log.select(col("tx_id"), col("op"), col("lsn"))
+      .groupBy(col("tx_id"))
+      .agg(min(col("lsn")).as("first_lsn"),
+        max(when(col("op").isin("C", "R"), lit(1))).as("closed"))
+      .where(col("closed").isNull)
+      .agg(min(col("first_lsn")))
+      .collect()(0)
+    val bound =
+      if (openRow.isNullAt(0)) beforeLsn
+      else math.min(beforeLsn, openRow.getLong(0))
+    val maxPerFile = log
       .groupBy(input_file_name().as("f"))
       .agg(max(col("lsn")).as("maxLsn"))
       .collect()
     var deleted = 0
     maxPerFile.foreach { r =>
-      if (r.getLong(1) < beforeLsn) {
+      if (r.getLong(1) < bound) {
         // input_file_name yields a URI; strip the scheme for local paths
         val raw = r.getString(0)
         val path = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
         if (Files.deleteIfExists(Paths.get(path))) deleted += 1
       }
     }
-    val floor = math.max(beforeLsn, minRetainedLsn(logDir))
+    val floor = math.max(bound, minRetainedLsn(logDir))
     val n = mapper.createObjectNode()
     n.put("minRetainedLsn", floor)
     val tmp = Paths.get(logDir, s".retention-${java.util.UUID.randomUUID()}.json")

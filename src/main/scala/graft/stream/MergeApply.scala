@@ -355,6 +355,8 @@ object MergeApply {
         schema = newSchema,
         base = nb.filter(_._2.nonEmpty),
         deltas = nd,
+        // CDF manifest: what this apply wrote, even where folded into base
+        changed = written.filter(_._2.nonEmpty),
         summary = IceSummary(batchId,
           if (signalChannel) cur.summary.lastBatchId else batchId,
           if (signalChannel) batchId else cur.summary.lastSignalBatchId,

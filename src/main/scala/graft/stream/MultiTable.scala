@@ -37,14 +37,25 @@ object MultiTable {
       broadcastAssembly: Boolean = false,
       columnTransforms: Map[String, Map[String, String]] = Map.empty
   ): Map[String, MergeApply.MergeStats] = {
-    // one pass to drop never-captured payload before the per-table fan-out
+    // One pass to drop never-captured payload, MATERIALIZED before the
+    // per-table fan-out: without the persist each sink's apply re-scans
+    // and re-decodes the whole shared log batch (N sinks = N full log
+    // scans — linear-in-N waste at scale). DISK-backed so a batch larger
+    // than executor memory degrades to local-disk re-read, never to a
+    // source re-scan.
     val captured = rawBatch.where(
       col("op").isin("B", "C", "R", "D") ||
         col("table").isin(sinks.keys.toSeq.map(x => x: Any): _*))
-    sinks.map { case (name, tbl) =>
-      name -> CdcJob.processBatch(tbl, captured, batchId, broadcastAssembly,
-        tableInclude = Some(Seq(name)),
-        columnTransforms = columnTransforms.getOrElse(name, Map.empty))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sinks.map { case (name, tbl) =>
+        name -> CdcJob.processBatch(tbl, captured, batchId, broadcastAssembly,
+          tableInclude = Some(Seq(name)),
+          columnTransforms = columnTransforms.getOrElse(name, Map.empty))
+      }
+    } finally {
+      captured.unpersist(blocking = false)
+      ()
     }
   }
 

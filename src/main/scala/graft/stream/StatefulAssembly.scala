@@ -31,10 +31,20 @@ case class TxBuffer(records: Seq[LogRecord])
   */
 object StatefulAssembly {
 
+  /** Max records buffered per open transaction in the state store — the
+    * engine analog of the reference's bounded transaction buffering
+    * (`cdc.max.records`, `InformixConnectorConfig.java:44,387-394`). A
+    * never-committing or runaway transaction would otherwise accumulate
+    * state without limit; exceeding the cap fails the query naming the
+    * poison transaction (explicit error path — silent truncation would
+    * be data loss when the COMMIT eventually arrives).
+    */
+  val DefaultMaxBufferedPerTx: Int = 1 << 20
+
   /** Replay the reference's per-tx state machine over newly arrived
     * records; emit the transaction's events iff it closed.
     */
-  private def stepTx(
+  private def stepTx(maxBuffered: Int)(
       txId: Long,
       incoming: Iterator[LogRecord],
       state: GroupState[TxBuffer]
@@ -42,6 +52,12 @@ object StatefulAssembly {
     val buf = scala.collection.mutable.ArrayBuffer[LogRecord]()
     state.getOption.foreach(b => buf ++= b.records)
     buf ++= incoming
+    if (buf.size > maxBuffered) {
+      state.remove() // don't leave the oversized buffer behind on retry
+      throw new IllegalStateException(
+        s"transaction $txId exceeded maxBufferedPerTx=$maxBuffered buffered records " +
+          "without closing — poison transaction (raise the cap or repair the log)")
+    }
     val sorted = buf.sortBy(_.lsn)
 
     val ops = scala.collection.mutable.ArrayBuffer[LogRecord]()
@@ -70,11 +86,13 @@ object StatefulAssembly {
   }
 
   /** Raw log stream -> committed ChangeEvent stream (stateful). */
-  def assemble(raw: Dataset[LogRecord]): Dataset[ChangeEvent] = {
+  def assemble(raw: Dataset[LogRecord],
+      maxBufferedPerTx: Int = DefaultMaxBufferedPerTx): Dataset[ChangeEvent] = {
     val spark = raw.sparkSession
     import spark.implicits._
     raw.groupByKey(_.tx_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(stepTx)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        stepTx(maxBufferedPerTx))
   }
 
   /** Full stateful pipeline: tail the log, assemble transactions in the
@@ -98,9 +116,10 @@ object StatefulAssembly {
         .schema(LogRecord.schema)
         .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
         .parquet(cfg.logDir),
-      keyCol, cfg.tableInclude, cfg.columnTransforms, prune = false)
+      keyCol, cfg.tableInclude, cfg.columnTransforms, prune = false,
+      filters = cfg.filters)
       .as[LogRecord]
-    assemble(raw).toDF()
+    assemble(raw, cfg.maxTxRecords).toDF()
       .writeStream
       .queryName("graft-cdc-stateful")
       .option("checkpointLocation", cfg.checkpointDir)

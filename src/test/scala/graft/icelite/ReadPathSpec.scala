@@ -54,6 +54,71 @@ class ReadPathSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  private def replayFeed(table: IceLiteTable, before: Map[String, TokenDoc],
+      mid: Long, head: Long): Map[String, TokenDoc] = {
+    import org.apache.spark.sql.Row
+    val feed = table.changesBetween(mid, head)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"),
+        col(IceLite.VC), col(IceLite.VL), col("_change_type"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.maxBy(r => (r.getLong(4), r.getLong(5))) }
+    val got = scala.collection.mutable.Map(before.toSeq: _*)
+    feed.foreach { case (k, top: Row) =>
+      if (top.getString(6) == "d") got.remove(k)
+      else got(k) = TokenDoc(k, top.getSeq[Int](1), top.getInt(2), top.getString(3))
+    }
+    got.toMap
+  }
+
+  test("change feed stays exact across same-commit compaction (and after orphan GC)") {
+    import spark.implicits._
+    // small bucket count + many single-file batches force delta chains past
+    // maxDeltaChain, so several applies compact buckets IN their own commit
+    val cfg = ChangeLogConfig(nTx = 500, nDocs = 120, seed = 101, deletePct = 15)
+    val base = Fs.tempDir("graft-cdfcompact")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 2)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 12)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val head = table.refresh().snapshotId
+    // the fixture really exercised the bug path: some commit recorded
+    // changed files for a bucket it compacted in the same commit
+    val snaps = (2L to head).map(v => IceLite.readSnapshotFile(table.root, v))
+    val compactingApplies = snaps.count { s =>
+      s.changed.nonEmpty && s.changed.keys.exists(b =>
+        s.deltas.getOrElse(b, Nil).isEmpty && s.base.getOrElse(b, Nil).nonEmpty)
+    }
+    assert(compactingApplies > 0,
+      s"fixture never compacted inside an apply commit — raise nTx or lower maxDeltaChain")
+    val want = table.readAt(head).as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    val before = table.readAt(2L).as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    val got = replayFeed(table, before, mid = 2L, head = head)
+    assert(got.keySet == want.keySet,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens mismatch $k") }
+    // orphan GC must preserve the retained feed (manifests are protected)
+    Maintenance.gcOrphans(table)
+    val got2 = replayFeed(table, before, mid = 2L, head = head)
+    assert(got2.keySet == want.keySet)
+    want.foreach { case (k, w) => assert(got2(k).tokens == w.tokens, s"tokens mismatch post-GC $k") }
+    Fs.deleteRecursively(base)
+  }
+
+  test("snapshot expiry bounds the feed horizon; latest read survives the gap") {
+    val (base, table) = pipeline(seed = 103)
+    val head = table.refresh().snapshotId
+    assert(Maintenance.expireSnapshots(table, keepLast = 2) > 0)
+    // latest still resolves (directory scan, not v0 probing)
+    assert(IceLite.load(spark, table.root).current.snapshotId == head)
+    assert(IceLite.exists(table.root))
+    // feed over the retained tail still works; expired range throws
+    assert(table.changesBetween(head - 1, head).columns.contains("_change_type"))
+    intercept[Exception](table.changesBetween(0L, head).collect())
+    Fs.deleteRecursively(base)
+  }
+
   test("change feed: readAt(v) + changes(v, head] replays to readAt(head)") {
     import spark.implicits._
     val (base, table) = pipeline(seed = 97)

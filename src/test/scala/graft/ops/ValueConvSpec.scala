@@ -55,6 +55,14 @@ class ValueConvSpec extends SparkSpec {
     assert(math.abs(one(decimalDouble(u, 6)).getDouble(0) - 1234.567891) < 1e-9)
   }
 
+  test("decimal string mode renders negatives, incl. (-1, 0) magnitudes") {
+    // the reference's decimal.handling.mode=string has no sign restriction
+    assert(one(decimalString(lit(-50L), 2)).getString(0) == "-0.50")
+    assert(one(decimalString(lit(-1234567891L), 6)).getString(0) == "-1234.567891")
+    assert(one(decimalString(lit(-7L), 0)).getString(0) == "-7")
+    assert(one(decimalString(lit(0L), 2)).getString(0) == "0.00")
+  }
+
   test("variable-scale decimal golden: 77.323 -> {scale 3, value 77323}; trailing zeros stripped (test :118-121)") {
     assert(one(variableScaleDecimal(lit(77323L), 3)).getStruct(0) == Row(3, 77323L))
     // 49.00 at max scale 2 -> {0, 49}; 49.10 -> {1, 491}

@@ -45,6 +45,40 @@ class EmissionSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("emitDir wires the config switches into the streaming path (E1/E2/E5 sink)") {
+    import graft.changelog.{ChangeLogConfig => CLC}
+    val cfg = CLC(nTx = 100, nDocs = 60, seed = 85)
+    val base = Fs.tempDir("graft-emitdir")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4,
+      emitDir = Some(s"$base/emit"), tombstonesOnDelete = true)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    // every batch produced an emitted-record dir and a tx-metadata dir
+    val emitted = spark.read.parquet(s"$base/emit/batch-*")
+    val txMeta = spark.read.parquet(s"$base/emit/tx-batch-*")
+    val deletes = emitted.where(col("op") === "d").count()
+    assert(deletes > 0, "fixture must contain deletes")
+    assert(emitted.where(col("op") === "tombstone").count() == deletes,
+      "tombstones.on.delete=true must emit one tombstone per delete")
+    assert(emitted.where(col("op") === "tombstone" && col("after").isNotNull).count() == 0)
+    // envelope completeness: emitted records carry commit timestamps
+    assert(emitted.where(col("op").isin("c", "u", "d") && col("ts_ms").isNull).count() == 0)
+    // committed transactions got metadata rows; rolled-back ones none
+    assert(txMeta.where(col("commit_lsn").isNull).count() == 0)
+    assert(txMeta.count() > 0)
+    // switches off: no tombstones emitted
+    val cdcOff = cdc.copy(tableRoot = s"$base/table2", checkpointDir = s"$base/ckpt2",
+      emitDir = Some(s"$base/emit2"), tombstonesOnDelete = false)
+    val t2 = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdcOff, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, t2, cdcOff, filesPerBatch = 2)
+    assert(spark.read.parquet(s"$base/emit2/batch-*")
+      .where(col("op") === "tombstone").count() == 0)
+    Fs.deleteRecursively(base)
+  }
+
   test("cdc.return.empty.transactions: empty committed txs appear only when enabled") {
     val (base, raw) = fixture()
     // splice a committed-but-empty transaction into the raw batch

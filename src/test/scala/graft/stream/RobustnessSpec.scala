@@ -187,6 +187,106 @@ class RobustnessSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("restart after LEGAL log GC below the watermark still applies every remaining segment") {
+    val cfg = ChangeLogConfig(nTx = 200, nDocs = 120, seed = 79)
+    val base = Fs.tempDir("graft-gcresume")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 8)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    // apply 4 of 8 segments, stop (simulated restart window)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1, stopAfterBatches = 4)
+    val wm = table.refresh().summary.watermarkCommit
+    // legal GC: truncate AT the watermark — deletes only applied segments,
+    // passes offset validation, but shrinks + regroups the file listing
+    val nBefore = Fs.listParquet(cdc.logDir).size
+    assert(LogRetention.truncate(spark, cdc.logDir, wm) > 0, "no applied segments were GC'd")
+    val nAfter = Fs.listParquet(cdc.logDir).size
+    assert(nAfter < nBefore)
+    assert(CdcJob.validateRestartOffset(table, cdc), "GC below watermark must stay valid")
+    // resume: content-based skip must apply ALL retained-but-unapplied
+    // segments (a positional drop would skip them and apply nothing)
+    val resumed = CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    assert(resumed.count(s => s.committed && s.events > 0) >= nAfter - 1,
+      s"resume applied too little: ${resumed.map(s => (s.batchId, s.events))}")
+    assertEqual(cdc.tableRoot, oracle(cfg))
+    Fs.deleteRecursively(base)
+  }
+
+  test("log GC is bounded by the oldest OPEN transaction's records") {
+    import spark.implicits._
+    val base = Fs.tempDir("graft-gcopen")
+    val logDir = s"$base/log"
+    def rec(lsn: Long, tx: Long, op: String) =
+      LogRecord(lsn, tx, op, -1L, "token_docs", None,
+        if (op == "c") Some(TokenDoc(s"doc$lsn", Seq(1), 1, "cdc")) else None, 0L)
+    // file1: tx1 fully closed (lsn 1-3); file2: tx2 OPEN (records 4,5 — its
+    // commit hasn't been written yet); file3: tx3 closed (lsn 6-8)
+    Seq(Seq(rec(1, 1, "B"), rec(2, 1, "c"), rec(3, 1, "C")),
+        Seq(rec(4, 2, "B"), rec(5, 2, "c")),
+        Seq(rec(6, 3, "B"), rec(7, 3, "c"), rec(8, 3, "C")))
+      .zipWithIndex.foreach { case (rs, i) =>
+        val tmp = f"$logDir-stage/f$i"
+        rs.toDS().toDF().coalesce(1).write.parquet(tmp)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(Fs.listParquet(tmp).head),
+          java.nio.file.Paths.get(f"$logDir/seg-$i%03d.parquet"))
+      }
+    // caller asks to GC everything below 9 (e.g. the applied commit
+    // watermark) — but tx2 is still open, so only records below ITS first
+    // record (lsn 4) may go: file1 deleted, files 2-3 retained
+    val deleted = LogRetention.truncate(spark, logDir, beforeLsn = 9L)
+    assert(deleted == 1, s"expected exactly file1 deleted, got $deleted")
+    assert(Fs.listParquet(logDir).size == 2)
+    assert(LogRetention.minRetainedLsn(logDir) == 4L,
+      "retention marker must stop at the open transaction's first record")
+    Fs.deleteRecursively(base)
+  }
+
+  test("regex table include/exclude and column exclude (F1/F2 regex parity)") {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 60, nDocs = 40, seed = 89)
+    val base = Fs.tempDir("graft-refilter")
+    ChangeLogGen.writeLog(spark, cfg, s"$base/log", 1)
+    // splice captured-by-regex and excluded-by-regex tables into the log
+    val alien = Seq(
+      LogRecord(Long.MaxValue - 10, 888888L, "B", -1L, "token_aux", None, None, 0L),
+      LogRecord(Long.MaxValue - 9, 888888L, "c", -1L, "token_aux", None,
+        Some(TokenDoc("docAUX", Seq(7), 1, "aux")), 0L),
+      LogRecord(Long.MaxValue - 8, 888888L, "C", -1L, "token_aux", None, None, 0L),
+      LogRecord(Long.MaxValue - 7, 888887L, "B", -1L, "token_tmp_scratch", None, None, 0L),
+      LogRecord(Long.MaxValue - 6, 888887L, "c", -1L, "token_tmp_scratch", None,
+        Some(TokenDoc("docTMP", Seq(8), 1, "tmp")), 0L),
+      LogRecord(Long.MaxValue - 5, 888887L, "C", -1L, "token_tmp_scratch", None, None, 0L))
+    alien.toDS().toDF().write.mode("append").parquet(s"$base/log")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4,
+      filters = CaptureFilters(
+        tableIncludeRegex = Some(Seq("token_.*")),
+        tableExcludeRegex = Seq("token_tmp_.*"),
+        // excluded column: captured rows ship with source = NULL
+        columnExcludeRegex = Seq("token_docs\\.source")))
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 10)
+    val rows = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(rows.contains("docAUX"), "regex-included table must be captured")
+    assert(!rows.contains("docTMP"), "regex-excluded table must not be captured")
+    // every row written by the stream has its excluded column nulled;
+    // seed (snapshot) rows keep theirs — exclusion is a capture-side rule
+    val want = oracle(cfg)
+    want.foreach { case (k, w) =>
+      if (k != "docAUX" && rows.contains(k)) {
+        assert(rows(k).tokens == w.tokens, s"tokens mismatch $k")
+        if (w.source == "cdc") assert(rows(k).source == null, s"excluded column leaked on $k")
+        else assert(rows(k).source == "seed")
+      }
+    }
+    // the pattern is table-qualified: token_aux.source is NOT excluded
+    assert(rows("docAUX").source == "aux")
+    Fs.deleteRecursively(base)
+  }
+
   test("table include filter (F1): uncaptured tables' ops never apply") {
     import spark.implicits._
     val cfg = ChangeLogConfig(nTx = 80, nDocs = 60, seed = 67)

@@ -46,6 +46,25 @@ class StatefulAssemblySpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("poison transaction: per-tx state bound fails fast instead of growing without limit") {
+    import spark.implicits._
+    import graft.model.{LogRecord, TokenDoc}
+    // a transaction that streams records forever and never commits
+    val poison = (1L to 50L).map(i =>
+      LogRecord(i, 42L, "c", -1L, "token_docs", None,
+        Some(TokenDoc(s"doc$i", Seq(1), 1, "cdc")), 0L))
+    val ds = poison.toDS()
+    val ex = intercept[Exception] {
+      StatefulAssembly.assemble(ds, maxBufferedPerTx = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBufferedPerTx")),
+      s"expected the poison-tx error, got: ${msgs(ex).take(3)}")
+    // under the default bound the same stream is fine (buffered, no emit)
+    assert(StatefulAssembly.assemble(ds).collect().isEmpty)
+  }
+
   test("watermarked windowed event-rate metrics cover every data event") {
     val cfg = ChangeLogConfig(nTx = 100, nDocs = 50, seed = 109)
     val base = Fs.tempDir("graft-metrics")
