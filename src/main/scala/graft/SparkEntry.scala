@@ -51,22 +51,31 @@ object SparkEntry {
       "sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))"
   }
 
-  /** MinHash signature CTEs hm, sig — generated from Dedup.MinhashA/B so
-    * the oracle replays the exact permutations.
+  /** MinHash signature CTEs hm, sig — generated from the ACTIVE
+    * Dedup.MinhashA/B constants (k = Dedup.MinhashK permutations) so the
+    * oracle replays the exact permutations at any parameterization.
+    * `sig` is MATERIALIZED: the band CTE references it
+    * Dedup.minhashBands times.
     */
   private def MINHASH_SIG: String = {
     val sigCols = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a*h + $b) % ${Dedup.MinhashP}) AS s$i"
     }.mkString(", ")
     s"hm AS (SELECT doc_id, ${H("s")} % ${Dedup.MinhashP} AS h FROM sh),\n" +
-      s"sig AS (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id)"
+      s"sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id)"
   }
 
-  /** LSH band buckets CTE b over sig (band i = s(2i)*31 + s(2i+1)). */
+  /** LSH band buckets CTE b over sig: band bucket = the same
+    * overflow-free fold Dedup.bandBucket computes —
+    * fold((acc*31 + s_i) % 2^56) over the band's rows.
+    */
   private def MINHASH_BANDS: String = {
     val bands = (0 until Dedup.minhashBands).map { b =>
-      val lo = b * Dedup.MinhashRowsPerBand
-      s"SELECT doc_id, $b AS band, s$lo*31+s${lo + 1} AS bucket FROM sig"
+      val bucket = (0 until Dedup.MinhashRowsPerBand).foldLeft("CAST(0 AS BIGINT)") {
+        (acc, j) =>
+          s"(($acc*31 + s${b * Dedup.MinhashRowsPerBand + j}) % ${Dedup.MinhashBucketMod})"
+      }
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     s"b AS ($bands)"
   }
@@ -267,28 +276,73 @@ object SparkEntry {
     })
   )
 
-  /** Rows-only entry: the actual CDC engine (generator -> snapshot ->
-    * batch merge-apply -> read back) on a small deterministic log.
+  /** The deterministic log config behind `cdc_engine_replay` — shared
+    * with `Verify`, which dumps the same generated log + seed table to
+    * parquet so the DuckDB oracle can replay the ENGINE's semantics
+    * (committed-tx assembly, savepoint discards, LWW over
+    * (commit_lsn, change_lsn), snapshot union at the pin) in pure SQL.
+    */
+  val EngineReplayCfg: graft.changelog.ChangeLogConfig =
+    graft.changelog.ChangeLogConfig(nTx = 100, nDocs = 100)
+
+  /** The actual CDC engine end-to-end (generator -> snapshot -> batch
+    * merge-apply -> merged read-back) on a small deterministic log.
+    * `tok_fp` is a portable hash of the token array, so the oracle
+    * compare adjudicates the north-star token-array-equality invariant
+    * per doc_id (arrays themselves cannot be output columns — the
+    * driver compare sorts flat scalars only).
     */
   private def engineReplay(spark: SparkSession): DataFrame = {
     import graft.changelog._
     import graft.stream._
     val base = graft.util.Fs.tempDir("graft-entry")
     try {
-      val cfg = ChangeLogConfig(nTx = 100, nDocs = 100)
+      val cfg = EngineReplayCfg
       val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
       ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
       val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
         cdc, ChangeLogGen.snapshotLsn)
       CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
-      val out = table.read().select(col("doc_id"), col("n_tok"), col("source"))
+      val out = table.read().select(col("doc_id"), col("n_tok"), col("source"),
+          conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
+            1, 14), 16, 10).cast("long").as("tok_fp"))
         .orderBy(col("doc_id"))
       out.cache(); out.count() // materialize before temp dir cleanup
       out
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** The `{AUX}` token is replaced by [[Verify]] with the absolute path
+    * of its aux-dump directory (the deterministically regenerated engine
+    * log + seed table for `cdc_engine_replay`).
+    */
   def oracleSql: Map[String, String] = Map(
+    // The engine's E2E final state, replayed in pure SQL: committed-tx
+    // assembly (rollbacks drop, savepoint DISCARD ranges drop), LWW by
+    // (commit_lsn, change_lsn) per key, snapshot rows unioned at the pin
+    // (every stream event beats them), deletes excluded. tok_fp checks
+    // token-array equality — the north-star per-row invariant.
+    "cdc_engine_replay" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
     "s1_snapshot_scan" ->
       "SELECT doc_id, n_chars, source FROM documents ORDER BY doc_id",
     "s2_offset_pin" ->

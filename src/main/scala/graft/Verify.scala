@@ -38,8 +38,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Aux oracle inputs: the engine-replay query runs the REAL engine on
+    // a deterministically generated log; the same log + seed table are
+    // dumped here so its DuckDB oracle replays the identical records.
+    // Kept OUTSIDE outDir (fixed tmp path) so the driver's result-dir
+    // scan sees only query dumps; {AUX} in the SQL resolves to it.
+    val auxDir = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_verify_aux")
+      .toAbsolutePath.toString
+    locally {
+      import graft.changelog.ChangeLogGen
+      val cfg = SparkEntry.EngineReplayCfg
+      ChangeLogGen.writeLog(spark, cfg, s"$auxDir/engine_log", numFiles = 2)
+      ChangeLogGen.initialTable(spark, cfg).toDF()
+        .write.mode("overwrite").parquet(s"$auxDir/engine_seed")
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -105,20 +105,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
 
-  /** Fixed MinHash permutation constants (a*h+b mod p over the portable
-    * shingle hash). Literals so SQL oracles can reproduce them.
-    * k = MinhashA.size = 8 permutations; banding below pairs them into
-    * 4 bands of 2 rows.
+  /** MinHash parameterization — production-class: k = 128 permutations
+    * banded as 16 bands of 8 rows (the standard near-dup operating point:
+    * 50% candidate probability at jaccard ≈ (1/16)^(1/8) ≈ 0.71, sharp
+    * cutoff below). The permutation constants (a*h+b mod p over the
+    * portable shingle hash) are derived deterministically from MD5 — the
+    * same portable recipe as the sign-LSH plane tables — and are
+    * interpolated as LITERALS into the generated SQL oracles, so any
+    * engine replays the exact permutations. Override k/rows via
+    * `graft.minhash.k` / `graft.minhash.rowsPerBand` system properties
+    * (k must stay a multiple of rowsPerBand); the oracle SQL is always
+    * generated from the ACTIVE constants.
     */
   val MinhashP: Long = 2147483647L
-  val MinhashA: Seq[Long] = Seq(1103515245L, 1299709L, 15485863L, 32452843L,
-    179424673L, 413158511L, 961748927L, 982451653L)
-  val MinhashB: Seq[Long] = Seq(12345L, 362437L, 104729L, 49979687L,
-    15487469L, 32452867L, 67867967L, 86028121L)
+  val MinhashK: Int = Integer.getInteger("graft.minhash.k", 128)
+  val MinhashRowsPerBand: Int = Integer.getInteger("graft.minhash.rowsPerBand", 8)
+  require(MinhashK % MinhashRowsPerBand == 0, "k must be a multiple of rowsPerBand")
 
-  /** Rows (signature components) per LSH band. */
-  val MinhashRowsPerBand: Int = 2
+  /** Deterministic portable constant in [lo, mod): MD5("<tag>:<i>")'s
+    * first 14 hex digits, reduced — the recipe any engine can replay.
+    */
+  private def mhConst(tag: String, i: Int, lo: Long, mod: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$tag:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 14)
+    lo + java.lang.Long.parseLong(hex, 16) % (mod - lo)
+  }
+  val MinhashA: Seq[Long] = (0 until MinhashK).map(i => mhConst("mh_a", i, 1L, MinhashP))
+  val MinhashB: Seq[Long] = (0 until MinhashK).map(i => mhConst("mh_b", i, 0L, MinhashP))
+
   def minhashBands: Int = MinhashA.size / MinhashRowsPerBand
+
+  /** Band-bucket fold modulus: bucket = fold((acc*31 + s_i) % 2^56) over
+    * the band's signature components. 2^56 keeps every intermediate
+    * product within BIGINT in both engines (acc < 2^56, *31 < 2^61), so
+    * the fold is overflow-free and bit-identical in SQL.
+    */
+  val MinhashBucketMod: Long = 1L << 56
+
+  /** The band's bucket id from its signature component columns. */
+  private[graft] def bandBucket(components: Seq[Column]): Column =
+    components.foldLeft(lit(0L).cast("long"))((acc, c) =>
+      pmod(acc * 31 + c, lit(MinhashBucketMod)))
 
   /** MinHash signatures: k portable permutations, min over the DF-capped
     * shingles. One `groupBy(doc_id)` with map-side partial min —
@@ -144,8 +172,8 @@ object Dedup {
     val sig = minhashSignatures(df, n, textCol, maxDocFreq)
     val bandStructs = (0 until minhashBands).map { b =>
       struct(lit(b).as("band"),
-        (col(s"s${b * MinhashRowsPerBand}") * 31 +
-          col(s"s${b * MinhashRowsPerBand + 1}")).as("bucket"))
+        bandBucket((0 until MinhashRowsPerBand).map(j =>
+          col(s"s${b * MinhashRowsPerBand + j}"))).as("bucket"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

@@ -42,13 +42,21 @@ class OpsSpec extends SparkSpec {
 
   test("minhash LSH candidates superset high-jaccard pairs; signatures identical for identical docs") {
     val sig = Dedup.minhashSignatures(dupFixture).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L).size == Dedup.MinhashK) // full production signature width
     assert(sig(1L) == sig(2L)) // identical text -> identical signature
     val cands = Dedup.minhashCandidates(dupFixture)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(cands.contains((1L, 2L)))
-    // jaccard(1,3) is high (one word changed) -> banding should catch it
-    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)))
+    assert(cands.contains((1L, 2L))) // identical docs collide in every band
+    // production banding (16 bands of 8 rows) has its 50% candidate point
+    // at jaccard ~ (1/16)^(1/8) = 0.71 — a sharp cutoff by design. A
+    // j~0.85 near-dup (one word of 40 changed) must band-collide:
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val hi = Seq((1L, words), (2L, words.replace("w20 ", "zz "))).toDF("doc_id", "text")
+    val hiCands = Dedup.minhashCandidates(hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hiCands.contains((1L, 2L)), "high-jaccard near-dup must band-collide")
   }
 
   test("simhash: identical docs equal; near-dups within small hamming distance") {
