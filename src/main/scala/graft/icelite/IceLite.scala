@@ -124,24 +124,65 @@ final class IceLiteTable private[icelite] (
     * bucket has deltas the groupBy is skipped entirely (base files hold
     * unique keys), so a freshly compacted table reads at raw scan cost.
     */
-  def readMerged(buckets: Seq[Int]): DataFrame = {
+  def readMerged(buckets: Seq[Int]): DataFrame = mergedOf(snap, buckets)
+
+  /** The merge-on-read plan, scale-shaped: the BASE of the table is
+    * never shuffled.
+    *
+    *   - buckets without deltas stream straight off their base files
+    *     (unique keys by construction);
+    *   - for buckets WITH deltas, the deltas are LWW-reduced (a shuffle
+    *     of O(delta) rows — bounded by maxDeltaChain x batch size, never
+    *     by table size), their key set is BROADCAST against the base,
+    *     splitting it into untouched rows (left_anti — emitted as-is,
+    *     zero exchange) and touched rows (left_semi — O(delta) of them),
+    *     and only touched ∪ delta rows go through the final LWW.
+    *
+    * The previous shape — one global `groupBy(key)` over base + deltas —
+    * re-shuffled the WHOLE table on every read with deltas; at 100 TB
+    * that is a table-wide exchange to reconcile a few delta files. The
+    * broadcast plan's exchanges scale with the delta chain instead.
+    * When the delta bytes exceed [[IceLite.broadcastDeltaReadBytes]]
+    * (not broadcastable), it falls back to the global groupBy for the
+    * dirty buckets only — clean buckets always bypass.
+    */
+  private def mergedOf(s: IceSnapshot, buckets: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sm = snap.summary
+    val sm = s.summary
     // null-key rows are truncate markers; rows at/below the truncate
     // floor were wiped by a TRUNCATE (E3) — both invisible to readers
-    val raw = readSnapshot(snap, buckets)
-      .where(col(snap.keyCol).isNotNull &&
+    def visible(df: DataFrame): DataFrame =
+      df.where(col(s.keyCol).isNotNull &&
         (col(IceLite.VC) > sm.truncCommit ||
           (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
-    val hasDeltas = buckets.exists(b => snap.deltas.getOrElse(b, Nil).nonEmpty)
-    if (!hasDeltas) raw
-    else {
+    def lww(df: DataFrame): DataFrame = {
       graft.plans.LwwMaxBy.register(spark)
-      val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
-      raw.groupBy(col(snap.keyCol).as("__k"))
+      val payloadSql = df.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
+      df.groupBy(col(s.keyCol).as("__k"))
         .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
         .select(col("w.*"))
     }
+    val (dirty, clean) = buckets.partition(b => s.deltas.getOrElse(b, Nil).nonEmpty)
+    val cleanDf = visible(scanFiles(s, clean.flatMap(b => s.base.getOrElse(b, Nil))))
+    if (dirty.isEmpty) return cleanDf
+    val deltaFiles = dirty.flatMap(b => s.deltas.getOrElse(b, Nil))
+    val baseFiles = dirty.flatMap(b => s.base.getOrElse(b, Nil))
+    val deltaBytes = deltaFiles.map { f =>
+      try Files.size(Paths.get(dataPath(f)))
+      catch { case NonFatal(_) => Long.MaxValue / 1024 }
+    }.sum
+    if (deltaBytes > IceLite.broadcastDeltaReadBytes) {
+      // chain too large to broadcast: global LWW over the dirty buckets
+      val raw = visible(scanFiles(s, baseFiles ++ deltaFiles))
+      return cleanDf.unionByName(lww(raw))
+    }
+    val deltaW = lww(visible(scanFiles(s, deltaFiles)))
+    val deltaKeys = deltaW.select(col(s.keyCol))
+    val baseDf = visible(scanFiles(s, baseFiles))
+    val untouched = baseDf.join(broadcast(deltaKeys), Seq(s.keyCol), "left_anti")
+    val touched = baseDf.join(broadcast(deltaKeys), Seq(s.keyCol), "left_semi")
+    val merged = lww(touched.unionByName(deltaW))
+    cleanDf.unionByName(untouched).unionByName(merged)
   }
 
   /** Point lookup with bucket pruning: the bucket of each key is
@@ -209,35 +250,24 @@ final class IceLiteTable private[icelite] (
 
   /** Time travel: read the table as of an older snapshot id. */
   def readAt(snapshotId: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions.{col, not}
     val s = IceLite.readSnapshotFile(root, snapshotId)
-    val sm = s.summary
-    val raw = readSnapshot(s, s.buckets)
-      .where(col(s.keyCol).isNotNull &&
-        (col(IceLite.VC) > sm.truncCommit ||
-          (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
-    val hasDeltas = s.deltas.values.exists(_.nonEmpty)
-    val merged =
-      if (!hasDeltas) raw
-      else {
-        graft.plans.LwwMaxBy.register(spark)
-        val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
-        raw.groupBy(col(s.keyCol).as("__k"))
-          .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
-          .select(col("w.*"))
-      }
-    merged.where(!col(IceLite.TOMB)).drop(IceLite.metaColumns: _*)
+    mergedOf(s, s.buckets)
+      .where(not(col(IceLite.TOMB)))
+      .drop(IceLite.metaColumns: _*)
   }
 
-  private def readSnapshot(s: IceSnapshot, buckets: Seq[Int]): DataFrame = {
+  private def readSnapshot(s: IceSnapshot, buckets: Seq[Int]): DataFrame =
+    scanFiles(s, buckets.flatMap(b =>
+      s.base.getOrElse(b, Nil) ++ s.deltas.getOrElse(b, Nil)))
+
+  private def scanFiles(s: IceSnapshot, files: Seq[String]): DataFrame = {
     val full = IceLite.withMeta(s.schema)
-    val paths = buckets.flatMap(b =>
-      s.base.getOrElse(b, Nil) ++ s.deltas.getOrElse(b, Nil)).map(dataPath)
-    if (paths.isEmpty)
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     // explicit schema => files written before an additive ALTER read the
     // new column as null (reference: new columns nullable, additive only)
-    else spark.read.schema(full).parquet(paths: _*)
+    else spark.read.schema(full).parquet(files.map(dataPath): _*)
   }
 
   /** Optimistic atomic commit. Returns true on success; false if another
@@ -379,6 +409,13 @@ object IceLite {
   val VL = "__vl"
   val TOMB = "__tomb"
   val metaColumns: Seq[String] = Seq(VC, VL, TOMB)
+
+  /** Ceiling (total delta file bytes per read) up to which merge-on-read
+    * uses the broadcast-delta plan; larger chains fall back to a global
+    * LWW groupBy over the dirty buckets. The broadcast ships only the
+    * delta KEY column, a small fraction of these bytes.
+    */
+  var broadcastDeltaReadBytes: Long = 256L << 20
 
   /** Driver-side bucket function — MUST equal Spark's
     * `pmod(hash(key), n)` (murmur3 of the UTF8 bytes, seed 42).

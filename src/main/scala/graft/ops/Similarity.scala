@@ -233,6 +233,12 @@ object Similarity {
     * pattern), probe each query's `nprobe` nearest cells, rank by exact
     * cosine within the probed cells. The only corpus-wide operations are
     * one projection and one equi-join against the tiny probe set.
+    *
+    * Assignment/probing run through the compiled
+    * [[graft.plans.IvfProbeOrder]] expression (centroid table baked in):
+    * one pass per row instead of per-row x per-cell interpreted
+    * `aggregate`/`zip_with` lambdas — bit-identical cell choices
+    * (integer L2, (distance, cid) tie-break; pinned by VecMathSpec).
     */
   def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
       kCells: Int = 8, nprobe: Int = 2, iters: Int = 2, sampleMod: Int = 4): DataFrame = {
@@ -240,19 +246,16 @@ object Similarity {
       trainIvfCentroids(corpus, kCells, iters, sampleMod).collect()
         .map(r => (r.getInt(0), r.getSeq[Long](1)))
         .sortBy(_._1)
-    def distStructs(q: Column): Seq[Column] = cents.map { case (cid, c) =>
-      struct(l2(q, typedLit(c)).as("d"), lit(cid).as("cid"))
-    }.toSeq
-    // nearest cell = lexicographic least of (distance, cid) structs
-    def cellOf(q: Column): Column = least(distStructs(q): _*).getField("cid")
-    // nprobe nearest cells = sorted prefix of the same structs
-    def probesOf(q: Column, n: Int): Column =
-      transform(slice(array_sort(array(distStructs(q): _*)), 1, n), x => x.getField("cid"))
+    val centSeqs: Seq[Seq[Long]] = cents.map(_._2).toSeq // index == cid
+    val fname = s"ivf_probes_k${centSeqs.size}_" +
+      (scala.util.hashing.MurmurHash3.seqHash(centSeqs.flatten) & Int.MaxValue)
+    graft.plans.VecMath.registerIvfProbes(corpus.sparkSession, fname, centSeqs)
+    def probeOrder(embCol: String): Column = expr(s"$fname(`$embCol`)")
 
     val corpusCells = corpus.select(col("vec_id"), col("embedding"),
-      cellOf(quantized(col("embedding"))).as("cell"))
+      element_at(probeOrder("embedding"), 1).as("cell"))
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(probesOf(quantized(col("embedding")), nprobe)).as("cell"))
+        explode(slice(probeOrder("embedding"), 1, nprobe)).as("cell"))
     val scored = corpusCells.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .withColumn("cos", fastCosine(corpus, "q_emb", "embedding"))

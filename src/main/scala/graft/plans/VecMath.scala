@@ -141,6 +141,74 @@ case class SignLshBuckets(child: Expression, bands: Int, planesPerBand: Int,
     copy(child = newChild)
 }
 
+/** `<name>(emb)` -> array<int> of ALL centroid ids ordered by (integer
+  * squared-L2 distance, cid) ascending — the IVF coarse-quantizer
+  * assignment (element 1) and probe order (prefix) in ONE compiled pass
+  * over the raw embedding: quantize each float once (Spark-exact HALF_UP,
+  * bit-identical to `round(v*10000)`), then integer distances against
+  * the baked-in centroid table.
+  *
+  * Replaces the interpreted `aggregate(zip_with(...))` L2 lambdas that
+  * previously ran per row x cell (the bench's slowest ANN query):
+  * same integer arithmetic, same (distance, cid) lexicographic
+  * tie-break, so cell assignments are bit-identical to the column form
+  * AND to the SQL oracles that replay the k-means trainer.
+  *
+  * CodegenFallback for the same reason as [[SignLshBuckets]]: the cost
+  * that mattered was per-element interpreted lambda dispatch; this is
+  * one virtual call per row around tight JIT-compiled loops.
+  */
+case class IvfProbeOrder(child: Expression, centroids: Seq[Seq[Long]])
+    extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_probe_order"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ivf_probe_order requires array<float>, got ${dt.simpleString}")
+    }
+
+  @transient private lazy val centArr: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = VecMath.roundHalfUp(arr.getFloat(i).toDouble * 10000.0)
+      i += 1
+    }
+    val k = centArr.length
+    val d = new Array[Long](k)
+    var cid = 0
+    while (cid < k) {
+      val c = centArr(cid)
+      var s = 0L
+      var j = 0
+      val m = math.min(n, c.length)
+      while (j < m) { val diff = q(j) - c(j); s += diff * diff; j += 1 }
+      d(cid) = s
+      cid += 1
+    }
+    // ids sorted by (distance, cid) — cid-ascending init + stable sort
+    val order = Array.range(0, k)
+    val boxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, (a: Integer, b: Integer) =>
+      if (d(a) != d(b)) java.lang.Long.compare(d(a), d(b)) else a - b)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed.map(_.intValue()))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbeOrder =
+    copy(child = newChild)
+}
+
 object VecMath {
   /** Spark-exact HALF_UP rounding of a double to a long — the same
     * BigDecimal path `round()` takes, so quantization never drifts from
@@ -164,5 +232,15 @@ object VecMath {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => SignLshBuckets(exprs(0), bands, planesPerBand, planes),
+      "built-in")
+
+  /** Register an IVF probe-order function with its centroid table baked
+    * in (name must encode the model — the registry closure captures it).
+    */
+  def registerIvfProbes(spark: SparkSession, name: String,
+      centroids: Seq[Seq[Long]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => IvfProbeOrder(exprs(0), centroids),
       "built-in")
 }

@@ -489,13 +489,17 @@ object CdcJob {
     * `LogRetention.truncate` below the watermark deletes applied
     * segments, which both shrinks and RE-GROUPS the file listing, so a
     * positional `drop(lastBatchId + 1)` would silently skip
-    * retained-but-unapplied chunks. Instead, on resume each chunk's max
-    * record LSN (one column-pruned footer scan of the log) is compared
-    * with the applied resume point — chunks entirely at or below it are
-    * already applied (or GC'd); everything else replays, which is safe
-    * because apply is idempotent by row version. Fresh batch ids
-    * continue from lastBatchId + 1, preserving the idempotency gate and
-    * the carryover-staging chain.
+    * retained-but-unapplied chunks. Instead, on resume each chunk is
+    * tested against the applied resume point (one column-pruned scan of
+    * the log): a chunk is already applied iff its max record LSN is at
+    * or below it. That test is exact because the watermark advances over
+    * EVERY closed transaction — rollbacks and empty commits emit
+    * position markers ([[TxAssembler.MarkerOp]]) — so an applied
+    * commit-aligned segment's last record is always covered; chunks that
+    * replay anyway (carryover tails) are harmless since apply is
+    * idempotent by row version. Fresh batch ids continue from
+    * lastBatchId + 1, preserving the idempotency gate and the
+    * carryover-staging chain.
     */
   def runBatchIncremental(
       spark: SparkSession,
@@ -522,13 +526,18 @@ object CdcJob {
           .groupBy(col("f")).agg(max(col("lsn")).as("m"))
           .collect()
           .map { r =>
+            // input_file_name yields a URI (file:///...); key by plain path
             val raw = r.getString(0)
-            val p = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
+            val p =
+              if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
             p -> r.getLong(1)
           }.toMap
-        def chunkMax(chunk: Seq[String]): Long =
-          chunk.map(f => maxPerFile.getOrElse(f, Long.MaxValue)).max
-        chunks.filter(chunkMax(_) > resume)
+        // the watermark advances over EVERY closed transaction (position
+        // markers), so an applied commit-aligned segment always has
+        // maxLsn <= resume; unknown files replay (idempotent)
+        def needsApply(chunk: Seq[String]): Boolean =
+          chunk.exists(f => maxPerFile.getOrElse(f, Long.MaxValue) > resume)
+        chunks.filter(needsApply)
       }
     val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
     todo.zipWithIndex.foreach { case (chunk, j) =>

@@ -74,11 +74,18 @@ object StatefulAssembly {
     closed match {
       case Some(c) =>
         state.remove()
-        if (c.op == "R") Iterator.empty // T2: rollback discards everything
+        // position marker at (close, close): the offset advances on every
+        // closed tx — rollbacks and empty commits included (R3, reference
+        // `InformixStreamingChangeEventSource.java:393-403`)
+        val marker = Iterator.single(ChangeEvent(
+          commit_lsn = c.lsn, change_lsn = c.lsn, begin_lsn = begin,
+          tx_id = txId, op = TxAssembler.MarkerOp, table = c.table,
+          before = None, after = None, ts_ms = c.ts_ms))
+        if (c.op == "R") marker // T2: rollback discards everything
         else ops.iterator.map(o => ChangeEvent(
           commit_lsn = c.lsn, change_lsn = o.lsn, begin_lsn = begin,
           tx_id = txId, op = o.op, table = o.table,
-          before = o.before, after = o.after, ts_ms = c.ts_ms))
+          before = o.before, after = o.after, ts_ms = c.ts_ms)) ++ marker
       case None =>
         state.update(TxBuffer(sorted.toSeq))
         Iterator.empty

@@ -47,31 +47,53 @@ object TxAssembler {
     *             columns are dropped from the build side and emitted as
     *             nulls. Full emission surfaces use slim=false.
     */
+  /** Position-marker op: one null-key row per CLOSED transaction (COMMIT
+    * or ROLLBACK) at position (close_lsn, close_lsn). The reference
+    * advances its offset on EVERY closed transaction — rollbacks and
+    * empty commits included ("streaming source updates offset but emits
+    * nothing", `InformixStreamingChangeEventSource.java:393-403`; R3
+    * monotone advance) — so the engine's watermark must too, or a
+    * restart replays chunks whose tail closed without surviving events.
+    * Markers ride the existing null-key lane through the merge plan
+    * (observed by the watermark metrics, filtered before the delta
+    * write, never stored) and are dropped from emission surfaces.
+    */
+  val MarkerOp = "n"
+
   def assembleBroadcast(batch: DataFrame, slim: Boolean = false): DataFrame = {
     val ctrl = batch.where(col("op").isin("B", "C", "R", "D"))
       .select(col("tx_id"), col("op"), col("lsn"), col("discard_from"), col("ts_ms"))
     val fullAggs = if (slim) Nil else Seq(
       max(when(col("op") === "C", col("ts_ms"))).as("commit_ts"),
       max(when(col("op") === "B", col("lsn"))).as("begin_lsn"))
+    // closed (C or R) transactions: data ops join against the committed
+    // ones; close records themselves become position markers
     val txInfo = ctrl.groupBy(col("tx_id")).agg(
       max(when(col("op") === "C", col("lsn"))).as("commit_lsn"),
-      (fullAggs :+ collect_list(when(col("op") === "D",
-        struct(col("discard_from").as("from"), col("lsn").as("at")))).as("__discards")): _*)
-      .where(col("commit_lsn").isNotNull) // T1/T2: committed transactions only
-    batch.where(col("op").isin("c", "u", "d", "t"))
+      (fullAggs ++ Seq(
+        max(when(col("op").isin("C", "R"), col("lsn"))).as("__close_lsn"),
+        collect_list(when(col("op") === "D",
+          struct(col("discard_from").as("from"), col("lsn").as("at")))).as("__discards"))): _*)
+      .where(col("__close_lsn").isNotNull)
+    val isClose = col("op").isin("C", "R")
+    val beforeType = batch.schema("before").dataType
+    val afterType = batch.schema("after").dataType
+    batch.where(col("op").isin("c", "u", "d", "t", "C", "R"))
       .join(broadcast(txInfo), Seq("tx_id"))
+      // data ops require a COMMIT (T1/T2); close rows always pass (markers)
+      .where(isClose || col("commit_lsn").isNotNull)
       // savepoint partial rollback (T3): drop ops covered by a later DISCARD
-      .where(!exists(col("__discards"),
+      .where(isClose || !exists(col("__discards"),
         d => col("lsn") >= d.getField("from") && col("lsn") < d.getField("at")))
       .select(
-        col("commit_lsn"),
+        when(isClose, col("__close_lsn")).otherwise(col("commit_lsn")).as("commit_lsn"),
         col("lsn").as("change_lsn"),
         (if (slim) lit(null).cast("long") else col("begin_lsn")).as("begin_lsn"),
         col("tx_id"),
-        col("op"),
+        when(isClose, lit(MarkerOp)).otherwise(col("op")).as("op"),
         col("table"),
-        col("before"),
-        col("after"),
+        when(isClose, lit(null).cast(beforeType)).otherwise(col("before")).as("before"),
+        when(isClose, lit(null).cast(afterType)).otherwise(col("after")).as("after"),
         (if (slim) lit(null).cast("long") else col("commit_ts")).as("ts_ms"))
   }
 
@@ -81,6 +103,9 @@ object TxAssembler {
     */
   def assemble(batch: DataFrame): DataFrame = {
     val w = Window.partitionBy("tx_id")
+    val isClose = col("op").isin("C", "R")
+    val beforeType = batch.schema("before").dataType
+    val afterType = batch.schema("after").dataType
     // all four expressions share one window spec and are defined in a
     // single select, so Catalyst plans ONE Window operator (one pass per
     // sorted partition) — sequential withColumn calls would plan four
@@ -92,20 +117,22 @@ object TxAssembler {
         collect_list(when(col("op") === "D",
           struct(col("discard_from").as("from"), col("lsn").as("at"))))
           .over(w).as("__discards"))
-      // data ops of committed transactions only (T1/T2)
-      .where(col("op").isin("c", "u", "d", "t") && col("commit_lsn").isNotNull)
+      // data ops of committed transactions (T1/T2); close records pass
+      // through as position markers (see [[MarkerOp]]) — same pass, no
+      // extra window or exchange
+      .where((col("op").isin("c", "u", "d", "t") && col("commit_lsn").isNotNull) || isClose)
       // savepoint partial rollback (T3): drop ops covered by a later DISCARD
-      .where(!exists(col("__discards"),
+      .where(isClose || !exists(col("__discards"),
         d => col("lsn") >= d.getField("from") && col("lsn") < d.getField("at")))
       .select(
-        col("commit_lsn"),
+        when(isClose, col("lsn")).otherwise(col("commit_lsn")).as("commit_lsn"),
         col("lsn").as("change_lsn"),
         col("begin_lsn"),
         col("tx_id"),
-        col("op"),
+        when(isClose, lit(MarkerOp)).otherwise(col("op")).as("op"),
         col("table"),
-        col("before"),
-        col("after"),
+        when(isClose, lit(null).cast(beforeType)).otherwise(col("before")).as("before"),
+        when(isClose, lit(null).cast(afterType)).otherwise(col("after")).as("after"),
         col("commit_ts").as("ts_ms"))
   }
 
@@ -128,7 +155,8 @@ object TxAssembler {
     * `txId:commitLsn`, per-table event counts).
     */
   def transactionMetadata(events: DataFrame): DataFrame =
-    events.groupBy(col("tx_id"), col("commit_lsn"), col("table"))
+    events.where(col("op") =!= MarkerOp)
+      .groupBy(col("tx_id"), col("commit_lsn"), col("table"))
       .agg(
         count(lit(1)).as("event_count"),
         min(col("change_lsn")).as("first_change_lsn"),
@@ -165,7 +193,9 @@ object TxAssembler {
   def emitRecords(events: DataFrame, tombstonesOnDelete: Boolean,
       keyCol: String = "doc_id"): DataFrame = {
     val afterType = events.schema("after").dataType
-    val keyed = events.withColumn("key",
+    // position markers are engine-internal (watermark advance), never
+    // emitted records
+    val keyed = events.where(col("op") =!= MarkerOp).withColumn("key",
       coalesce(col("after").getField(keyCol), col("before").getField(keyCol)))
     val base =
       if (!tombstonesOnDelete) keyed.withColumn("emit_seq", lit(0))

@@ -49,6 +49,32 @@ class VecMathSpec extends SparkSpec {
     }
   }
 
+  test("ivf_probe_order equals the interpreted quantize+L2+struct-sort column form exactly") {
+    val df = randomVectors(400, 48, seed = 19).cache()
+    // deterministic centroid table incl. duplicate-distance ties (cid 2 == cid 3)
+    val rnd = new scala.util.Random(23)
+    val cents: Seq[Seq[Long]] =
+      (0 until 4).map(_ => Seq.fill(48)(rnd.nextInt(20001).toLong - 10000L)) match {
+        case s => s.updated(3, s(2)) // exact tie between cids 2 and 3
+      }
+    VecMath.registerIvfProbes(spark, "ivf_probes_test", cents)
+    // the interpreted form ivfTrainedTopK used before the compiled path
+    val q = Similarity.quantized(col("embedding"))
+    def l2(a: org.apache.spark.sql.Column, c: Seq[Long]) =
+      aggregate(zip_with(a, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val structs = cents.zipWithIndex.map { case (c, cid) =>
+      struct(l2(q, c).as("d"), lit(cid).as("cid"))
+    }
+    val slow = df.select(col("vec_id"),
+        transform(array_sort(array(structs: _*)), x => x.getField("cid")).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val fast = df.select(col("vec_id"), expr("ivf_probes_test(embedding)").as("o"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fast.nonEmpty && fast.keySet == slow.keySet)
+    fast.foreach { case (id, o) => assert(o == slow(id), s"probe order mismatch vec=$id") }
+  }
+
   test("roundHalfUp matches Spark round() on float*10000 quantization inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

@@ -67,6 +67,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(plan, "Window [") == 1, s"expected a single Window operator:\n$plan")
   }
 
+  test("merge-on-read: untouched base rows never pass through a shuffle (broadcast-delta read)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 131)
+    val base = Fs.tempDir("graft-readplan")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    assert(table.refresh().deltas.values.exists(_.nonEmpty), "fixture needs delta chains")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = table.read().queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // the delta LWW and the touched-rows LWW — both O(delta), never O(table)
+      assert(shuffles.size == 2, s"expected exactly 2 delta-scale shuffles:\n$plan")
+      // the bulk of the base flows through the broadcast ANTI join straight
+      // to the output — it must not sit beneath any exchange
+      shuffles.foreach { e =>
+        val antiBelow = e.collect {
+          case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+        }
+        assert(antiBelow.isEmpty,
+          s"untouched-base branch found beneath a shuffle:\n$plan")
+      }
+      val joinTypes = plan.collect {
+        case j: BroadcastHashJoinExec => j.joinType
+      }
+      assert(joinTypes.contains(LeftAnti) && joinTypes.contains(LeftSemi),
+        s"expected broadcast anti+semi split of the base:\n$plan")
+      assert(!plan.toString.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    Fs.deleteRecursively(base)
+  }
+
   test("before-image read is pruned to the merge key") {
     val plan = planOf(broadcastAssembly = true)
     // the parquet ReadSchema must carry before as a single-field struct
