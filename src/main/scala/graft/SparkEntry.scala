@@ -138,8 +138,12 @@ object SparkEntry {
     // ---- flagship merge ----
     "cdc_merge_apply" -> ((s, d) =>
       CdcRelational.mergeApply(t(s, d, "events"), t(s, d, "documents"))),
-    // rows-only: the REAL engine end-to-end on a generated log
+    // the REAL engine end-to-end on a generated log (oracle: full SQL
+    // replay of assembly + LWW + snapshot union, incl. token fingerprint)
     "cdc_engine_replay" -> ((s, d) => engineReplay(s)),
+    // same final state read back through the DataSourceV2 scan with
+    // reported KeyGroupedPartitioning (zero-exchange merged read)
+    "cdc_engine_replay_v2" -> ((s, d) => engineReplay(s, readV2 = true)),
     // ---- general engine demos: agg / join / window over TPC-H-ish data ----
     "q1_pricing_summary" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -292,7 +296,7 @@ object SparkEntry {
     * per doc_id (arrays themselves cannot be output columns — the
     * driver compare sorts flat scalars only).
     */
-  private def engineReplay(spark: SparkSession): DataFrame = {
+  private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame = {
     import graft.changelog._
     import graft.stream._
     val base = graft.util.Fs.tempDir("graft-entry")
@@ -303,7 +307,10 @@ object SparkEntry {
       val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
         cdc, ChangeLogGen.snapshotLsn)
       CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
-      val out = table.read().select(col("doc_id"), col("n_tok"), col("source"),
+      val read =
+        if (readV2) graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root)
+        else table.read()
+      val out = read.select(col("doc_id"), col("n_tok"), col("source"),
           conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
             1, 14), 16, 10).cast("long").as("tok_fp"))
         .orderBy(col("doc_id"))
@@ -323,6 +330,28 @@ object SparkEntry {
     // (every stream event beats them), deletes excluded. tok_fp checks
     // token-array equality — the north-star per-row invariant.
     "cdc_engine_replay" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
+    // the v2 read path must produce the identical final state
+    "cdc_engine_replay_v2" ->
       s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
         |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
         |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),

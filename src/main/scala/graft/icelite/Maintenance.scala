@@ -15,40 +15,150 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** Rewrite every bucket to compact files; drop tombstones whose
-    * version commit-LSN is strictly below `retentionFloorLsn`.
-    * Returns the new snapshot id.
+  /** One fold pass over `todo` buckets: read base+deltas, resolve LWW,
+    * optionally purge tombstones below the retention floor, write fresh
+    * per-bucket base files, and commit — keeping, per bucket, ONLY the
+    * results whose input file set is still exactly what was folded (a
+    * concurrent apply that touched a bucket invalidates its fold, never
+    * the whole pass). Returns the buckets actually published. This is
+    * the same changed-file-set safety check the apply path uses for its
+    * inline folds, so compaction is safe to run CONCURRENTLY with
+    * ingest: the loser of any per-bucket race simply refolds later.
     */
-  def compact(table: IceLiteTable, retentionFloorLsn: Long = -1L): Long = {
+  def compactBucketsOnce(table: IceLiteTable, todo: Seq[Int],
+      retentionFloorLsn: Long = -1L): Seq[Int] = {
+    if (todo.isEmpty) return Nil
+    val spark = table.spark
     val snap = table.refresh()
     val keyCol = snap.keyCol
-    val all = table.readMerged(snap.buckets)
-    val kept =
-      if (retentionFloorLsn < 0) all
-      else all.where(!col(IceLite.TOMB) || col(IceLite.VC) >= retentionFloorLsn)
-    val commitRel = f"data/compact-${snap.snapshotId}%08d"
-    kept
+    val inputs: Map[Int, Set[String]] = todo.map(b =>
+      b -> (snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil)).toSet).toMap
+    val paths = todo.flatMap(b => inputs(b)).map(table.dataPath)
+    if (paths.isEmpty) return Nil
+    graft.plans.LwwMaxBy.register(spark)
+    val sm = snap.summary
+    val raw = spark.read.schema(IceLite.withMeta(snap.schema)).parquet(paths: _*)
+      .where(col(keyCol).isNotNull &&
+        (col(IceLite.VC) > sm.truncCommit ||
+          (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
+    val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
+    val folded0 = raw.groupBy(col(keyCol).as("__k"))
+      .agg(org.apache.spark.sql.functions.expr(
+        s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
+      .select(col("w.*"))
+    val folded =
+      if (retentionFloorLsn < 0) folded0
+      else folded0.where(!col(IceLite.TOMB) || col(IceLite.VC) >= retentionFloorLsn)
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val commitRel = f"data/compact-${snap.snapshotId}%08d-$attempt"
+    folded
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(snap.numBuckets)))
-      .repartition(snap.numBuckets, col("__bucket"))
+      .repartition(math.max(1, math.min(todo.size,
+        spark.sparkContext.defaultParallelism)), col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(table.dataPath(commitRel))
     val written = IceLite.listCommittedFiles(table.root, commitRel)
-    // a full-table compaction is only valid against the exact snapshot it
-    // folded — any concurrent commit invalidates the rewrite, so there is
-    // nothing to retry: fail fast and let the caller rerun the fold
-    val cur = table.refresh()
-    if (cur.snapshotId != snap.snapshotId)
-      throw new IllegalStateException("table changed during compaction; rerun")
-    val next = cur.copy(
-      snapshotId = cur.snapshotId + 1,
-      parentId = cur.snapshotId,
-      base = written,
-      deltas = Map.empty,
-      changed = Map.empty, // compaction adds no logical changes
-      summary = cur.summary.copy(note = s"compact(purge<$retentionFloorLsn)"))
-    if (!table.commit(next))
-      throw new IllegalStateException("table changed during compaction; rerun")
-    next.snapshotId
+    // optimistic commit: per-bucket validity, retry only on version races
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val cur = table.refresh()
+      // a concurrent TRUNCATE is metadata-only (file sets unchanged) but
+      // raises the visibility floor the fold baked in — invalidate all
+      if (cur.summary.truncCommit != sm.truncCommit ||
+        cur.summary.truncChange != sm.truncChange) return Nil
+      val safe = written.filter { case (b, _) =>
+        inputs.contains(b) &&
+          (cur.base.getOrElse(b, Nil) ++ cur.deltas.getOrElse(b, Nil)).toSet == inputs(b)
+      }
+      // an empty-after-purge bucket writes no files but is still folded
+      val safeEmpty = todo.filterNot(written.contains).filter(b =>
+        (cur.base.getOrElse(b, Nil) ++ cur.deltas.getOrElse(b, Nil)).toSet == inputs(b))
+      if (safe.isEmpty && safeEmpty.isEmpty) return Nil
+      val next = cur.copy(
+        snapshotId = cur.snapshotId + 1,
+        parentId = cur.snapshotId,
+        base = (cur.base ++ safe -- safeEmpty).filter(_._2.nonEmpty),
+        deltas = (cur.deltas -- safe.keys -- safeEmpty).filter(_._2.nonEmpty),
+        changed = Map.empty, // compaction adds no logical changes
+        summary = cur.summary.copy(note = s"compact(purge<$retentionFloorLsn)"))
+      if (table.commit(next)) return safe.keys.toSeq ++ safeEmpty
+    }
+    Nil
+  }
+
+  /** Buckets worth compacting: any delta chain, a multi-file base, or —
+    * when purging — any base at all (tombstones may hide inside).
+    */
+  private def needsFold(s: IceSnapshot, b: Int, purging: Boolean): Boolean =
+    s.deltas.getOrElse(b, Nil).nonEmpty ||
+      s.base.getOrElse(b, Nil).size > 1 ||
+      (purging && s.base.getOrElse(b, Nil).nonEmpty)
+
+  /** Compact every bucket that needs it; drop tombstones whose version
+    * commit-LSN is strictly below `retentionFloorLsn`. Incremental and
+    * retrying: each pass folds the still-dirty buckets and publishes the
+    * ones whose inputs didn't change underneath (no throw-on-conflict —
+    * schedulable next to a live ingest). Returns the current snapshot id.
+    */
+  def compact(table: IceLiteTable, retentionFloorLsn: Long = -1L,
+      maxPasses: Int = 5): Long = {
+    val snap0 = table.refresh()
+    var remaining = snap0.buckets
+      .filter(b => needsFold(snap0, b, retentionFloorLsn >= 0)).sorted
+    var pass = 0
+    while (remaining.nonEmpty && pass < maxPasses) {
+      pass += 1
+      val done = compactBucketsOnce(table, remaining, retentionFloorLsn).toSet
+      // raced buckets refold against their NEW input set next pass
+      remaining = remaining.filterNot(done)
+    }
+    table.current.snapshotId
+  }
+
+  /** Background compaction: a single daemon thread that, when poked,
+    * folds every bucket whose delta chain reached `chainThreshold` —
+    * the concurrent alternative to the apply path's inline fold, so the
+    * batch that happens to trip the threshold no longer pays the
+    * compaction latency (the spike the inline fold put on exactly one
+    * batch per `maxDeltaChain` applies). Safe next to ingest by the
+    * changed-file-set commit check; a raced fold is simply retried on
+    * the next poke. `drain()` waits for quiescence (deterministic
+    * tests / shutdown).
+    */
+  final class CompactionDaemon(table: IceLiteTable,
+      chainThreshold: Int, retentionFloorLsn: () => Long = () => -1L)
+      extends AutoCloseable {
+    private val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-compaction"); t.setDaemon(true); t })
+    private val queued = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile private var err: Option[Throwable] = None
+    def lastError: Option[Throwable] = err
+
+    private val sweep: Runnable = () => {
+      queued.set(false)
+      try {
+        val snap = table.refresh()
+        val hot = snap.buckets
+          .filter(b => snap.deltas.getOrElse(b, Nil).size >= chainThreshold).sorted
+        if (hot.nonEmpty) { compactBucketsOnce(table, hot, retentionFloorLsn()); () }
+      } catch { case t: Throwable => err = Some(t) }
+    }
+
+    /** Schedule a sweep unless one is already queued (coalescing). */
+    def poke(): Unit =
+      if (queued.compareAndSet(false, true)) { exec.submit(sweep); () }
+
+    /** Wait until every queued sweep has finished. */
+    def drain(): Unit = {
+      val f = exec.submit(new Runnable { def run(): Unit = () })
+      f.get(); ()
+    }
+
+    override def close(): Unit = {
+      exec.shutdown()
+      exec.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS); ()
+    }
   }
 
   /** Expire old snapshot version files, bounding metadata growth and the

@@ -1,0 +1,256 @@
+package graft.icelite.dsv2
+
+import graft.icelite.{IceLite, IceSnapshot}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.Collections
+
+/** IceLite exposed through DataSourceV2 with REPORTED partitioning —
+  * the read-side contract a 100 TB table needs: the scan tells Catalyst
+  * that its partitions are exactly the table's hash buckets
+  * (`KeyGroupedPartitioning(bucket(numBuckets, keyCol))`, one input
+  * partition per bucket carrying its partition key), so a downstream
+  * `groupBy(keyCol)` — including the merge-on-read LWW — and
+  * storage-partitioned joins between IceLite tables on the key satisfy
+  * their ClusteredDistribution straight off the on-disk layout with
+  * ZERO exchange (requires `spark.sql.sources.v2.bucketing.enabled`,
+  * set by [[IceLiteV2.register]]).
+  *
+  * File reading delegates to Spark's own parquet DSv2 reader factory
+  * (`ParquetScan.createReaderFactory` — vectorized where the schema
+  * allows), so the only custom piece is the PLANNING: bucket-aligned
+  * input partitions + the `bucket` function in a FunctionCatalog whose
+  * semantics equal both Spark's `pmod(hash(key), n)` HashPartitioning
+  * and the driver-side `IceLite.bucketOf` (murmur3 seed 42).
+  *
+  * The scan yields RAW rows (engine meta columns included, possibly
+  * several versions per key); [[IceLiteV2.readMerged]] layers the
+  * exchange-free LWW + visibility filters on top.
+  */
+class IceLiteCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  /** The identifier's NAME is the IceLite table root path:
+    * `spark.table("graft.`/path/to/table`")`.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    val root = ident.name()
+    if (!IceLite.exists(root))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, root))
+    new IceLiteV2Table(SparkSession.active, root)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create through graft.icelite.IceLite.create, not the catalog")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("schema evolution happens on the write path")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename not supported")
+
+  // ---- FunctionCatalog: the bucket function SPJ/aggregation resolve ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** `bucket(numBuckets, key)` — the table's partition transform. MUST
+  * stay value-identical to Spark's `pmod(hash(key), n)` (murmur3 of the
+  * UTF8 bytes, seed 42) and to the driver-side `IceLite.bucketOf`: the
+  * write path's single exchange, the reported read partitioning and
+  * point-lookup pruning are one and the same function.
+  */
+object BucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String = "bucket(numBuckets, key): pmod(murmur3(key), numBuckets)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == StringType,
+      s"bucket(int, string) expected, got ${inputType.simpleString}")
+    BucketBound
+  }
+}
+
+object BucketBound extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val key = input.getUTF8String(1)
+    ((key.hashCode() % n) + n) % n // murmur3 seed 42 == catalyst hash()
+  }
+}
+
+/** One input partition = one hash bucket's file set, carrying its
+  * partition key so Catalyst can key-group the scan.
+  */
+class BucketFilePartition(idx: Int, files: Array[PartitionedFile], val bucket: Int)
+    extends FilePartition(idx, files) with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+class IceLiteV2Table(spark: SparkSession, root: String) extends Table with SupportsRead {
+  private val snap: IceSnapshot = IceLite.readLatest(root).get
+
+  override def name(): String = root
+  override def schema(): StructType = IceLite.withMeta(snap.schema)
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(snap.numBuckets, snap.keyCol))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new IceLiteScanBuilder(spark, root, snap, schema())
+}
+
+class IceLiteScanBuilder(spark: SparkSession, root: String, snap: IceSnapshot,
+    fullSchema: StructType) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var readSchema: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the table's field order (parquet reader contract)
+    readSchema = StructType(
+      fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new IceLiteScan(spark, root, snap, fullSchema, readSchema)
+}
+
+class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
+    fullSchema: StructType, readSchema_ : StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = readSchema_
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"IceLiteScan(root=$root, snapshot=${snap.snapshotId}, " +
+      s"buckets=${snap.buckets.size}, bucket(${snap.numBuckets}, ${snap.keyCol}))"
+
+  private def bucketFiles(b: Int): Seq[String] =
+    snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil)
+
+  private lazy val nonEmpty: Seq[Int] = snap.buckets.filter(bucketFiles(_).nonEmpty).sorted
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(snap.numBuckets, snap.keyCol)), nonEmpty.size)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    nonEmpty.zipWithIndex.map { case (b, idx) =>
+      val pfiles = bucketFiles(b).map { rel =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$rel")
+        val st = fs.getFileStatus(p)
+        new PartitionedFile(InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+          0L, st.getLen, Array.empty, st.getModificationTime, st.getLen,
+          Map.empty)
+      }.toArray
+      new BucketFilePartition(idx, pfiles, b): InputPartition
+    }.toArray
+  }
+
+  /** Delegate row decoding to Spark's own parquet DSv2 factory — a
+    * ParquetScan configured with our schemas hands back a
+    * PartitionReaderFactory that accepts FilePartitions (vectorized
+    * when every read column supports it).
+    */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val emptyIndex = new InMemoryFileIndex(spark, Seq.empty, Map.empty,
+      Some(fullSchema),
+      org.apache.spark.sql.execution.datasources.NoopCache,
+      None, None)
+    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      spark, hadoopConf, emptyIndex,
+      fullSchema, readSchema_, StructType(Nil),
+      Array.empty, CaseInsensitiveStringMap.empty(), None,
+      Seq.empty, Seq.empty, Array.empty
+    ).createReaderFactory()
+  }
+}
+
+/** Session-facing surface of the DSv2 read path. */
+object IceLiteV2 {
+
+  /** Register the `graft` catalog (table-path resolution + the bucket
+    * function) and enable v2 bucketing so reported KeyGroupedPartitioning
+    * actually elides exchanges. Idempotent.
+    */
+  def register(spark: SparkSession, catalogName: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[IceLiteCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  /** Raw bucket-grouped scan (meta columns included, multiple versions
+    * per key possible) as a catalog table reference.
+    */
+  def readRaw(spark: SparkSession, root: String, catalogName: String = "graft")
+      : org.apache.spark.sql.DataFrame = {
+    register(spark, catalogName)
+    spark.table(s"$catalogName.`$root`")
+  }
+
+  /** Merge-on-read over the DSv2 scan: because the scan REPORTS the
+    * bucket partitioning, the LWW `groupBy(key)` satisfies its
+    * distribution from the layout — the whole merged read plans with
+    * ZERO exchange (pinned by V2ReadSpec), and anything downstream that
+    * groups or joins on the key keeps that property.
+    */
+  def readMerged(spark: SparkSession, root: String, catalogName: String = "graft")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = IceLite.readLatest(root).get
+    val sm = snap.summary
+    graft.plans.LwwMaxBy.register(spark)
+    val raw = readRaw(spark, root, catalogName)
+      .where(col(snap.keyCol).isNotNull &&
+        (col(IceLite.VC) > sm.truncCommit ||
+          (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
+    val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
+    // project the GROUPING ATTRIBUTE itself as the key column (a simple
+    // alias), not `w.doc_id`: Catalyst tracks partitioning through
+    // aliases but not through struct-field extraction, so this is what
+    // lets DOWNSTREAM groupBy/joins on the key inherit the bucket layout
+    // exchange-free too
+    val outCols =
+      col("__k").as(snap.keyCol) +:
+        raw.columns.filterNot(_ == snap.keyCol).toSeq.map(c => col("w").getField(c).as(c))
+    raw.groupBy(col(snap.keyCol).as("__k"))
+      .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
+      .select(outCols: _*)
+      .where(!col(IceLite.TOMB))
+      .drop(IceLite.metaColumns: _*)
+  }
+}

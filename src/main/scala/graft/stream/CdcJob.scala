@@ -103,7 +103,13 @@ final case class CdcConfig(
     txCarryover: Boolean = false,
     /** Stateful-assembly state bound: max buffered records per open
       * transaction (see [[StatefulAssembly.DefaultMaxBufferedPerTx]]). */
-    maxTxRecords: Int = StatefulAssembly.DefaultMaxBufferedPerTx
+    maxTxRecords: Int = StatefulAssembly.DefaultMaxBufferedPerTx,
+    /** Concurrent compaction: fold over-threshold delta chains on a
+      * background daemon ([[graft.icelite.Maintenance.CompactionDaemon]])
+      * instead of inside the apply — removes the compaction latency
+      * spike from the batch that trips `maxDeltaChain`. Conflict-safe
+      * (changed-file-set commit check); off by default. */
+    asyncCompaction: Boolean = false
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -372,7 +378,8 @@ object CdcJob {
       emitDir: Option[String] = None,
       tombstonesOnDelete: Boolean = true,
       returnEmptyTransactions: Boolean = false,
-      filters: CaptureFilters = CaptureFilters.none): MergeApply.MergeStats = {
+      filters: CaptureFilters = CaptureFilters.none,
+      inlineCompact: Boolean = true): MergeApply.MergeStats = {
     val spark = rawBatch.sparkSession
     val keyCol = table.current.keyCol
     val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms,
@@ -430,7 +437,7 @@ object CdcJob {
       TxAssembler.transactionMetadataAll(input, returnEmptyTransactions)
         .write.mode("overwrite").parquet(f"$dir/tx-batch-$batchId%08d")
     }
-    MergeApply.applyBatch(table, events, batchId)
+    MergeApply.applyBatch(table, events, batchId, inlineCompact = inlineCompact)
   }
 
   /** Phase 2 — continuous tail of the change log (S5/S6/E9): a
@@ -457,6 +464,13 @@ object CdcJob {
           "current source view (snapshot mode when_needed re-snapshots automatically)")
     }
     graft.plans.LwwMaxBy.register(spark) // clone sessions inherit the registry
+    // asyncCompaction: one coalescing daemon for the query's lifetime
+    // (daemon thread — dies with the JVM; each sweep is short and
+    // conflict-safe, so there is nothing to flush at shutdown)
+    val daemon =
+      if (!cfg.asyncCompaction) None
+      else Some(new graft.icelite.Maintenance.CompactionDaemon(
+        table, MergeApply.maxDeltaChain))
     spark.readStream
       .schema(LogRecord.schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
@@ -469,7 +483,9 @@ object CdcJob {
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
-          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters); ()
+          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
+          inlineCompact = daemon.isEmpty)
+        daemon.foreach(_.poke()); ()
       }
       .start()
   }
@@ -539,6 +555,10 @@ object CdcJob {
           chunk.exists(f => maxPerFile.getOrElse(f, Long.MaxValue) > resume)
         chunks.filter(needsApply)
       }
+    val daemon =
+      if (!cfg.asyncCompaction) None
+      else Some(new graft.icelite.Maintenance.CompactionDaemon(
+        table, MergeApply.maxDeltaChain))
     val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
     todo.zipWithIndex.foreach { case (chunk, j) =>
       if (j < stopAfterBatches) {
@@ -546,9 +566,12 @@ object CdcJob {
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
-          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters)
+          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
+          inlineCompact = daemon.isEmpty)
+        daemon.foreach(_.poke())
       }
     }
+    daemon.foreach { d => d.drain(); d.close() }
     out.toSeq
   }
 }

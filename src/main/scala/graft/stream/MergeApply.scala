@@ -181,26 +181,23 @@ object MergeApply {
       when(col("__op") === "d", if (f.name == keyCol) col("__key") else lit(null).cast(f.dataType))
         .otherwise(v).as(f.name)
     }
-    // Per-bucket lineage statistics accumulate DURING this same job via a
-    // nondeterministic-marked identity UDF on the bucket column (one call
-    // per deduped key row, after the aggregation) — replaces the former
-    // post-commit readback job, which was a pure serial ~0.3-2s/batch tax
-    // that Amdahl-capped scaling.
+    // Per-bucket lineage statistics accumulate DURING this same job via
+    // the codegen'd graft_stats_tap expression on the bucket column (one
+    // inlined call per deduped key row, after the aggregation) — replaces
+    // the former post-commit readback job, which was a pure serial
+    // ~0.3-2s/batch tax that Amdahl-capped scaling, and the Scala UDF
+    // that was the write plan's last non-codegen operator.
     val acc = new BucketStatsAcc
     spark.sparkContext.register(acc, s"graft.bucketStats.$batchId")
-    val statsUdf = udf((bucket: Int, skip: Boolean, cnt: Long, isDel: Boolean,
-        minc: Long, vc: Long, vl: Long) => {
-      if (!skip) acc.add((bucket, cnt, isDel, minc, vc, vl))
-      bucket
-    }).asNondeterministic()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stats_tap", exprs => BucketStatsTap(exprs, acc), "built-in")
     val deltaRows = last0.select(
       (changeCols ++ Seq(
         col("__cvc").as(VC), col("__cvl").as(VL), (col("__op") === "d").as(TOMB),
         col("__op"), col("__trunc"), col("__cnt"), col("__minc"))): _*)
-      .withColumn("__bucket", statsUdf(
-        coalesce(pmod(hash(col(keyCol)), lit(numBuckets)), lit(0)),
-        col(keyCol).isNull, col("__cnt"), col("__op") === "d",
-        col("__minc"), col(VC), col(VL)))
+      .withColumn("__bucket", expr(
+        s"graft_stats_tap(coalesce(pmod(hash(`$keyCol`), $numBuckets), 0), " +
+          s"`$keyCol` is null, __cnt, __op = 'd', __minc, `$VC`, `$VL`)"))
 
     // batch statistics are observed DURING the write (CollectMetrics on
     // the write plan) — no separate stats pass blocks the commit
@@ -228,8 +225,15 @@ object MergeApply {
     * snapshot chunks carry independent monotone counters) AND by row
     * version; advances watermark and floors.
     */
+  /** @param inlineCompact fold over-threshold delta chains inside this
+    *                      apply (default). With a [[graft.icelite
+    *                      .Maintenance.CompactionDaemon]] running, pass
+    *                      false: the fold happens concurrently off the
+    *                      batch latency path, protected by the same
+    *                      changed-file-set commit check.
+    */
   def applyBatch(table: IceLiteTable, events: DataFrame, batchId: Long,
-      signalChannel: Boolean = false): MergeStats = {
+      signalChannel: Boolean = false, inlineCompact: Boolean = true): MergeStats = {
     val t0 = System.nanoTime()
     // IMPORTANT: use the batch's own session — inside foreachBatch the
     // DataFrame belongs to a cloned SparkSession whose function registry
@@ -302,9 +306,11 @@ object MergeApply {
     // amplification; amortized O(table/threshold) per batch). Truncated
     // and null-key marker rows are purged during the fold. ----
     val cur0 = table.current
-    val toCompact: Seq[Int] = written.keys.toSeq.filter { b =>
-      cur0.deltas.getOrElse(b, Nil).size + written.getOrElse(b, Nil).size >= maxDeltaChain
-    }
+    val toCompact: Seq[Int] =
+      if (!inlineCompact) Nil
+      else written.keys.toSeq.filter { b =>
+        cur0.deltas.getOrElse(b, Nil).size + written.getOrElse(b, Nil).size >= maxDeltaChain
+      }
     // record the exact pre-existing file set each compaction folds, so
     // the commit can detect a concurrent writer changing those buckets
     // underneath us and fall back to a written-only commit for them

@@ -56,4 +56,70 @@ class MaintenanceSpec extends SparkSpec {
     assert(got2 == before)
     Fs.deleteRecursively(base)
   }
+
+  private def oracle(cfg: ChangeLogConfig) = {
+    val initial = (0L until cfg.nDocs.toLong).map { k =>
+      val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+      ChangeLogGen.docId(k) -> TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+    }.toMap
+    graft.stream.ReplayOracle.replay(initial,
+      (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i)),
+      ChangeLogGen.snapshotLsn)
+  }
+
+  private def assertEqual(table: IceLiteTable, want: Map[String, TokenDoc]): Unit = {
+    import spark.implicits._
+    val got = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(got.keySet == want.keySet,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens mismatch $k") }
+  }
+
+  test("compaction RACING a live ingest: per-bucket safety check converges, no throw") {
+    val cfg = ChangeLogConfig(nTx = 240, nDocs = 120, seed = 137, deletePct = 15)
+    val base = Fs.tempDir("graft-race")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 8)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    // ingest on a separate thread; maintenance loops compaction meanwhile —
+    // both race on the same snapshot log with optimistic commits
+    val ingest = new Thread(() => {
+      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1); ()
+    }, "race-ingest")
+    ingest.start()
+    val maintTable = IceLite.load(spark, cdc.tableRoot)
+    var rounds = 0
+    while (ingest.isAlive && rounds < 50) {
+      Maintenance.compact(maintTable, maxPasses = 1)
+      rounds += 1
+    }
+    ingest.join(120000)
+    assert(!ingest.isAlive, "ingest thread hung")
+    Maintenance.compact(maintTable) // settle
+    assertEqual(IceLite.load(spark, cdc.tableRoot), oracle(cfg))
+    Fs.deleteRecursively(base)
+  }
+
+  test("async compaction daemon folds chains off the apply path; state equals oracle") {
+    val cfg = ChangeLogConfig(nTx = 300, nDocs = 100, seed = 139, deletePct = 10)
+    val base = Fs.tempDir("graft-async")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 2, asyncCompaction = true)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 12)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    // 12 single-file batches against 2 buckets: without compaction the
+    // chains would reach 12 (> maxDeltaChain); the daemon must fold them
+    val stats = CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    assert(stats.forall(_.committed))
+    val snap = table.refresh()
+    assert(snap.deltas.values.forall(_.size < graft.stream.MergeApply.maxDeltaChain),
+      s"daemon left an over-threshold chain: ${snap.deltas.view.mapValues(_.size).toMap}")
+    assert((2L to snap.snapshotId).exists(v =>
+      IceLite.readSnapshotFile(table.root, v).summary.note.startsWith("compact")),
+      "no compaction commit found — daemon never folded")
+    assertEqual(table, oracle(cfg))
+    Fs.deleteRecursively(base)
+  }
 }

@@ -1,0 +1,81 @@
+package graft.icelite
+
+import graft.SparkSpec
+import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+import graft.icelite.dsv2.IceLiteV2
+import graft.model.TokenDoc
+import graft.stream.{CdcConfig, CdcJob}
+import graft.util.Fs
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 read path: reported KeyGroupedPartitioning over the bucket
+  * layout must make the merged read — and downstream key-grouping —
+  * plan with ZERO exchange, while returning exactly the rows the
+  * classic read path returns.
+  */
+class V2ReadSpec extends SparkSpec {
+
+  private def pipeline(seed: Int) = {
+    val cfg = ChangeLogConfig(nTx = 200, nDocs = 120, seed = seed, deletePct = 15)
+    val base = Fs.tempDir("graft-v2read")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 4)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    (base, table)
+  }
+
+  private def shufflesOf(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeExec] =
+    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+
+  test("v2 merged read equals the classic read and plans with ZERO exchange") {
+    import spark.implicits._
+    val (base, table) = pipeline(seed = 151)
+    assert(table.refresh().deltas.values.exists(_.nonEmpty), "fixture needs delta chains")
+    val want = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val v2 = IceLiteV2.readMerged(spark, table.root)
+      assert(shufflesOf(v2).isEmpty,
+        s"v2 merged read must not shuffle:\n${v2.queryExecution.executedPlan}")
+      val got = v2.as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+      assert(got.keySet == want.keySet,
+        s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+      want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens mismatch $k") }
+
+      // downstream aggregation on the key keeps the property
+      val downstream = IceLiteV2.readMerged(spark, table.root)
+        .groupBy(col("doc_id")).agg(sum(col("n_tok")).as("s"))
+      assert(shufflesOf(downstream).isEmpty,
+        s"downstream key-grouping must reuse the layout:\n${downstream.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    Fs.deleteRecursively(base)
+  }
+
+  test("storage-partitioned self-join on the key plans without a shuffle") {
+    import spark.implicits._
+    val (base, table) = pipeline(seed = 157)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real join
+    try {
+      val a = IceLiteV2.readRaw(spark, table.root)
+        .where(!col(IceLite.TOMB)).select(col("doc_id"), col("n_tok"))
+      val b = IceLiteV2.readRaw(spark, table.root)
+        .where(!col(IceLite.TOMB)).select(col("doc_id"), col("tokens"))
+      val joined = a.join(b, Seq("doc_id"))
+      assert(shufflesOf(joined).isEmpty,
+        s"SPJ must co-locate both sides on the bucket layout:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    Fs.deleteRecursively(base)
+  }
+}
