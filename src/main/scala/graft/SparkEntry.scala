@@ -133,6 +133,22 @@ object SparkEntry {
     "e5_tx_metadata" -> ((s, d) => CdcRelational.e5TxMetadata(t(s, d, "events"))),
     "e6_lineage" -> ((s, d) => CdcRelational.e6Lineage(t(s, d, "events"))),
     "e8_cloudevents_id" -> ((s, d) => CdcRelational.e8CloudEventsId(t(s, d, "events"))),
+    // outbox event router (OutboxEventRouterIT): events reshaped as an
+    // outbox table, routed to (topic, key, payload) records
+    "e_outbox_route" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("event_id") < 500).select(
+        lit("c").as("op"), lit("outbox").as("table"),
+        struct(col("event_type").as("aggregatetype"),
+          col("user_id").cast("string").as("aggregateid"),
+          concat(lit("pl:"), round(col("value") * 100).cast("long").cast("string"))
+            .as("payload"),
+          col("event_id").cast("string").as("id")).as("after"),
+        col("event_id").as("commit_lsn"), col("event_id").as("change_lsn"))
+      Outbox.route(ev)
+        .select(col("topic"), col("key"), col("event_id"), col("payload"),
+          col("commit_lsn"))
+        .orderBy(col("commit_lsn"))
+    }),
     // ---- N: snapshot variants ----
     "n2_chunk_boundaries" -> ((s, d) => CdcRelational.n2ChunkBoundaries(t(s, d, "documents"))),
     // ---- flagship merge ----
@@ -443,6 +459,12 @@ object SparkEntry {
       s"$LOG SELECT CAST(floor(lsn/1000) AS BIGINT) AS batch_id, min(lsn) AS lsn_lo, max(lsn) AS lsn_hi, count(*) AS event_count, CAST(sum(CASE WHEN op='d' THEN 1 ELSE 0 END) AS BIGINT) AS deletes FROM log GROUP BY 1 ORDER BY 1",
     "e8_cloudevents_id" ->
       s"$LOG SELECT lsn, 'name:graft;change_lsn:' || CAST(lsn AS VARCHAR) || ';commit_lsn:' || CAST(max(lsn) OVER (PARTITION BY tx_id) AS VARCHAR) AS ce_id FROM log QUALIFY lsn < 500 ORDER BY lsn",
+    "e_outbox_route" ->
+      """SELECT 'outbox.event.' || event_type AS topic, CAST(user_id AS VARCHAR) AS key,
+        |CAST(event_id AS VARCHAR) AS event_id,
+        |'pl:' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS payload,
+        |event_id AS commit_lsn
+        |FROM events WHERE event_id < 500 ORDER BY commit_lsn""".stripMargin,
     "n2_chunk_boundaries" ->
       "SELECT CAST(floor(doc_id/100) AS BIGINT) AS chunk, min(doc_id) AS key_lo, max(doc_id) AS key_hi, count(*) AS n_rows FROM documents GROUP BY 1 ORDER BY 1",
     "cdc_merge_apply" ->

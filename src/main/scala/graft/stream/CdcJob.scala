@@ -6,14 +6,28 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-/** Snapshot modes — the subset of the reference's snapshot.mode surface
-  * that is meaningful without a live database
-  * (`InformixConnectorConfig.java:55-106`): initial, initial_only,
-  * no_data (schema + offset pin, no rows), always (re-snapshot on every
-  * start), when_needed (snapshot iff the sink table does not exist yet).
+/** Snapshot modes — the reference's full snapshot.mode surface
+  * (`InformixConnectorConfig.java:55-106`) re-expressed for an
+  * immutable-snapshot source:
+  *   - initial / initial_only: snapshot once, then stream (only);
+  *   - no_data: schema + offset pin, no rows;
+  *   - always: re-snapshot on every start;
+  *   - when_needed: snapshot iff the sink is missing OR the checkpoint
+  *     predates the retained log (auto re-snapshot, see
+  *     [[CdcJob.validateOrResnapshot]]);
+  *   - recovery: the sink MUST already exist — rebuild the schema
+  *     metadata from it (the analog of recovering a lost schema-history
+  *     topic: data files are intact, history is reconstructed) and
+  *     resume streaming from its watermark;
+  *   - configuration_based: behavior chosen by the
+  *     `configSnapshotData` / `configSnapshotSchema` flags
+  *     (`snapshot.mode.configuration.based.*`);
+  *   - custom: user-supplied hook ([[CdcConfig.customSnapshot]]), the
+  *     analog of `snapshot.mode.custom.name`.
   */
 object SnapshotMode extends Enumeration {
-  val Initial, InitialOnly, NoData, Always, WhenNeeded = Value
+  val Initial, InitialOnly, NoData, Always, WhenNeeded,
+    Recovery, ConfigurationBased, Custom = Value
 }
 
 /** Regex capture filters — the reference's `table.include.list` /
@@ -109,7 +123,22 @@ final case class CdcConfig(
       * instead of inside the apply — removes the compaction latency
       * spike from the batch that trips `maxDeltaChain`. Conflict-safe
       * (changed-file-set commit check); off by default. */
-    asyncCompaction: Boolean = false
+    asyncCompaction: Boolean = false,
+    /** configuration_based mode flags — the reference's
+      * `snapshot.mode.configuration.based.snapshot.data` /
+      * `...snapshot.schema` (`InformixConnectorConfig.java:55-106`). */
+    configSnapshotData: Boolean = true,
+    configSnapshotSchema: Boolean = true,
+    /** custom mode hook — the analog of `snapshot.mode.custom.name`:
+      * given (session, source view, this config, pin LSN), produce the
+      * initial table however the deployment needs. */
+    customSnapshot: Option[(SparkSession, DataFrame, CdcConfig, Long) => IceLiteTable] = None,
+    /** Heartbeat action — the analog of `heartbeat.action.query`
+      * (`InformixConnectorTask.java:158-162`): a SQL statement executed
+      * once per micro-batch boundary (side effects only; typically an
+      * INSERT into a heartbeat table so downstream lag monitors see the
+      * pipeline alive even when the source is quiet). */
+    heartbeatActionSql: Option[String] = None
 )
 
 /** End-to-end CDC ingest job: snapshot-then-stream, the lifecycle of
@@ -191,6 +220,38 @@ object CdcJob {
       case SnapshotMode.Always =>
         if (exists) graft.util.Fs.deleteRecursively(cfg.tableRoot)
         snapshot(spark, source, cfg, snapshotLsn)
+      case SnapshotMode.Recovery =>
+        // the reference's recovery mode rebuilds a lost schema history
+        // from current structures: data files must exist; metadata is
+        // reconstructed by committing a fresh schema snapshot (additive
+        // merge with the live source schema) on top of them
+        if (!exists) throw new IllegalStateException(
+          "snapshot mode recovery requires an existing sink table " +
+            "(reference: recovery rebuilds schema history, never data)")
+        val table = IceLite.load(spark, cfg.tableRoot)
+        val cur = table.refresh()
+        val recovered = MergeApply.mergedSchema(cur.schema,
+          MergeApply.asNullable(source.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+        val next = cur.copy(
+          snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+          schema = recovered, changed = Map.empty,
+          summary = cur.summary.copy(note = "recovery:schema-rebuilt"))
+        if (!table.commit(next))
+          throw new IllegalStateException("recovery commit conflict")
+        table
+      case SnapshotMode.ConfigurationBased =>
+        if (exists) IceLite.load(spark, cfg.tableRoot)
+        else if (cfg.configSnapshotData) snapshot(spark, source, cfg, snapshotLsn)
+        else if (cfg.configSnapshotSchema)
+          snapshot(spark, source, cfg.copy(snapshotMode = SnapshotMode.NoData), snapshotLsn)
+        else throw new IllegalStateException(
+          "configuration_based: no sink table and both data and schema snapshots disabled")
+      case SnapshotMode.Custom =>
+        val hook = cfg.customSnapshot.getOrElse(throw new IllegalStateException(
+          "snapshot mode custom requires CdcConfig.customSnapshot " +
+            "(the snapshot.mode.custom.name analog)"))
+        if (exists) IceLite.load(spark, cfg.tableRoot)
+        else hook(spark, source, cfg, snapshotLsn)
       case SnapshotMode.WhenNeeded | SnapshotMode.Initial | SnapshotMode.InitialOnly |
           SnapshotMode.NoData =>
         if (exists) IceLite.load(spark, cfg.tableRoot)
@@ -481,6 +542,7 @@ object CdcJob {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
+        cfg.heartbeatActionSql.foreach(sql => spark.sql(sql).collect())
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
@@ -563,6 +625,7 @@ object CdcJob {
     todo.zipWithIndex.foreach { case (chunk, j) =>
       if (j < stopAfterBatches) {
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
+        cfg.heartbeatActionSql.foreach(sql => spark.sql(sql).collect())
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,

@@ -79,6 +79,31 @@ class EmissionSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("outbox router: CREATE events on the outbox table become routed records") {
+    import spark.implicits._
+    import graft.ops.Outbox
+    val events = Seq(
+      ("c", "outbox", "order", "o-1", "created", "101", 10L, 1L),
+      ("c", "outbox", "customer", "c-7", "signed-up", "102", 11L, 2L),
+      ("u", "outbox", "order", "o-1", "should-not-route", "103", 12L, 3L),
+      ("c", "other_table", "order", "o-9", "not-an-outbox", "104", 13L, 4L)
+    ).toDF("op", "table", "aggregatetype", "aggregateid", "payload", "id",
+        "commit_lsn", "change_lsn")
+      .select(col("op"), col("table"),
+        struct(col("aggregatetype"), col("aggregateid"), col("payload"), col("id"))
+          .as("after"),
+        col("commit_lsn"), col("change_lsn"))
+    val routed = Outbox.route(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(routed.toSet == Set(
+      ("outbox.event.order", "o-1", "101", "created"),
+      ("outbox.event.customer", "c-7", "102", "signed-up")))
+    // custom topic template
+    val custom = Outbox.route(events, topicReplacement = s"t.${Outbox.TopicToken}.ev")
+      .select(col("topic")).collect().map(_.getString(0)).toSet
+    assert(custom == Set("t.order.ev", "t.customer.ev"))
+  }
+
   test("cdc.return.empty.transactions: empty committed txs appear only when enabled") {
     val (base, raw) = fixture()
     // splice a committed-but-empty transaction into the raw batch

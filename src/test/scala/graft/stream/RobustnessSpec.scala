@@ -78,6 +78,62 @@ class RobustnessSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("snapshot modes recovery / configuration_based / custom") {
+    val cfg = ChangeLogConfig(nTx = 40, nDocs = 30, seed = 149)
+    val base = Fs.tempDir("graft-modes2")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 1)
+    // recovery without an existing table refuses (it never re-reads data)
+    intercept[IllegalStateException] {
+      CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc.copy(snapshotMode = SnapshotMode.Recovery), ChangeLogGen.snapshotLsn)
+    }
+    val t1 = CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, t1, cdc, filesPerBatch = 1)
+    val rowsBefore = t1.read().count()
+    // recovery on an existing table: schema metadata rebuilt, data intact
+    val t2 = CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc.copy(snapshotMode = SnapshotMode.Recovery), ChangeLogGen.snapshotLsn)
+    assert(t2.current.summary.note == "recovery:schema-rebuilt")
+    assert(t2.read().count() == rowsBefore)
+    // configuration_based with data off + schema on = no_data semantics
+    val cdcCb = cdc.copy(tableRoot = s"$base/table-cb", checkpointDir = s"$base/ckpt-cb",
+      snapshotMode = SnapshotMode.ConfigurationBased, configSnapshotData = false)
+    val t3 = CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdcCb, ChangeLogGen.snapshotLsn)
+    assert(t3.read().count() == 0 && t3.current.schema.fieldNames.contains("doc_id"))
+    // custom: the hook decides (here: a plain snapshot with a marker note)
+    var hookRan = false
+    val cdcCu = cdc.copy(tableRoot = s"$base/table-cu", checkpointDir = s"$base/ckpt-cu",
+      snapshotMode = SnapshotMode.Custom,
+      customSnapshot = Some((s, src, c, pin) => { hookRan = true; CdcJob.snapshot(s, src, c, pin) }))
+    val t4 = CdcJob.ensureTable(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdcCu, ChangeLogGen.snapshotLsn)
+    assert(hookRan && t4.read().count() == cfg.nDocs)
+    Fs.deleteRecursively(base)
+  }
+
+  test("heartbeat action SQL runs once per batch (heartbeat.action.query analog)") {
+    val cfg = ChangeLogConfig(nTx = 60, nDocs = 40, seed = 151)
+    val base = Fs.tempDir("graft-hb")
+    val hbDir = s"$base/heartbeats"
+    spark.sql(s"CREATE TABLE graft_hb_test (tick INT) USING parquet LOCATION '$hbDir'")
+    try {
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4,
+        heartbeatActionSql = Some("INSERT INTO graft_hb_test VALUES (1)"))
+      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 3)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      val stats = CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+      assert(spark.table("graft_hb_test").count() == stats.size.toLong)
+      assertEqual(cdc.tableRoot, oracle(cfg))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_hb_test")
+      Fs.deleteRecursively(base)
+    }
+  }
+
   test("extreme hot-key skew (zipf alpha=6): correct and completes") {
     val cfg = ChangeLogConfig(nTx = 400, nDocs = 50, seed = 59, zipfAlpha = 6.0)
     // verify the fixture is actually skewed: most updates hit doc 0
