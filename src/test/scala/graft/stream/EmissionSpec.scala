@@ -104,6 +104,38 @@ class EmissionSpec extends SparkSpec {
     assert(custom == Set("t.order.ev", "t.customer.ev"))
   }
 
+  test("reselect post-processor fills event NULLs from the sink's current state") {
+    import spark.implicits._
+    import graft.changelog.{ChangeLogConfig => CLC}
+    import graft.model.TokenDoc
+    val cfg = CLC(nTx = 10, nDocs = 20, seed = 163)
+    val base = Fs.tempDir("graft-reselect")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    // an emitted-event batch whose capture EXCLUDED `source` (nulls),
+    // incl. a brand-new key and a delete (null after image)
+    def ev(op: String, key: String, commit: Long) = (
+      commit, commit, commit, 1L, op, "token_docs",
+      if (op == "d") Some(TokenDoc(key, Seq.empty, 0, null)) else None,
+      if (op == "d") None else Some(TokenDoc(key, Seq(9), 1, null)),
+      0L)
+    val events = Seq(
+      ev("u", graft.changelog.ChangeLogGen.docId(0L), 10L),
+      ev("c", "docNEW", 11L),
+      ev("d", graft.changelog.ChangeLogGen.docId(1L), 12L))
+      .toDF("commit_lsn", "change_lsn", "begin_lsn", "tx_id", "op", "table",
+        "before", "after", "ts_ms")
+    val out = graft.ops.Reselect.reselect(events, table, Seq("source"))
+      .select(col("op"), col("after")).collect()
+      .map(r => r.getString(0) -> Option(r.getStruct(1)).map(_.getString(3)))
+    val m = out.toMap
+    assert(m("u") == Some("seed"), "existing key's excluded column refilled from the sink")
+    assert(m("c") == Some(null), "unknown key has nothing to reselect")
+    assert(m("d") == None, "delete events pass through untouched")
+    Fs.deleteRecursively(base)
+  }
+
   test("cdc.return.empty.transactions: empty committed txs appear only when enabled") {
     val (base, raw) = fixture()
     // splice a committed-but-empty transaction into the raw batch
