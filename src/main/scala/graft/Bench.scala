@@ -254,8 +254,18 @@ object Bench {
       val passes2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES2", "1").toInt
       onePass(lo2, "warm2", logDir, cfg, base)
       onePass(hi2, "warm2", logDir, cfg, base)
-      val p2lo = (1 to passes2).map(i => onePass(lo2, s"m2lo$i", logDir, cfg, base))
-      val p2hi = (1 to passes2).map(i => onePass(hi2, s"m2hi$i", logDir, cfg, base))
+      var p2lo = (1 to passes2).map(i => onePass(lo2, s"m2lo$i", logDir, cfg, base))
+      var p2hi = (1 to passes2).map(i => onePass(hi2, s"m2hi$i", logDir, cfg, base))
+      // same capping insurance as the primary pair: >1.6x batch
+      // dispersion on either level buys one extra interleaved pass pair
+      def disp2(all: Seq[Seq[(Long, Double)]]): Boolean = {
+        val t = all.flatten.map { case (ev, sec) => ev / sec }
+        t.max / t.min > 1.6
+      }
+      if (disp2(p2lo) || disp2(p2hi)) {
+        p2lo = p2lo :+ onePass(lo2, "m2loX", logDir, cfg, base)
+        p2hi = p2hi :+ onePass(hi2, "m2hiX", logDir, cfg, base)
+      }
       val (avg2hi, med2hiAll, _, _, _) = stats(p2hi.flatten)
       val (avg2lo, med2loAll, _, _, _) = stats(p2lo.flatten)
       val bpm2lo = p2lo.map(p => median(thrOf(p))).max

@@ -136,29 +136,76 @@ class IceLiteV2Table(spark: SparkSession, root: String) extends Table with Suppo
 }
 
 class IceLiteScanBuilder(spark: SparkSession, root: String, snap: IceSnapshot,
-    fullSchema: StructType) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var readSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (parquet reader contract)
     readSchema = StructType(
       fullSchema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new IceLiteScan(spark, root, snap, fullSchema, readSchema)
+
+  /** Filters are accepted for two layers of SKIPPING, never for final
+    * evaluation (everything is returned as residual, so Spark
+    * re-applies them — conservative and always correct):
+    *   - key-equality predicates prune whole BUCKETS driver-side (the
+    *     v2 form of `IceLiteTable.lookup`'s metadata pruning: a point
+    *     read of a 100 TB table scans one bucket's files);
+    *   - all filters are handed to the delegated parquet reader factory
+    *     for row-group statistics skipping.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** Finite key set implied by the filters (None = unconstrained). */
+  private def finiteKeys(f: Filter): Option[Set[String]] = f match {
+    case EqualTo(c, v: String) if c == snap.keyCol => Some(Set(v))
+    case EqualNullSafe(c, v: String) if c == snap.keyCol => Some(Set(v))
+    case In(c, vs) if c == snap.keyCol =>
+      Some(vs.collect { case s: String => s }.toSet)
+    case And(l, r) => (finiteKeys(l), finiteKeys(r)) match {
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) => for { a <- finiteKeys(l); b <- finiteKeys(r) } yield a.union(b)
+    case _ => None
+  }
+
+  override def build(): Scan = {
+    val prunedBuckets = pushed.flatMap(f => finiteKeys(f)).reduceOption(_ intersect _)
+      .map(_.map(k => IceLite.bucketOf(k, snap.numBuckets)))
+    new IceLiteScan(spark, root, snap, fullSchema, readSchema, pushed, prunedBuckets)
+  }
 }
 
 class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
-    fullSchema: StructType, readSchema_ : StructType)
+    fullSchema: StructType, readSchema_ : StructType,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    prunedBuckets: Option[Set[Int]] = None)
     extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = readSchema_
   override def toBatch: Batch = this
   override def description(): String =
     s"IceLiteScan(root=$root, snapshot=${snap.snapshotId}, " +
-      s"buckets=${snap.buckets.size}, bucket(${snap.numBuckets}, ${snap.keyCol}))"
+      s"buckets=${nonEmpty.size}/${snap.numBuckets}" +
+      prunedBuckets.map(b => s", prunedToBuckets=${b.toSeq.sorted.mkString("[", ",", "]")}")
+        .getOrElse("") +
+      s", bucket(${snap.numBuckets}, ${snap.keyCol}))"
 
   private def bucketFiles(b: Int): Seq[String] =
     snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil)
 
-  private lazy val nonEmpty: Seq[Int] = snap.buckets.filter(bucketFiles(_).nonEmpty).sorted
+  private lazy val nonEmpty: Seq[Int] = snap.buckets
+    .filter(b => prunedBuckets.forall(_.contains(b)))
+    .filter(bucketFiles(_).nonEmpty).sorted
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -195,7 +242,7 @@ class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
     new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
       spark, hadoopConf, emptyIndex,
       fullSchema, readSchema_, StructType(Nil),
-      Array.empty, CaseInsensitiveStringMap.empty(), None,
+      pushedFilters, CaseInsensitiveStringMap.empty(), None,
       Seq.empty, Seq.empty, Array.empty
     ).createReaderFactory()
   }

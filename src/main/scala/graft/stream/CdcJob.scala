@@ -118,6 +118,11 @@ final case class CdcConfig(
     /** Stateful-assembly state bound: max buffered records per open
       * transaction (see [[StatefulAssembly.DefaultMaxBufferedPerTx]]). */
     maxTxRecords: Int = StatefulAssembly.DefaultMaxBufferedPerTx,
+    /** Dead-letter dir for poison transactions (stateful path): when
+      * set, a transaction exceeding `maxTxRecords` is QUARANTINED — its
+      * records land in `<dlqDir>/batch-N` and the stream keeps going —
+      * instead of failing the query. */
+    dlqDir: Option[String] = None,
     /** Concurrent compaction: fold over-threshold delta chains on a
       * background daemon ([[graft.icelite.Maintenance.CompactionDaemon]])
       * instead of inside the apply — removes the compaction latency

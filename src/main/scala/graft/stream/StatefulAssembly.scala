@@ -35,16 +35,22 @@ object StatefulAssembly {
     * engine analog of the reference's bounded transaction buffering
     * (`cdc.max.records`, `InformixConnectorConfig.java:44,387-394`). A
     * never-committing or runaway transaction would otherwise accumulate
-    * state without limit; exceeding the cap fails the query naming the
-    * poison transaction (explicit error path — silent truncation would
-    * be data loss when the COMMIT eventually arrives).
+    * state without limit; exceeding the cap either fails the query
+    * naming the poison transaction (default — silent truncation would
+    * be data loss when the COMMIT eventually arrives) or, with a DLQ
+    * configured, QUARANTINES the transaction: its records are emitted
+    * as [[DlqOp]] events (never merged; the stream writes them to the
+    * dead-letter dir) and the stream keeps going.
     */
   val DefaultMaxBufferedPerTx: Int = 1 << 20
+
+  /** Quarantined-record op marker (excluded from merge and emission). */
+  val DlqOp = "x"
 
   /** Replay the reference's per-tx state machine over newly arrived
     * records; emit the transaction's events iff it closed.
     */
-  private def stepTx(maxBuffered: Int)(
+  private def stepTx(maxBuffered: Int, quarantine: Boolean)(
       txId: Long,
       incoming: Iterator[LogRecord],
       state: GroupState[TxBuffer]
@@ -53,10 +59,19 @@ object StatefulAssembly {
     state.getOption.foreach(b => buf ++= b.records)
     buf ++= incoming
     if (buf.size > maxBuffered) {
-      state.remove() // don't leave the oversized buffer behind on retry
-      throw new IllegalStateException(
-        s"transaction $txId exceeded maxBufferedPerTx=$maxBuffered buffered records " +
-          "without closing — poison transaction (raise the cap or repair the log)")
+      state.remove() // don't leave the oversized buffer behind
+      if (!quarantine)
+        throw new IllegalStateException(
+          s"transaction $txId exceeded maxBufferedPerTx=$maxBuffered buffered records " +
+            "without closing — poison transaction (raise the cap, repair the log, " +
+            "or configure a DLQ dir to quarantine instead)")
+      // DLQ: surface every buffered record as an 'x' event (commit_lsn
+      // unknown — the tx never closed — so each record carries its own
+      // position); the stream routes these to the dead-letter dir
+      return buf.sortBy(_.lsn).iterator.map(o => ChangeEvent(
+        commit_lsn = o.lsn, change_lsn = o.lsn, begin_lsn = -1L,
+        tx_id = txId, op = DlqOp, table = o.table,
+        before = o.before, after = o.after, ts_ms = o.ts_ms))
     }
     val sorted = buf.sortBy(_.lsn)
 
@@ -94,12 +109,13 @@ object StatefulAssembly {
 
   /** Raw log stream -> committed ChangeEvent stream (stateful). */
   def assemble(raw: Dataset[LogRecord],
-      maxBufferedPerTx: Int = DefaultMaxBufferedPerTx): Dataset[ChangeEvent] = {
+      maxBufferedPerTx: Int = DefaultMaxBufferedPerTx,
+      quarantine: Boolean = false): Dataset[ChangeEvent] = {
     val spark = raw.sparkSession
     import spark.implicits._
     raw.groupByKey(_.tx_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        stepTx(maxBufferedPerTx))
+        stepTx(maxBufferedPerTx, quarantine))
   }
 
   /** Full stateful pipeline: tail the log, assemble transactions in the
@@ -126,14 +142,22 @@ object StatefulAssembly {
       keyCol, cfg.tableInclude, cfg.columnTransforms, prune = false,
       filters = cfg.filters)
       .as[LogRecord]
-    assemble(raw, cfg.maxTxRecords).toDF()
+    assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined).toDF()
       .writeStream
       .queryName("graft-cdc-stateful")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (events: DataFrame, batchId: Long) =>
         cfg.signalDir.foreach(d => Signals.process(spark, table, d))
-        MergeApply.applyBatch(table, events, batchId); ()
+        // quarantined records go to the dead-letter dir, never the merge
+        val toApply = cfg.dlqDir match {
+          case None => events
+          case Some(dlq) =>
+            events.where(col("op") === DlqOp)
+              .write.mode("overwrite").parquet(f"$dlq/batch-$batchId%08d")
+            events.where(col("op") =!= DlqOp)
+        }
+        MergeApply.applyBatch(table, toApply, batchId); ()
       }
       .start()
   }

@@ -56,6 +56,29 @@ class V2ReadSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("key-equality predicates prune the scan to the keys' buckets (v2 point lookup)") {
+    import spark.implicits._
+    val (base, table) = pipeline(seed = 163)
+    val all = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    val k = all.keys.min
+    val df = IceLiteV2.readRaw(spark, table.root)
+      .where(col("doc_id") === k && !col(IceLite.TOMB))
+    // pruning is visible in the scan description and in the result
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("prunedToBuckets=["),
+      s"expected bucket pruning in the scan:\n$desc")
+    assert(desc.contains(s"buckets=1/8"), s"expected exactly one bucket scanned:\n$desc")
+    val got = df.as[TokenDoc].collect()
+    assert(got.map(_.doc_id).distinct.toSeq == Seq(k))
+    // multi-key IN prunes to the union of buckets; unknown keys scan nothing extra
+    val ks = all.keys.toSeq.sorted.take(3)
+    val got3 = IceLiteV2.readRaw(spark, table.root)
+      .where(col("doc_id").isin(ks.map(x => x: Any): _*) && !col(IceLite.TOMB))
+      .as[TokenDoc].collect().map(_.doc_id).toSet
+    assert(got3 == ks.toSet)
+    Fs.deleteRecursively(base)
+  }
+
   test("storage-partitioned self-join on the key plans without a shuffle") {
     import spark.implicits._
     val (base, table) = pipeline(seed = 157)

@@ -65,6 +65,48 @@ class StatefulAssemblySpec extends SparkSpec {
     assert(StatefulAssembly.assemble(ds).collect().isEmpty)
   }
 
+  test("poison transaction with a DLQ: quarantined, stream survives, healthy txs apply") {
+    import spark.implicits._
+    import graft.model.{LogRecord, TokenDoc}
+    import org.apache.spark.sql.functions.col
+    val base = Fs.tempDir("graft-dlq")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 2, maxFilesPerTrigger = 10, maxTxRecords = 5,
+      dlqDir = Some(s"$base/dlq"))
+    // one healthy committed tx + one poison tx (20 records, never closes)
+    val healthy = Seq(
+      LogRecord(1L, 1L, "B", -1L, "token_docs", None, None, 0L),
+      LogRecord(2L, 1L, "c", -1L, "token_docs", None,
+        Some(TokenDoc("docGOOD", Seq(1, 2), 2, "cdc")), 0L),
+      LogRecord(3L, 1L, "C", -1L, "token_docs", None, None, 0L))
+    val poison = (10L until 30L).map(i =>
+      LogRecord(i, 666L, "c", -1L, "token_docs", None,
+        Some(TokenDoc(s"docP$i", Seq(1), 1, "cdc")), 0L))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdc.logDir))
+    locally {
+      val tmp = s"${cdc.logDir}-stage"
+      (healthy ++ poison).toDS().toDF().coalesce(1).write.parquet(tmp)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(Fs.listParquet(tmp).head),
+        java.nio.file.Paths.get(s"${cdc.logDir}/seg-000.parquet"))
+    }
+    val fresh = spark.newSession()
+    val table = graft.icelite.IceLite.create(fresh, cdc.tableRoot,
+      MergeApply.asNullable(org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.Encoders.product[TokenDoc].schema))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      "doc_id", cdc.numBuckets)
+    StatefulAssembly.stream(fresh, table, cdc).awaitTermination()
+    // healthy tx applied; poison rows quarantined, none merged
+    val got = table.read().as[TokenDoc].collect().map(_.doc_id).toSet
+    assert(got == Set("docGOOD"), s"got $got")
+    val dlq = spark.read.parquet(s"$base/dlq/batch-*")
+    assert(dlq.count() == 20)
+    assert(dlq.where(col("op") =!= StatefulAssembly.DlqOp).count() == 0)
+    assert(dlq.where(col("tx_id") =!= 666L).count() == 0)
+    Fs.deleteRecursively(base)
+  }
+
   test("watermarked windowed event-rate metrics cover every data event") {
     val cfg = ChangeLogConfig(nTx = 100, nDocs = 50, seed = 109)
     val base = Fs.tempDir("graft-metrics")
