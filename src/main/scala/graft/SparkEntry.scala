@@ -252,6 +252,18 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) =>
       CdcRelational.sessionize(t(s, d, "events"))),
     "text_vocab" -> ((s, d) => TextOps.vocab(t(s, d, "documents"))),
+    // ---- training-data ops: sequence packing (concat-and-chunk at the
+    // context length; parallel per hash group, integer-exact layout) ----
+    "pack_offsets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", size(TextOps.words(col("text"))))
+      Packing.packOffsets(docs, capacity = 2048, groups = 8).orderBy(col("doc_id"))
+    }),
+    "pack_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", size(TextOps.words(col("text"))))
+      Packing.packStats(docs, capacity = 2048, groups = 8).orderBy(col("grp"))
+    }),
     // ---- training-data ops: text analysis ----
     "text_token_count" -> ((s, d) =>
       TextOps.tokenCounts(t(s, d, "documents"))
@@ -576,6 +588,21 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "text_vocab" ->
       """SELECT w AS word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, count(*) AS term_count FROM (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents) GROUP BY w ORDER BY word""",
+    "pack_offsets" ->
+      s"""WITH dd AS (SELECT doc_id, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n,
+        |  ${H("CAST(doc_id AS VARCHAR)")} % 8 AS grp FROM documents),
+        |o AS (SELECT doc_id, grp, n, sum(n) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_off FROM dd)
+        |SELECT doc_id, grp, end_off - n AS start_off, end_off,
+        |  (end_off - n)//2048 AS first_seq, (end_off - 1)//2048 AS last_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "pack_stats" ->
+      s"""WITH dd AS (SELECT doc_id, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n,
+        |  ${H("CAST(doc_id AS VARCHAR)")} % 8 AS grp FROM documents),
+        |s AS (SELECT grp, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens FROM dd GROUP BY grp),
+        |q AS (SELECT *, CAST(ceil(total_tokens/2048.0) AS BIGINT) AS n_seqs FROM s)
+        |SELECT grp, n_docs, total_tokens, n_seqs,
+        |  round((total_tokens - (n_seqs-1)*2048)/2048.0, 4) AS tail_fill
+        |FROM q ORDER BY grp""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS ws_tokens, len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     "text_quality" ->

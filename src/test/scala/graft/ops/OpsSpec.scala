@@ -91,6 +91,36 @@ class OpsSpec extends SparkSpec {
     assert(b1.values.toSet.size > 1, "hyperplanes should split the corpus")
   }
 
+  test("sequence packing: contiguous offsets per group, every non-tail sequence exactly full") {
+    val withTok = docs.withColumn("n_tok", size(TextOps.words(col("text"))))
+    val cap = 512
+    val rows = Packing.packOffsets(withTok, capacity = cap, groups = 4)
+      .select(col("grp"), col("start_off"), col("end_off"), col("first_seq"), col("last_seq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous: each doc starts exactly where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 == b._2, s"gap in group $g")
+        case _ => ()
+      }
+      assert(sorted.head._2 == 0L)
+      // seq bounds consistent with the interval
+      sorted.foreach { case (_, s, e, f, l) =>
+        assert(f == s / cap && l == (e - 1) / cap && f <= l)
+      }
+    }
+    val stats = Packing.packStats(withTok, capacity = cap, groups = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    stats.foreach { case (g, nDocs, total, nSeqs, tailFill) =>
+      val endMax = rows.filter(_._1 == g).map(_._3).max
+      assert(total == endMax, s"group $g totals disagree")
+      assert(nDocs == rows.count(_._1 == g))
+      assert(nSeqs == (total + cap - 1) / cap)
+      assert(tailFill > 0.0 && tailFill <= 1.0)
+    }
+  }
+
   test("shingle DF cap: hot shingles are dropped before any pair join") {
     import spark.implicits._
     // every doc shares the hot trigram "aaa bbb ccc"; pairs 1-2 also share real content
