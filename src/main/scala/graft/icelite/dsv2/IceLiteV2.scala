@@ -100,7 +100,11 @@ object BucketUnbound extends UnboundFunction {
   }
 }
 
-object BucketBound extends ScalarFunction[Integer] {
+object BucketBound extends ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[Integer, Integer] {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction => BF,
+    Reducer, ReducibleFunction}
+
   override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -111,6 +115,34 @@ object BucketBound extends ScalarFunction[Integer] {
     val key = input.getUTF8String(1)
     ((key.hashCode() % n) + n) % n // murmur3 seed 42 == catalyst hash()
   }
+
+  /** Cross-bucket-count compatibility for storage-partitioned joins:
+    * when the other side's bucket count divides this side's,
+    * `pmod(h, m) == pmod(pmod(h, n), m)` (m | n), so this side's
+    * buckets REDUCE into the coarser space with `b % m` and the two
+    * layouts join co-partitioned — e.g. a 64-bucket fact sink against
+    * an 8-bucket dimension sink, still zero exchange. Null = not
+    * reducible (Spark then falls back to normal planning).
+    */
+  override def reducer(thisNumBuckets: Int,
+      otherFunction: ReducibleFunction[_, _], otherNumBuckets: Int): Reducer[Integer, Integer] = {
+    val sameFn = otherFunction match {
+      case b: BF => b.canonicalName() == canonicalName()
+      case _ => false
+    }
+    if (sameFn && otherNumBuckets > 0 && otherNumBuckets < thisNumBuckets &&
+      thisNumBuckets % otherNumBuckets == 0)
+      BucketReducer(otherNumBuckets)
+    else null
+  }
+}
+
+/** Serializable bucket reducer: ships inside the join's
+  * StoragePartitionJoinParams to executors.
+  */
+case class BucketReducer(m: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] {
+  override def reduce(b: Integer): Integer = b % m
 }
 
 /** One input partition = one hash bucket's file set, carrying its
@@ -258,6 +290,9 @@ object IceLiteV2 {
   def register(spark: SparkSession, catalogName: String = "graft"): Unit = {
     spark.conf.set(s"spark.sql.catalog.$catalogName", classOf[IceLiteCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // co-partitioned joins across DIFFERENT (divisible) bucket counts —
+    // resolved through BucketBound.reducer
+    spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
   }
 
   /** Raw bucket-grouped scan (meta columns included, multiple versions

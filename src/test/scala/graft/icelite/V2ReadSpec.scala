@@ -79,6 +79,45 @@ class V2ReadSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("SPJ across two tables with DIFFERENT bucket counts (8 vs 4) plans without a shuffle") {
+    import spark.implicits._
+    // 8-bucket "fact" sink and 4-bucket "dim" sink over the same keys
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 167)
+    val base = Fs.tempDir("graft-v2xbuckets")
+    def build(nb: Int, tag: String) = {
+      val cdc = CdcConfig(s"$base/log$tag", s"$base/table$tag", s"$base/ckpt$tag",
+        numBuckets = nb)
+      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+      val t = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      CdcJob.runBatchIncremental(spark, t, cdc, filesPerBatch = 1)
+      t
+    }
+    val fact = build(8, "F")
+    val dim = build(4, "D")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = IceLiteV2.readRaw(spark, fact.root)
+        .where(!col(IceLite.TOMB)).select(col("doc_id"), col("n_tok"))
+      val b = IceLiteV2.readRaw(spark, dim.root)
+        .where(!col(IceLite.TOMB)).select(col("doc_id"), col("source"))
+      val joined = a.join(b, Seq("doc_id"))
+      assert(shufflesOf(joined).isEmpty,
+        s"8-bucket x 4-bucket SPJ must co-partition via the reducer:\n${joined.queryExecution.executedPlan}")
+      // correctness: the join matches the key intersection semantics
+      val expect = a.select("doc_id").distinct().join(
+        b.select("doc_id").distinct(), Seq("doc_id")).count()
+      assert(joined.select("doc_id").distinct().count() == expect && expect > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+    Fs.deleteRecursively(base)
+  }
+
   test("storage-partitioned self-join on the key plans without a shuffle") {
     import spark.implicits._
     val (base, table) = pipeline(seed = 157)
