@@ -11,6 +11,9 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // AQE off for the dumps: the adaptive wrapper prints the INITIAL plan
+    // (exchange reuse not yet applied), which over-counts exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val base = Fs.tempDir("graft-plans")
     val cfg = ChangeLogConfig(nTx = 2000, nDocs = 1000)
     val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 16)
@@ -35,6 +38,18 @@ object Plans {
       .repartition(16, col("__key")).groupBy("__key")
       .agg(max_by(struct(col("op"), col("after")), struct(col("commit_lsn"), col("change_lsn"))).as("w"))
       .explain("formatted")
+    println("########## PLAN 7: DSv2 merged read (KeyGroupedPartitioning, zero exchange) ##########")
+    graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root).explain("formatted")
+    println("########## PLAN 8: DSv2 SPJ self-join on the key (zero exchange) ##########")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val va = graft.icelite.dsv2.IceLiteV2.readRaw(spark, table.root)
+      .select(col("doc_id"), col("n_tok"))
+    val vb = graft.icelite.dsv2.IceLiteV2.readRaw(spark, table.root)
+      .select(col("doc_id"), col("tokens"))
+    va.join(vb, Seq("doc_id")).explain("formatted")
+    println("########## PLAN 9: DSv2 point read (bucket pruning from key predicate) ##########")
+    graft.icelite.dsv2.IceLiteV2.readRaw(spark, table.root)
+      .where(col("doc_id") === ChangeLogGen.docId(0L)).explain("formatted")
     Fs.deleteRecursively(base)
     spark.stop()
   }
