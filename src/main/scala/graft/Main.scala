@@ -42,11 +42,33 @@ object Main {
       snapshotMode = SnapshotMode.withName(a.getOrElse("snapshot-mode", "WhenNeeded")),
       broadcastAssembly = a.getOrElse("broadcast-assembly", "false").toBoolean,
       tableInclude = a.get("tables").map(_.split(",").toSeq),
+      // regex capture filters (F1/F2 parity with the reference's
+      // table.include.list / table.exclude.list / column.exclude.list)
+      filters = CaptureFilters(
+        tableIncludeRegex = a.get("table-include-regex").map(_.split(",").toSeq),
+        tableExcludeRegex = a.get("table-exclude-regex")
+          .map(_.split(",").toSeq).getOrElse(Nil),
+        columnExcludeRegex = a.get("column-exclude-regex")
+          .map(_.split(",").toSeq).getOrElse(Nil)),
       // --transforms "col=mask:8,col2=sha256:SALT,col3=truncate:10" (F3)
       columnTransforms = a.get("transforms").map(_.split(",").map { kv =>
         val Array(c, spec) = kv.split("=", 2); c -> spec
       }.toMap).getOrElse(Map.empty),
-      signalDir = a.get("signal-dir"))
+      signalDir = a.get("signal-dir"),
+      // emitted-record sink + its parity switches (E1/E2/E5)
+      emitDir = a.get("emit-dir"),
+      tombstonesOnDelete = a.getOrElse("tombstones-on-delete", "true").toBoolean,
+      returnEmptyTransactions =
+        a.getOrElse("return-empty-transactions", "false").toBoolean,
+      // concurrent compaction (recommended on): folds run on the
+      // maintenance daemon, off the batch latency path
+      asyncCompaction = a.getOrElse("async-compaction", "true").toBoolean,
+      // heartbeat.action.query analog: side-effect SQL per micro-batch
+      heartbeatActionSql = a.get("heartbeat-action-sql"),
+      // stateful-assembly poison-tx handling (used by the stateful path)
+      maxTxRecords = a.getOrElse("max-tx-records",
+        StatefulAssembly.DefaultMaxBufferedPerTx.toString).toInt,
+      dlqDir = a.get("dlq-dir"))
 
     val source = a.get("source")
       .map(p => spark.read.parquet(p))
@@ -70,7 +92,13 @@ object Main {
       case Some(s) => Trigger.ProcessingTime(s.toLong * 1000L)
       case None => Trigger.AvailableNow()
     }
-    val q = CdcJob.stream(spark, table, cfg, trigger)
+    // --assembly stateful: flatMapGroupsWithState transaction assembly
+    // for logs with no commit-boundary alignment (state survives in the
+    // SS state store; poison txs fail fast or quarantine per --dlq-dir)
+    val q = a.getOrElse("assembly", "batch") match {
+      case "stateful" => StatefulAssembly.stream(spark, table, cfg, trigger)
+      case _ => CdcJob.stream(spark, table, cfg, trigger)
+    }
     q.awaitTermination()
   }
 }
