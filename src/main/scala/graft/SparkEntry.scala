@@ -160,6 +160,11 @@ object SparkEntry {
     // same final state read back through the DataSourceV2 scan with
     // reported KeyGroupedPartitioning (zero-exchange merged read)
     "cdc_engine_replay_v2" -> ((s, d) => engineReplay(s, readV2 = true)),
+    // DSv2 WRITE path: INSERT/append commits versioned delta files
+    // through the snapshot protocol (bucket-clustered write, LWW
+    // visibility, tombstone deletes) — verified against a pure-SQL
+    // restatement of the four appends
+    "v2_write_insert" -> ((s, d) => v2WriteInsert(s, d)),
     // ---- general engine demos: agg / join / window over TPC-H-ish data ----
     "q1_pricing_summary" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -347,6 +352,39 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** The DSv2 write path end-to-end: four appends at different versions
+    * into a fresh IceLite table via `df.writeTo(...).append()` —
+    * base load (vc=10), higher-version overwrite of doc_id%3=0 (vc=20),
+    * a LATE STALE write (vc=5, must be inert under LWW), and tombstones
+    * for doc_id%7=0 (vc=30) — read back through the v2 merged scan.
+    */
+  private def v2WriteInsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.icelite.dsv2.IceLiteV2
+    val base = graft.util.Fs.tempDir("graft-v2w")
+    try {
+      val raw = t(spark, dir, "documents")
+      def rows(filter: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        raw.where(filter).select(col("doc_id").cast("string").as("doc_id"),
+          n.cast("long").as("n_chars"), col("source"))
+      val all = rows(lit(true), col("n_chars"))
+      val table = graft.icelite.IceLite.create(spark, s"$base/table",
+        all.schema, "doc_id", 16)
+      IceLiteV2.append(spark, table.root, all, vc = 10L, vl = 0L)
+      IceLiteV2.append(spark, table.root,
+        rows(col("doc_id") % 3 === 0, col("n_chars") + 1000), vc = 20L, vl = 0L)
+      IceLiteV2.append(spark, table.root,
+        rows(col("doc_id") % 3 === 1, lit(-1L)), vc = 5L, vl = 0L) // stale: inert
+      IceLiteV2.append(spark, table.root,
+        rows(col("doc_id") % 7 === 0, col("n_chars")), vc = 30L, vl = 0L,
+        tombstone = true)
+      val out = IceLiteV2.readMerged(spark, table.root)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** The `{AUX}` token is replaced by [[Verify]] with the absolute path
     * of its aux-dump directory (the deterministically regenerated engine
     * log + seed table for `cdc_engine_replay`).
@@ -400,6 +438,14 @@ object SparkEntry {
         |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
         |WHERE COALESCE(l.op,'') <> 'd'
         |ORDER BY doc_id""".stripMargin,
+    // pure-SQL restatement of the four v2 appends: the vc=20 overwrite
+    // wins for doc_id%3=0, the stale vc=5 write is invisible, the vc=30
+    // tombstones remove doc_id%7=0
+    "v2_write_insert" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS BIGINT) AS n_chars,
+        |       source
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
     "s1_snapshot_scan" ->
       "SELECT doc_id, n_chars, source FROM documents ORDER BY doc_id",
     "s2_offset_pin" ->

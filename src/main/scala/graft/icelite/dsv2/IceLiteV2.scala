@@ -154,17 +154,27 @@ class BucketFilePartition(idx: Int, files: Array[PartitionedFile], val bucket: I
     new GenericInternalRow(Array[Any](bucket))
 }
 
-class IceLiteV2Table(spark: SparkSession, root: String) extends Table with SupportsRead {
+class IceLiteV2Table(spark: SparkSession, root: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val snap: IceSnapshot = IceLite.readLatest(root).get
 
   override def name(): String = root
-  override def schema(): StructType = IceLite.withMeta(snap.schema)
+  /** Deep-nullable so INSERTs whose sources are nullable parquet columns
+    * resolve (stored values are still checked non-null by the writer).
+    */
+  override def schema(): StructType =
+    graft.stream.MergeApply.asNullable(IceLite.withMeta(snap.schema))
+      .asInstanceOf[StructType]
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(snap.numBuckets, snap.keyCol))
   override def capabilities(): java.util.Set[TableCapability] =
-    Collections.singleton(TableCapability.BATCH_READ)
+    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new IceLiteScanBuilder(spark, root, snap, schema())
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new IceLiteWriteBuilder(spark, root, info)
 }
 
 class IceLiteScanBuilder(spark: SparkSession, root: String, snap: IceSnapshot,
@@ -302,6 +312,25 @@ object IceLiteV2 {
       : org.apache.spark.sql.DataFrame = {
     register(spark, catalogName)
     spark.table(s"$catalogName.`$root`")
+  }
+
+  /** Append rows through the DSv2 write path at an explicit version —
+    * the common-case wrapper over `INSERT INTO graft.`root``: stamps the
+    * engine meta columns (every stored row must carry its LWW version;
+    * see [[IceLiteWriteBuilder]]) and appends. Rows win against existing
+    * data iff (vc, vl) exceeds the stored version of their key;
+    * `tombstone=true` deletes the key at that version.
+    */
+  def append(spark: SparkSession, root: String, rows: org.apache.spark.sql.DataFrame,
+      vc: Long, vl: Long, tombstone: Boolean = false,
+      catalogName: String = "graft"): Unit = {
+    import org.apache.spark.sql.functions.lit
+    register(spark, catalogName)
+    rows
+      .withColumn(IceLite.VC, lit(vc))
+      .withColumn(IceLite.VL, lit(vl))
+      .withColumn(IceLite.TOMB, lit(tombstone))
+      .writeTo(s"$catalogName.`$root`").append()
   }
 
   /** Merge-on-read over the DSv2 scan: because the scan REPORTS the
