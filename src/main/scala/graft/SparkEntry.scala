@@ -80,6 +80,18 @@ object SparkEntry {
     s"b AS ($bands)"
   }
 
+  /** Stratified-sampling keep predicate — generated from the ACTIVE
+    * Curation.SampleRatesBp constants (salted portable hash under the
+    * stratum's basis-point rate), so the oracle replays the exact
+    * sampling decisions.
+    */
+  private def SAMPLE_KEEP: String = {
+    val cases = Curation.SampleRatesBp
+      .map { case (s, r) => s"WHEN lang = '$s' THEN $r" }.mkString(" ")
+    s"${H("CAST(doc_id AS VARCHAR) || ':strat'")} % 10000 < " +
+      s"(CASE $cases ELSE ${Curation.SampleDefaultBp} END)"
+  }
+
   /** Quantized embeddings + integer sign-LSH plane dot products
     * (mirrors Similarity.quantized/lshBucket): CTEs q, pl, s for planes
     * [0, nPlanes).
@@ -269,6 +281,27 @@ object SparkEntry {
         .withColumn("n_tok", size(TextOps.words(col("text"))))
       Packing.packStats(docs, capacity = 2048, groups = 8).orderBy(col("grp"))
     }),
+    // ---- training-data ops: curation (decontamination / sampling / mixing) ----
+    // benchmark decontamination: train docs sharing any DF-capped word
+    // trigram with the eval split (doc_id%20=0), with overlap counts
+    "decontaminate" -> ((s, d) =>
+      Curation.contamination(t(s, d, "documents"), col("doc_id") % 20 === 0)
+        .orderBy(col("doc_id"))),
+    "decontaminate_apply" -> ((s, d) =>
+      Curation.decontaminateApply(t(s, d, "documents"), col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))),
+    // deterministic stratified sampling (per-language keep rates over the
+    // salted portable hash — reproducible, shuffle-free)
+    "sample_stratified" -> ((s, d) =>
+      Curation.sampleStratified(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+    "sample_strat_stats" -> ((s, d) =>
+      Curation.sampleStats(t(s, d, "documents")).orderBy(col("lang"))),
+    // token-budget mixture weights toward a uniform per-language target
+    "mix_weights" -> ((s, d) =>
+      Curation.mixtureWeights(t(s, d, "documents")).orderBy(col("lang"))),
     // ---- training-data ops: text analysis ----
     "text_token_count" -> ((s, d) =>
       TextOps.tokenCounts(t(s, d, "documents"))
@@ -649,6 +682,36 @@ object SparkEntry {
         |SELECT grp, n_docs, total_tokens, n_seqs,
         |  round((total_tokens - (n_seqs-1)*2048)/2048.0, 4) AS tail_fill
         |FROM q ORDER BY grp""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $SHINGLES,
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_overlap FROM tr JOIN ev USING(s)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "decontaminate_apply" ->
+      s"""WITH $SHINGLES,
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |dirty AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING(s))
+        |SELECT doc_id, n_chars, source FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"SELECT doc_id, lang FROM documents WHERE $SAMPLE_KEEP ORDER BY doc_id",
+    "sample_strat_stats" ->
+      s"""SELECT lang, count(*) AS n_total,
+        |CAST(sum(CASE WHEN $SAMPLE_KEEP THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |round(sum(CASE WHEN $SAMPLE_KEEP THEN 1 ELSE 0 END)*1.0/count(*), 4) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "mix_weights" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT *, sum(total_tokens) OVER () AS tot, count(*) OVER () AS k FROM a)
+        |SELECT lang, n_docs, total_tokens,
+        |  round(total_tokens*1.0/tot, 4) AS actual_share,
+        |  round(tot*1.0/(k*total_tokens), 4) AS weight
+        |FROM t ORDER BY lang""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS ws_tokens, len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     "text_quality" ->

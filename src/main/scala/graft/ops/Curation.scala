@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines:
+  * benchmark decontamination, deterministic stratified sampling, and
+  * mixture (token-budget) weighting.
+  *
+  * Scale notes:
+  *   - decontamination is an equi-join of train shingles against the
+  *     eval set's shingles — eval/benchmark sets are small by
+  *     definition, so the distinct eval-shingle side BROADCASTS and the
+  *     100 TB train side is never shuffled; the document-frequency cap
+  *     (shared with [[Dedup.cappedShingles]]) keeps a stopword n-gram
+  *     appearing in an eval doc from flagging the whole corpus.
+  *   - sampling decisions are pure per-row codegen'd expressions over
+  *     the portable MD5 hash ([[TextOps.portableHash]]): no shuffle, no
+  *     RNG state, bit-reproducible across engines AND across reruns —
+  *     re-sampling a grown corpus keeps previously-kept docs (the
+  *     property training-data versioning needs).
+  *   - mixture weights aggregate to one row per stratum before the only
+  *     non-linear step (the share normalization window runs over
+  *     #strata rows, not data).
+  */
+object Curation {
+
+  import TextOps.portableHash
+
+  /** Deterministic per-document sampling hash in [0, 10000): salted so
+    * it is independent of any other hash-derived decision in the
+    * pipeline (dedup fingerprints, packing groups).
+    */
+  private[graft] def samplePct(docId: Column): Column =
+    pmod(portableHash(concat(docId.cast("string"), lit(":strat"))), lit(10000L))
+
+  /** Default stratified-sampling parameterization for the documents
+    * table (per-language keep rates, basis points out of 10000). The
+    * SQL oracles are GENERATED from these constants — change them only
+    * here. Down-samples the dominant language, keeps the rare one.
+    */
+  val SampleRatesBp: Seq[(String, Int)] = Seq("en" -> 2500, "zh" -> 8000)
+  val SampleDefaultBp: Int = 5000
+
+  /** Keep-decision column for a stratified sample: keep iff the salted
+    * portable hash falls under the stratum's basis-point rate.
+    */
+  def sampleKeep(docId: Column, stratum: Column,
+      ratesBp: Seq[(String, Int)] = SampleRatesBp,
+      defaultBp: Int = SampleDefaultBp): Column = {
+    val bp = ratesBp.foldRight(lit(defaultBp): Column) { case ((s, r), acc) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    samplePct(docId) < bp
+  }
+
+  /** The stratified sample itself: input rows whose keep-decision holds.
+    * Pure filter — no shuffle, no RNG, reproducible.
+    */
+  def sampleStratified(df: DataFrame, strataCol: String = "lang",
+      ratesBp: Seq[(String, Int)] = SampleRatesBp,
+      defaultBp: Int = SampleDefaultBp): DataFrame =
+    df.where(sampleKeep(col("doc_id"), col(strataCol), ratesBp, defaultBp))
+
+  /** Per-stratum sampling report: totals, kept counts and the achieved
+    * rate (one map-side-combined aggregation).
+    */
+  def sampleStats(df: DataFrame, strataCol: String = "lang",
+      ratesBp: Seq[(String, Int)] = SampleRatesBp,
+      defaultBp: Int = SampleDefaultBp): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(sampleKeep(col("doc_id"), col(strataCol), ratesBp, defaultBp)
+          .cast("long")).as("n_kept"))
+      .withColumn("rate", round(col("n_kept").cast("double") / col("n_total"), 4))
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * word n-gram shingle with any document of the eval split, with the
+    * overlap count. `evalPred` marks the eval split (rows NOT matching
+    * it are the training corpus). Shingles are DF-capped over the full
+    * input (hot shingles are dropped before the join on BOTH sides).
+    */
+  def contamination(df: DataFrame, evalPred: Column, n: Int = 3,
+      textCol: String = "text",
+      maxDocFreq: Int = Dedup.DefaultMaxDocFreq): DataFrame = {
+    val sh = Dedup.cappedShingles(df, n, textCol, maxDocFreq)
+    val evalSh = sh.where(evalPred).select(col("shingle")).distinct()
+    sh.where(!evalPred)
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Apply decontamination: the training corpus with every contaminated
+    * document removed (eval rows themselves are not part of the output).
+    * The contaminated id set is an aggregation output — small — so the
+    * anti-join broadcasts; the corpus is never shuffled.
+    */
+  def decontaminateApply(df: DataFrame, evalPred: Column, n: Int = 3,
+      textCol: String = "text",
+      maxDocFreq: Int = Dedup.DefaultMaxDocFreq): DataFrame = {
+    val dirty = contamination(df, evalPred, n, textCol, maxDocFreq)
+      .select(col("doc_id"))
+    df.where(!evalPred).join(broadcast(dirty), Seq("doc_id"), "left_anti")
+  }
+
+  /** Token-budget mixture weights: per-stratum document/token totals,
+    * the stratum's share of the corpus tokens, and the resampling weight
+    * that would equalize the mixture (target = uniform across strata).
+    * weight > 1 means the stratum must be up-sampled to hit its target
+    * share of the training token budget.
+    */
+  def mixtureWeights(df: DataFrame, strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val agg = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col(textCol))).cast("long")).as("total_tokens"))
+    // #strata rows at this point; the empty-frame window is O(strata)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    agg
+      .withColumn("__tot", sum(col("total_tokens")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("actual_share",
+        round(col("total_tokens").cast("double") / col("__tot"), 4))
+      .withColumn("weight",
+        round(col("__tot").cast("double") /
+          (col("__k") * col("total_tokens")), 4))
+      .drop("__tot", "__k")
+  }
+}
