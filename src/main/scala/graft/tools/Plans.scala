@@ -50,6 +50,10 @@ object Plans {
     println("########## PLAN 9: DSv2 point read (bucket pruning from key predicate) ##########")
     graft.icelite.dsv2.IceLiteV2.readRaw(spark, table.root)
       .where(col("doc_id") === ChangeLogGen.docId(0L)).explain("formatted")
+    println("########## PLAN 10: decontaminate (broadcast eval shingles — corpus never shuffled by the join) ##########")
+    graft.SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001").explain("formatted")
+    println("########## PLAN 11: stratified sample (pure codegen filter, no shuffle) ##########")
+    graft.SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001").explain("formatted")
     Fs.deleteRecursively(base)
     spark.stop()
   }
