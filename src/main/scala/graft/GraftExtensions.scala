@@ -15,10 +15,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *              --conf spark.sql.sources.v2.bucketing.enabled=true ...
   * }}}
   *
-  * Injected: `lww_max_by` (the merge dedup aggregate) and `cosine_sim`
-  * (vector scoring). The per-model compiled functions (sign-LSH plane
-  * tables, IVF centroid tables, per-batch stats taps) stay
-  * registry-scoped by design — their constants are data-dependent.
+  * Injected: `lww_max_by` (the merge dedup aggregate), `cosine_sim`
+  * (vector scoring) and `kmv_sketch` (bounded-state distinct sketch).
+  * The per-model compiled functions (sign-LSH plane tables, IVF
+  * centroid tables, per-batch stats taps) stay registry-scoped by
+  * design — their constants are data-dependent.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -27,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.LwwMaxBy].getName, "lww_max_by"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.LwwMaxBy(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.plans.KmvSketch].getName, "kmv_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.KmvSketch(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.plans.CosineSim].getName, "cosine_sim"),

@@ -302,6 +302,14 @@ object SparkEntry {
     // token-budget mixture weights toward a uniform per-language target
     "mix_weights" -> ((s, d) =>
       Curation.mixtureWeights(t(s, d, "documents")).orderBy(col("lang"))),
+    // bounded-state KMV distinct sketch vs exact distinct, per language
+    // (every stratum exceeds k at sf0.01, so the estimator arithmetic
+    // itself — not just the exact small-stratum branch — is hash-checked)
+    "sketch_distinct" -> ((s, d) =>
+      Sketches.distinctProfile(t(s, d, "documents")).orderBy(col("lang"))),
+    // Gopher-family repetition signals — shuffle-free per-doc projection
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- training-data ops: text analysis ----
     "text_token_count" -> ((s, d) =>
       TextOps.tokenCounts(t(s, d, "documents"))
@@ -712,6 +720,34 @@ object SparkEntry {
         |  round(total_tokens*1.0/tot, 4) AS actual_share,
         |  round(tot*1.0/(k*total_tokens), 4) AS weight
         |FROM t ORDER BY lang""".stripMargin,
+    // KMV sketch replay: k smallest distinct portable hashes per stratum,
+    // estimate = (k-1)*2^56 // kth (pure integer division, k = Sketches.KmvK)
+    "sketch_distinct" -> {
+      val k = Sketches.KmvK
+      val num = Sketches.KmvEstNum
+      val est = s"CASE WHEN a.n_kept < $k THEN a.n_kept ELSE $num // a.kth END"
+      s"""WITH h AS (SELECT DISTINCT lang, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS hv FROM documents),
+        |r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+        |a AS (SELECT lang, count(*) AS n_distinct,
+        |  count(*) FILTER (WHERE rn <= $k) AS n_kept,
+        |  max(hv) FILTER (WHERE rn <= $k) AS kth FROM r GROUP BY lang),
+        |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT a.lang, d.n_docs, a.n_distinct, a.n_kept,
+        |  $est AS est_distinct,
+        |  round(($est - a.n_distinct)*1.0/a.n_distinct, 4) AS rel_err
+        |FROM a JOIN d USING(lang) ORDER BY lang""".stripMargin
+    },
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd, ws,
+        |  list_transform(range(1, len(ws)), i -> ws[i]||' '||ws[i+1]) AS bg FROM w),
+        |cw AS (SELECT doc_id, max(cnt) AS mw FROM (SELECT doc_id, tkn, count(*) AS cnt FROM (SELECT doc_id, unnest(ws) AS tkn FROM b) GROUP BY 1,2) GROUP BY 1),
+        |cb AS (SELECT doc_id, max(cnt) AS mb FROM (SELECT doc_id, g, count(*) AS cnt FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1,2) GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+        |  CASE WHEN b.n = 0 THEN 0.0 ELSE round((b.n - b.nd)*1.0/b.n, 4) END AS dup_word_frac,
+        |  CASE WHEN b.n = 0 THEN 0.0 ELSE round(cw.mw*1.0/b.n, 4) END AS top_word_frac,
+        |  CASE WHEN b.n < 2 THEN 0.0 ELSE round(cb.mb*1.0/(b.n - 1), 4) END AS top_bigram_frac
+        |FROM b LEFT JOIN cw USING(doc_id) LEFT JOIN cb USING(doc_id) ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS ws_tokens, len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
     "text_quality" ->

@@ -177,10 +177,19 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // pairs within each (band, bucket): ONE groupBy over the banded
+    // signatures instead of a self-join — a self-join of a derived plan
+    // recomputes the whole signature aggregation for both sides (2x the
+    // dominant cost), and shuffles it twice. Collecting the bucket's doc
+    // list is bounded by bucket collision size — the same per-key bound
+    // the equi-join had (same key -> same reducer) — and the pair
+    // explosion it feeds is identical.
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
       .distinct()
   }
 

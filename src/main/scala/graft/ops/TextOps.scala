@@ -108,4 +108,46 @@ object TextOps {
     df.select(col("doc_id")).join(argmax, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
   }
+
+  /** Repetition signals (the Gopher-rules repetition family): fraction
+    * of duplicated words, and the corpus-filter staples "most frequent
+    * word share" / "most frequent bigram share" per document.
+    *
+    * Scale shape: ZERO shuffle. A per-document metric must never cost a
+    * `groupBy(doc_id, token)` over the exploded corpus (that shuffles
+    * the full token stream — many times the corpus size). Instead the
+    * top-term count is computed inside the row: sort the token array,
+    * then the longest run of equal adjacent elements IS the max
+    * frequency (`aggregate` over the sorted array). The whole operator
+    * is a projection — it pipelines with the scan at any scale.
+    */
+  def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // longest run of equal adjacent elements of a (sorted) string array
+    def maxRun(arrSql: String): String =
+      s"""aggregate(sort_array($arrSql),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
+         |    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+         |  acc -> acc.best)""".stripMargin
+    val bigrams =
+      "zip_with(slice(__ws, 1, size(__ws) - 1), slice(__ws, 2, size(__ws) - 1)," +
+        " (a, b) -> concat(a, ' ', b))"
+    df.select(col("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(array_distinct(col("__ws"))).cast("long").as("__nd"),
+        expr(maxRun("__ws")).as("__mw"),
+        expr(maxRun(bigrams)).as("__mb"))
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") === 0, lit(0.0)).otherwise(round(
+          (col("n_words") - col("__nd")).cast("double") / col("n_words"), 4))
+          .as("dup_word_frac"),
+        when(col("n_words") === 0, lit(0.0)).otherwise(round(
+          col("__mw").cast("double") / col("n_words"), 4)).as("top_word_frac"),
+        when(col("n_words") < 2, lit(0.0)).otherwise(round(
+          col("__mb").cast("double") / (col("n_words") - 1), 4))
+          .as("top_bigram_frac"))
+  }
 }

@@ -54,6 +54,10 @@ object Plans {
     graft.SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001").explain("formatted")
     println("########## PLAN 11: stratified sample (pure codegen filter, no shuffle) ##########")
     graft.SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.001").explain("formatted")
+    println("########## PLAN 12: KMV distinct sketch (ObjectHashAggregate, bounded state) ##########")
+    graft.SparkEntry.queries("sketch_distinct")(spark, "/root/testdata/sf0.001").explain("formatted")
+    println("########## PLAN 13: repetition signals (shuffle-free per-doc projection) ##########")
+    graft.SparkEntry.queries("text_repetition")(spark, "/root/testdata/sf0.001").explain("formatted")
     Fs.deleteRecursively(base)
     spark.stop()
   }

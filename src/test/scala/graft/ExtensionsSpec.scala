@@ -26,6 +26,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT k, lww_max_by(struct(v), vc, vl).v AS top FROM graft_ext_t GROUP BY k")
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       assert(got == Map("a" -> 20, "b" -> 7))
+      // kmv_sketch: 3 distinct values, k=8 -> exact branch
+      val sk = s2.sql(
+        "SELECT kmv_sketch(h, 8) AS s FROM (SELECT (id % 3) * 1000 AS h " +
+          "FROM range(100))").collect()(0).getStruct(0)
+      assert(sk.getLong(0) == 3 && sk.getLong(1) == 2000L)
     } finally {
       SparkSession.setActiveSession(orig)
       SparkSession.setDefaultSession(orig)

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.functions._
+
+/** KMV distinct sketch + repetition-signal guards: estimator exactness
+  * against a brute-force Scala replay, partition-count invariance (the
+  * merge path), both estimator branches, plan shape (ObjectHashAggregate,
+  * never SortAggregate), and hand-computed repetition goldens.
+  */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(n: Int, strata: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, s"s${i % strata}", s"doc ${rnd.nextInt(1 << 20)} text $i")
+    }.toDF("doc_id", "lang", "text")
+  }
+
+  test("kmv sketch matches a brute-force bottom-k replay (estimator branch)") {
+    val df = docs(800, strata = 4, seed = 7)
+    val out = Sketches.distinctProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // brute replay: same hash, same normalization, per stratum
+    val hv = df.select(col("lang"),
+        TextOps.portableHash(TextOps.normalized(col("text"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val k = Sketches.KmvK
+    hv.groupBy(_._1).foreach { case (lang, rows) =>
+      val distinct = rows.map(_._2).distinct.sorted
+      val r = out(lang)
+      assert(r.getLong(2) == distinct.length, s"n_distinct $lang")
+      assert(r.getLong(3) == math.min(k, distinct.length), s"n_kept $lang")
+      val expectedEst =
+        if (distinct.length < k) distinct.length.toLong
+        else Sketches.KmvEstNum / distinct(k - 1)
+      assert(r.getLong(4) == expectedEst, s"est_distinct $lang")
+      // the estimate is an estimate — but it must be in the right ballpark
+      val err = math.abs(r.getLong(4) - distinct.length).toDouble / distinct.length
+      assert(distinct.length < k || err < 0.5, s"estimator off by ${err} for $lang")
+    }
+  }
+
+  test("kmv sketch is invariant to input partitioning (merge path)") {
+    val df = docs(600, strata = 3, seed = 21)
+    val base = Sketches.distinctProfile(df).orderBy("lang").collect().toSeq
+    for (p <- Seq(1, 7, 64)) {
+      val got = Sketches.distinctProfile(df.repartition(p)).orderBy("lang").collect().toSeq
+      assert(got == base, s"partitions=$p changed the sketch")
+    }
+  }
+
+  test("kmv exact branch: strata under k distinct report the exact count") {
+    // 3 strata x 20 distinct docs, duplicated 5x -> n_kept = 20 < k
+    val rows = for (s <- 0 until 3; d <- 0 until 20; _ <- 0 until 5)
+      yield ((s * 100 + d).toLong, s"s$s", s"stratum $s doc $d")
+    val df = rows.toDF("doc_id", "lang", "text")
+    Sketches.distinctProfile(df).collect().foreach { r =>
+      assert(r.getLong(1) == 100, "n_docs")          // 20 * 5
+      assert(r.getLong(2) == 20, "n_distinct")
+      assert(r.getLong(3) == 20, "n_kept")
+      assert(r.getLong(4) == 20, "est == exact under k")
+      assert(r.getDouble(5) == 0.0, "rel_err")
+    }
+  }
+
+  test("kmv sketch plans as ObjectHashAggregate, never SortAggregate") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Sketches.distinctProfile(docs(100, 2, 3)).queryExecution.executedPlan
+      assert(plan.collect { case a: ObjectHashAggregateExec => a }.nonEmpty,
+        "expected ObjectHashAggregate for the sketch")
+      assert(plan.collect { case a: SortAggregateExec => a }.isEmpty,
+        "SortAggregate fallback in the sketch plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("repetition signals match hand-computed goldens") {
+    val df = Seq(
+      (1L, "a b c d"),            // all unique words, all unique bigrams
+      (2L, "a a a a"),            // one word 4x, one bigram "a a" 3x
+      (3L, "x y x y x"),          // x:3 of 5; bigrams: "x y":2, "y x":2 of 4
+      (4L, "solo")                // single word: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetition(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got(0) == ((1L, 4L, 0.0, 0.25, 0.3333)))   // top word 1/4; unique bigrams -> 1/3
+    assert(got(1) == ((2L, 4L, 0.75, 1.0, 1.0)))
+    assert(got(2) == ((3L, 5L, 0.6, 0.6, 0.5)))
+    assert(got(3) == ((4L, 1L, 0.0, 1.0, 0.0)))
+  }
+
+  test("repetition signals match a brute Scala replay on random docs") {
+    val rnd = new scala.util.Random(99)
+    val texts = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val got = TextOps.repetition(texts.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    texts.zip(got).foreach { case ((id, text), r) =>
+      val ws = text.trim.split("\\s+").toSeq
+      val n = ws.length
+      val bg = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      def rnd4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getLong(0) == id && r.getLong(1) == n)
+      assert(r.getDouble(2) == rnd4((n - ws.distinct.length).toDouble / n), s"dup $id")
+      assert(r.getDouble(3) == rnd4(ws.groupBy(identity).values.map(_.size).max.toDouble / n), s"topw $id")
+      val expB = if (n < 2) 0.0
+        else rnd4(bg.groupBy(identity).values.map(_.size).max.toDouble / (n - 1))
+      assert(r.getDouble(4) == expB, s"topb $id")
+    }
+  }
+}
