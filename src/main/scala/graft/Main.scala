@@ -54,6 +54,9 @@ object Main {
       columnTransforms = a.get("transforms").map(_.split(",").map { kv =>
         val Array(c, spec) = kv.split("=", 2); c -> spec
       }.toMap).getOrElse(Map.empty),
+      // Filter-SMT analog: SQL predicate over the after image, e.g.
+      // --row-filter "after.n_tok >= 32" (ingest-time quality gate)
+      rowFilter = a.get("row-filter").map(org.apache.spark.sql.functions.expr),
       signalDir = a.get("signal-dir"),
       // emitted-record sink + its parity switches (E1/E2/E5)
       emitDir = a.get("emit-dir"),

@@ -302,6 +302,10 @@ object SparkEntry {
     // token-budget mixture weights toward a uniform per-language target
     "mix_weights" -> ((s, d) =>
       Curation.mixtureWeights(t(s, d, "documents")).orderBy(col("lang"))),
+    // exact token-length quantiles per stratum via the bounded-domain
+    // histogram (no corpus sort; the window runs over the histogram)
+    "length_quantiles" -> ((s, d) =>
+      Curation.lengthQuantiles(t(s, d, "documents")).orderBy(col("lang"))),
     // bounded-state KMV distinct sketch vs exact distinct, per language
     // (every stratum exceeds k at sf0.01, so the estimator arithmetic
     // itself — not just the exact small-stratum branch — is hash-checked)
@@ -720,6 +724,17 @@ object SparkEntry {
         |  round(total_tokens*1.0/tot, 4) AS actual_share,
         |  round(tot*1.0/(k*total_tokens), 4) AS weight
         |FROM t ORDER BY lang""".stripMargin,
+    "length_quantiles" ->
+      """WITH d AS (SELECT lang, CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n FROM documents),
+        |h AS (SELECT lang, n, count(*) AS c FROM d GROUP BY 1,2),
+        |x AS (SELECT lang, n, sum(c) OVER (PARTITION BY lang ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(c) OVER (PARTITION BY lang) AS tot FROM h)
+        |SELECT lang, CAST(max(tot) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN cum >= (tot*25+99)//100 THEN n END) AS p25,
+        |  min(CASE WHEN cum >= (tot*50+99)//100 THEN n END) AS p50,
+        |  min(CASE WHEN cum >= (tot*75+99)//100 THEN n END) AS p75,
+        |  min(CASE WHEN cum >= (tot*95+99)//100 THEN n END) AS p95
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     // KMV sketch replay: k smallest distinct portable hashes per stratum,
     // estimate = (k-1)*2^56 // kth (pure integer division, k = Sketches.KmvK)
     "sketch_distinct" -> {

@@ -104,6 +104,37 @@ object Curation {
     df.where(!evalPred).join(broadcast(dirty), Seq("doc_id"), "left_anti")
   }
 
+  /** Exact per-stratum quantiles of the document token-length
+    * distribution (the truncation / packing / filter-threshold input).
+    *
+    * Scale shape: EXACT quantiles without sorting the corpus. A
+    * per-stratum sort window would put each stratum's every row in one
+    * task — a non-starter at 100 TB. Token counts live in a small
+    * integer domain, so the corpus reduces to a (stratum, length) →
+    * count HISTOGRAM with one map-side-combined aggregation; the
+    * cumulative-rank window then runs over the tiny histogram, and the
+    * quantile at q% is the least length whose cumulative count reaches
+    * `ceil(total*q/100)` — pure integer arithmetic, bit-identical in
+    * any engine (contrast `percentile_approx`, which is neither exact
+    * nor portable).
+    */
+  def lengthQuantiles(df: DataFrame, strataCol: String = "lang",
+      textCol: String = "text", qs: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df
+      .select(col(strataCol), size(TextOps.words(col(textCol))).cast("long").as("n"))
+      .groupBy(col(strataCol), col("n")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(strataCol))
+    val x = h.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+    val aggs = qs.map(q =>
+      min(when(col("cum") >= expr(s"(tot * $q + 99) div 100"), col("n"))).as(s"p$q"))
+    x.groupBy(col(strataCol))
+      .agg(max(col("tot")).as("n_docs"), aggs: _*)
+  }
+
   /** Token-budget mixture weights: per-stratum document/token totals,
     * the stratum's share of the corpus tokens, and the resampling weight
     * that would equalize the mixture (target = uniform across strata).

@@ -84,6 +84,17 @@ final case class CdcConfig(
       * image before MERGE. The merge key must not be transformed.
       */
     columnTransforms: Map[String, String] = Map.empty,
+    /** Row-level event gate — the analog of Debezium's `Filter` SMT
+      * (`io.debezium.transforms.Filter`, filter.condition): a predicate
+      * over the AFTER image; a data event ('c'/'u') whose after-image
+      * fails it (or evaluates null) is dropped BEFORE assembly/merge.
+      * Event-drop semantics, exactly like the SMT: a failing update is
+      * simply not applied (the sink keeps the key's prior version);
+      * deletes and control records always pass (no after image). The
+      * LLM-pipeline use is the ingest-time quality gate: e.g.
+      * `length(col("after.text")) >= 32` keeps junk documents from ever
+      * entering the corpus sink. */
+    rowFilter: Option[Column] = None,
     /** Signal directory (E7): polled between micro-batches for
       * incremental/blocking snapshot requests — see [[Signals]]. */
     signalDir: Option[String] = None,
@@ -362,7 +373,8 @@ object CdcJob {
       tableInclude: Option[Seq[String]],
       columnTransforms: Map[String, String],
       prune: Boolean = true,
-      filters: CaptureFilters = CaptureFilters.none): DataFrame = {
+      filters: CaptureFilters = CaptureFilters.none,
+      rowFilter: Option[Column] = None): DataFrame = {
     // F1 table filter: keep control records (they close transactions for
     // every table) and data ops of captured tables only; sys* always out.
     // Include side = literal list OR regex list (a table passes if it
@@ -404,13 +416,21 @@ object CdcJob {
         filtered.withColumn("before", scrub("before"))
           .withColumn("after", scrub("after"))
       }
+    // Filter-SMT row gate: data events failing the after-image predicate
+    // (SQL three-valued: null = fail) are dropped here — before pruning,
+    // so the predicate may reference any after field.
+    val gated = rowFilter match {
+      case None => colFiltered
+      case Some(pred) => colFiltered.where(
+        !col("op").isin("c", "u") || coalesce(pred, lit(false)))
+    }
     // The before-image is only ever consulted for the merge KEY (deletes
     // carry the key in `before`), so the engine path prunes it to that
     // single nested field right above the scan — the parquet reader then
     // decodes just the `before.<key>` leaf.
     val pruned =
-      if (!prune) colFiltered
-      else colFiltered.select(
+      if (!prune) gated
+      else gated.select(
         col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
         col("table"), col("after"),
         struct(col("before").getField(keyCol).as(keyCol)).as("before"))
@@ -445,11 +465,12 @@ object CdcJob {
       tombstonesOnDelete: Boolean = true,
       returnEmptyTransactions: Boolean = false,
       filters: CaptureFilters = CaptureFilters.none,
-      inlineCompact: Boolean = true): MergeApply.MergeStats = {
+      inlineCompact: Boolean = true,
+      rowFilter: Option[Column] = None): MergeApply.MergeStats = {
     val spark = rawBatch.sparkSession
     val keyCol = table.current.keyCol
     val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms,
-      prune = true, filters = filters)
+      prune = true, filters = filters, rowFilter = rowFilter)
 
     val input =
       if (!txCarryover) transformed
@@ -551,7 +572,7 @@ object CdcJob {
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
-          inlineCompact = daemon.isEmpty)
+          inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter)
         daemon.foreach(_.poke()); ()
       }
       .start()
@@ -635,7 +656,7 @@ object CdcJob {
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
-          inlineCompact = daemon.isEmpty)
+          inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter)
         daemon.foreach(_.poke())
       }
     }

@@ -35,7 +35,8 @@ object MultiTable {
       rawBatch: DataFrame,
       batchId: Long,
       broadcastAssembly: Boolean = false,
-      columnTransforms: Map[String, Map[String, String]] = Map.empty
+      columnTransforms: Map[String, Map[String, String]] = Map.empty,
+      rowFilters: Map[String, org.apache.spark.sql.Column] = Map.empty
   ): Map[String, MergeApply.MergeStats] = {
     // One pass to drop never-captured payload, MATERIALIZED before the
     // per-table fan-out: without the persist each sink's apply re-scans
@@ -51,7 +52,8 @@ object MultiTable {
       sinks.map { case (name, tbl) =>
         name -> CdcJob.processBatch(tbl, captured, batchId, broadcastAssembly,
           tableInclude = Some(Seq(name)),
-          columnTransforms = columnTransforms.getOrElse(name, Map.empty))
+          columnTransforms = columnTransforms.getOrElse(name, Map.empty),
+          rowFilter = rowFilters.get(name))
       }
     } finally {
       captured.unpersist(blocking = false)

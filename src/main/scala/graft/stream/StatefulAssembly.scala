@@ -140,7 +140,7 @@ object StatefulAssembly {
         .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
         .parquet(cfg.logDir),
       keyCol, cfg.tableInclude, cfg.columnTransforms, prune = false,
-      filters = cfg.filters)
+      filters = cfg.filters, rowFilter = cfg.rowFilter)
       .as[LogRecord]
     assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined).toDF()
       .writeStream

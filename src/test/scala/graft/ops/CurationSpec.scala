@@ -59,6 +59,27 @@ class CurationSpec extends SparkSpec {
     assert(a.subsetOf(g))
   }
 
+  test("length quantiles match a brute-force sorted-rank replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 900).map { i =>
+      val lang = Seq("en", "fr", "zh")(i % 3)
+      val n = 1 + rnd.nextInt(120)
+      (i.toLong, Seq.fill(n)("w").mkString(" "), lang)
+    }
+    val got = Curation.lengthQuantiles(docs.toDF("doc_id", "text", "lang"))
+      .select("lang", "n_docs", "p25", "p50", "p75", "p95")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    docs.groupBy(_._3).foreach { case (lang, rows) =>
+      val lens = rows.map(_._2.trim.split("\\s+").length.toLong).sorted
+      def q(p: Int) = lens(((lens.length * p + 99) / 100 - 1).toInt)
+      val r = got(lang)
+      assert(r._2 == lens.length, s"n_docs $lang")
+      assert((r._3, r._4, r._5, r._6) == ((q(25), q(50), q(75), q(95))), s"quantiles $lang")
+    }
+  }
+
   test("mixture weights: weight * share * k == 1 per stratum, shares sum to 1") {
     import spark.implicits._
     val out = Curation.mixtureWeights(corpus)

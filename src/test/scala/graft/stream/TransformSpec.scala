@@ -32,6 +32,39 @@ class TransformSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("rowFilter gate (Filter SMT analog): failing data events are dropped pre-merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cfg = ChangeLogConfig(nTx = 200, nDocs = 120, seed = 83)
+    val base = Fs.tempDir("graft-gate")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 4,
+      rowFilter = Some(col("after").getField("n_tok") % 2 === 0))
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    // oracle: sequential replay of the SAME log with failing c/u events
+    // dropped (event-drop semantics: a failing update leaves the key's
+    // prior version in place; deletes always pass)
+    val initial = (0L until cfg.nDocs.toLong).map { k =>
+      val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+      ChangeLogGen.docId(k) -> graft.model.TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+    }.toMap
+    val gatedLog = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
+      .filter(r => !(r.op == "c" || r.op == "u") || r.after.exists(_.n_tok % 2 == 0))
+    val want = ReplayOracle.replay(initial, gatedLog, ChangeLogGen.snapshotLsn)
+    val got = graft.icelite.IceLite.load(spark, cdc.tableRoot).read()
+      .as[graft.model.TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(got.keySet == want.keySet,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens $k") }
+    // and the gate actually bit: some odd-length update must exist in the raw log
+    assert((0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
+      .exists(r => (r.op == "c" || r.op == "u") && r.after.exists(_.n_tok % 2 == 1)))
+    Fs.deleteRecursively(base)
+  }
+
   test("sha256 transform is salted and deterministic") {
     import spark.implicits._
     val df = Seq(("k1", "hello")).toDF("k", "v")
