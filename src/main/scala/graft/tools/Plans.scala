@@ -58,6 +58,14 @@ object Plans {
     graft.SparkEntry.queries("sketch_distinct")(spark, "/root/testdata/sf0.001").explain("formatted")
     println("########## PLAN 13: repetition signals (shuffle-free per-doc projection) ##########")
     graft.SparkEntry.queries("text_repetition")(spark, "/root/testdata/sf0.001").explain("formatted")
+    println("########## PLAN 14: incremental dedup probe (bucket-pruned index read, batch broadcast) ##########")
+    locally {
+      val idxRoot = graft.util.Fs.tempDir("graft-plan-idx")
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val idx = graft.ops.DedupIndex.create(spark, s"$idxRoot/idx", corpus, numBuckets = 16)
+      graft.ops.DedupIndex.probe(idx, corpus.where(col("doc_id") < 3)).explain("formatted")
+      graft.util.Fs.deleteRecursively(idxRoot)
+    }
     Fs.deleteRecursively(base)
     spark.stop()
   }

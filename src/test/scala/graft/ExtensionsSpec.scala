@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("GraftExtensions injects lww_max_by and cosine_sim into a new session") {
+  test("GraftExtensions injects lww_max_by, cosine_sim and kmv_sketch into a new session") {
     val orig = TestSpark.spark // ensure the shared context exists
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
