@@ -374,28 +374,42 @@ object SparkEntry {
     * per doc_id (arrays themselves cannot be output columns — the
     * driver compare sorts flat scalars only).
     */
-  private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame = {
-    import graft.changelog._
-    import graft.stream._
-    val base = graft.util.Fs.tempDir("graft-entry")
-    try {
-      val cfg = EngineReplayCfg
-      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
-      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
-      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
-        cdc, ChangeLogGen.snapshotLsn)
-      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
-      val read =
-        if (readV2) graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root)
-        else table.read()
-      val out = read.select(col("doc_id"), col("n_tok"), col("source"),
-          conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
-            1, 14), 16, 10).cast("long").as("tok_fp"))
-        .orderBy(col("doc_id"))
-      out.cache(); out.count() // materialize before temp dir cleanup
-      out
-    } finally graft.util.Fs.deleteRecursively(base)
-  }
+  // one pipeline run serves BOTH replay entries (classic + v2 read):
+  // the E2E mini-pipeline is the verify sweep's most expensive step, so
+  // the second entry must not pay it again (memo per session — Verify
+  // runs every query on one session)
+  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame)] = None
+
+  private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame =
+    synchronized {
+      replayMemo match {
+        case Some((s, classic, v2)) if s eq spark => if (readV2) v2 else classic
+        case _ =>
+          import graft.changelog._
+          import graft.stream._
+          val base = graft.util.Fs.tempDir("graft-entry")
+          try {
+            val cfg = EngineReplayCfg
+            val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+            ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
+            val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+              cdc, ChangeLogGen.snapshotLsn)
+            CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+            def shape(read: DataFrame): DataFrame = {
+              val out = read.select(col("doc_id"), col("n_tok"), col("source"),
+                  conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
+                    1, 14), 16, 10).cast("long").as("tok_fp"))
+                .orderBy(col("doc_id"))
+              out.cache(); out.count() // materialize before temp dir cleanup
+              out
+            }
+            val classic = shape(table.read())
+            val v2 = shape(graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root))
+            replayMemo = Some((spark, classic, v2))
+            if (readV2) v2 else classic
+          } finally graft.util.Fs.deleteRecursively(base)
+      }
+    }
 
   /** The DSv2 write path end-to-end: four appends at different versions
     * into a fresh IceLite table via `df.writeTo(...).append()` —
