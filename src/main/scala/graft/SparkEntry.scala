@@ -314,6 +314,12 @@ object SparkEntry {
     // Gopher-family repetition signals — shuffle-free per-doc projection
     "text_repetition" -> ((s, d) =>
       TextOps.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // pairwise stratum-overlap matrix by KMV sketch merge +
+    // inclusion-exclusion (exact union/inter columns = the small-scale
+    // comparison; estimates are the bounded-state scale path)
+    "sketch_overlap" -> ((s, d) =>
+      Sketches.overlapProfile(t(s, d, "documents"))
+        .orderBy(col("lang_a"), col("lang_b"))),
     // ---- training-data ops: text analysis ----
     "text_token_count" -> ((s, d) =>
       TextOps.tokenCounts(t(s, d, "documents"))
@@ -765,6 +771,29 @@ object SparkEntry {
         |  $est AS est_distinct,
         |  round(($est - a.n_distinct)*1.0/a.n_distinct, 4) AS rel_err
         |FROM a JOIN d USING(lang) ORDER BY lang""".stripMargin
+    },
+    // overlap replay: per-pair union bottom-k over distinct (lang, hv)
+    // rows + inclusion-exclusion with the per-stratum estimates
+    "sketch_overlap" -> {
+      val k = Sketches.KmvK
+      val num = Sketches.KmvEstNum
+      def est(nk: String, kth: String) =
+        s"CASE WHEN $nk < $k THEN $nk ELSE $num // $kth END"
+      s"""WITH h AS (SELECT DISTINCT lang, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS hv FROM documents),
+        |ls AS (SELECT DISTINCT lang FROM h),
+        |p AS (SELECT a.lang AS lang_a, b.lang AS lang_b FROM ls a JOIN ls b ON a.lang < b.lang),
+        |r1 AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+        |s1 AS (SELECT lang, count(*) FILTER (WHERE rn <= $k) AS nk, max(hv) FILTER (WHERE rn <= $k) AS kth FROM r1 GROUP BY lang),
+        |e1 AS (SELECT lang, ${est("nk", "kth")} AS est1 FROM s1),
+        |x AS (SELECT lang_a, lang_b, hv, count(DISTINCT lang) AS nl FROM p JOIN h ON h.lang = lang_a OR h.lang = lang_b GROUP BY 1,2,3),
+        |r AS (SELECT lang_a, lang_b, hv, nl, row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY hv) AS rn FROM x),
+        |u AS (SELECT lang_a, lang_b, count(*) AS n_union, CAST(sum(CASE WHEN nl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+        |  count(*) FILTER (WHERE rn <= $k) AS nk, max(hv) FILTER (WHERE rn <= $k) AS kth FROM r GROUP BY 1,2)
+        |SELECT u.lang_a, u.lang_b, u.n_union, u.n_inter,
+        |  ${est("u.nk", "u.kth")} AS est_union,
+        |  greatest(CAST(0 AS BIGINT), ea.est1 + eb.est1 - ${est("u.nk", "u.kth")}) AS est_inter
+        |FROM u JOIN e1 ea ON ea.lang = u.lang_a JOIN e1 eb ON eb.lang = u.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin
     },
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),

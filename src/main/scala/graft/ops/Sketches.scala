@@ -55,4 +55,60 @@ object Sketches {
         (col("est_distinct") - col("n_distinct")).cast("double") /
           col("n_distinct"), 4))
   }
+
+  /** Pairwise corpus-overlap matrix between strata, by KMV sketch merge
+    * + inclusion-exclusion: for every unordered stratum pair,
+    * `est_inter = max(0, est_a + est_b - est_union)` where `est_union`
+    * comes from the bottom-k of the pair's UNION of distinct content
+    * hashes (KMV sketches are mergeable — the union sketch is just the
+    * bottom-k of both sketches' values, which is why one pass suffices).
+    *
+    * Scale shape: the corpus reduces once to distinct (stratum, hash)
+    * rows; each then fans out to its L-1 pairs via a broadcast join
+    * against the tiny pair table (L = #strata, so the amplification is
+    * bounded and known), and everything else is map-side-combined
+    * aggregation. The exact union/intersection columns are the
+    * small-scale comparison — at 100 TB you would keep only the
+    * sketch estimates (bounded state, no distinct-set shuffle).
+    * Integer-exact end to end: the SQL oracle replays every estimate.
+    */
+  def overlapProfile(df: DataFrame, strataCol: String = "lang",
+      textCol: String = "text", k: Int = KmvK): DataFrame = {
+    require(k >= 2 && k <= 128, s"k out of the overflow-safe range: $k")
+    graft.plans.KmvSketch.register(df.sparkSession)
+    val num = (k - 1).toLong * (1L << 56)
+    def est(nKept: String, kth: String): String =
+      s"CASE WHEN $nKept < $k THEN $nKept ELSE ${num}L div $kth END"
+    val hv = df.select(col(strataCol).as("lang0"),
+        TextOps.portableHash(TextOps.normalized(col(textCol))).as("__hv"))
+      .distinct()
+    // per-stratum sketch estimates (L rows — broadcast into the pair join)
+    val perStratum = hv.groupBy(col("lang0"))
+      .agg(expr(s"kmv_sketch(__hv, $k)").as("__sk"))
+      .select(col("lang0"), expr(est("__sk.n_kept", "__sk.kth")).as("est1"))
+    val langs = perStratum.select(col("lang0")).collect().map(_.getString(0)).sorted
+    val pairs = for (i <- langs.indices; j <- i + 1 until langs.length)
+      yield (langs(i), langs(j))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairDf = pairs.toDF("lang_a", "lang_b")
+    val expanded = hv.join(broadcast(pairDf),
+        col("lang0") === col("lang_a") || col("lang0") === col("lang_b"))
+    val perHash = expanded.groupBy(col("lang_a"), col("lang_b"), col("__hv"))
+      .agg(countDistinct(col("lang0")).as("__nl"))
+    perHash.groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("__nl") === 2, 1L).otherwise(0L)).as("n_inter"),
+        expr(s"kmv_sketch(__hv, $k)").as("__sk"))
+      .select(col("lang_a"), col("lang_b"), col("n_union"), col("n_inter"),
+        expr(est("__sk.n_kept", "__sk.kth")).as("est_union"))
+      .join(broadcast(perStratum.withColumnRenamed("lang0", "lang_a")
+        .withColumnRenamed("est1", "est_a")), Seq("lang_a"))
+      .join(broadcast(perStratum.withColumnRenamed("lang0", "lang_b")
+        .withColumnRenamed("est1", "est_b")), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("n_union"), col("n_inter"),
+        col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_inter"))
+  }
 }

@@ -79,6 +79,29 @@ class SketchSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("overlap profile: exact counts right, estimates track a known overlap") {
+    // strata A and B each have 400 distinct docs, sharing exactly 200
+    val rows =
+      (0 until 400).map(i => (i.toLong, "A", s"shared doc $i")) ++          // A: 0..399
+      (0 until 200).map(i => (1000L + i, "B", s"shared doc $i")) ++         // B shares 0..199
+      (0 until 200).map(i => (2000L + i, "B", s"b only doc $i"))            // B: 200 own
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = Sketches.overlapProfile(df).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 600, "n_union exact")
+    assert(r.getLong(3) == 200, "n_inter exact")
+    // KMV with k=64: ~12.6% relative error; allow 3 sigma on the union
+    assert(math.abs(r.getLong(4) - 600).toDouble / 600 < 0.4, s"est_union ${r.getLong(4)}")
+    // inclusion-exclusion compounds three estimates — generous bound,
+    // but the estimate must clearly see the 200-doc overlap
+    assert(r.getLong(5) > 40 && r.getLong(5) < 500, s"est_inter ${r.getLong(5)}")
+    // partition invariance (merge path)
+    val again = Sketches.overlapProfile(df.repartition(13)).collect()(0)
+    assert(again.getLong(4) == r.getLong(4) && again.getLong(5) == r.getLong(5))
+  }
+
   test("repetition signals match hand-computed goldens") {
     val df = Seq(
       (1L, "a b c d"),            // all unique words, all unique bigrams
