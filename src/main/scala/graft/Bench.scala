@@ -108,7 +108,7 @@ object Bench {
         println(f"  [bench] c$cpus $tag batch $i: ${stats.events} ev, $sec%.2f s (${stats.events / sec}%.0f ev/s)")
       (stats.events, sec)
     }
-    daemon.foreach { d => d.drain(); d.close() }
+    daemon.foreach { d => try d.drain() finally d.close() }
     spark.stop()
     Fs.deleteRecursively(cdc.tableRoot)
     Fs.deleteRecursively(cdc.checkpointDir)

@@ -702,7 +702,7 @@ object SparkEntry {
     "pack_offsets" ->
       s"""WITH dd AS (SELECT doc_id, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n,
         |  ${H("CAST(doc_id AS VARCHAR)")} % 8 AS grp FROM documents),
-        |o AS (SELECT doc_id, grp, n, sum(n) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_off FROM dd)
+        |o AS (SELECT doc_id, grp, n, CAST(sum(n) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM dd)
         |SELECT doc_id, grp, end_off - n AS start_off, end_off,
         |  (end_off - n)//2048 AS first_seq, (end_off - 1)//2048 AS last_seq
         |FROM o ORDER BY doc_id""".stripMargin,

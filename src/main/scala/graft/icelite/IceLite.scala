@@ -167,10 +167,17 @@ final class IceLiteTable private[icelite] (
     if (dirty.isEmpty) return cleanDf
     val deltaFiles = dirty.flatMap(b => s.deltas.getOrElse(b, Nil))
     val baseFiles = dirty.flatMap(b => s.base.getOrElse(b, Nil))
-    val deltaBytes = deltaFiles.map { f =>
-      try Files.size(Paths.get(dataPath(f)))
-      catch { case NonFatal(_) => Long.MaxValue / 1024 }
-    }.sum
+    // Any unreadable file size => treat the chain as unbroadcastable
+    // (a summed sentinel like MaxValue/1024 overflows Long once two
+    // files fail, flipping the decision the WRONG way).
+    val deltaSizes = deltaFiles.map { f =>
+      try Some(Files.size(Paths.get(dataPath(f))))
+      catch { case NonFatal(_) => None }
+    }
+    val deltaBytes =
+      if (deltaSizes.exists(_.isEmpty)) Long.MaxValue
+      else deltaSizes.flatten.foldLeft(0L)((a, b) =>
+        try math.addExact(a, b) catch { case _: ArithmeticException => Long.MaxValue })
     if (deltaBytes > IceLite.broadcastDeltaReadBytes) {
       // chain too large to broadcast: global LWW over the dirty buckets
       val raw = visible(scanFiles(s, baseFiles ++ deltaFiles))

@@ -142,22 +142,41 @@ object Maintenance {
         val hot = snap.buckets
           .filter(b => snap.deltas.getOrElse(b, Nil).size >= chainThreshold).sorted
         if (hot.nonEmpty) { compactBucketsOnce(table, hot, retentionFloorLsn()); () }
-      } catch { case t: Throwable => err = Some(t) }
+      } catch {
+        case t: Throwable =>
+          // Surface, don't swallow: a persistently failing compaction
+          // means delta chains grow unbounded while reads slow down.
+          // Operators watch the table's notification channel (E7).
+          err = Some(t)
+          System.err.println(s"[graft-compaction] background fold failed: $t")
+          try table.appendNotification("compaction", "compaction-failed",
+            Option(t.getMessage).getOrElse(t.getClass.getName))
+          catch { case _: Throwable => () }
+      }
     }
 
     /** Schedule a sweep unless one is already queued (coalescing). */
     def poke(): Unit =
       if (queued.compareAndSet(false, true)) { exec.submit(sweep); () }
 
-    /** Wait until every queued sweep has finished. */
+    /** Wait until every queued sweep has finished; rethrows (and
+      * clears) any sweep failure so batch runners fail loudly instead
+      * of silently accumulating delta chains.
+      */
     def drain(): Unit = {
       val f = exec.submit(new Runnable { def run(): Unit = () })
-      f.get(); ()
+      f.get()
+      val e = err
+      err = None
+      e.foreach(t =>
+        throw new IllegalStateException("background compaction failed", t))
     }
 
     override def close(): Unit = {
       exec.shutdown()
-      exec.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      exec.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      err.foreach(t => System.err.println(
+        s"[graft-compaction] closing with unsurfaced failure: $t"))
     }
   }
 

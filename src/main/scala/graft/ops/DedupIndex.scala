@@ -95,7 +95,10 @@ object DedupIndex {
         org.apache.spark.sql.types.StructField(FpCol,
           org.apache.spark.sql.types.StringType)))).as("before"),
       lit(commitLsn).as("commit_lsn"),
-      monotonically_increasing_id().as("change_lsn"))
+      // deterministic per fingerprint (not monotonically_increasing_id,
+      // which varies across retries/partitionings): a same-commitLsn
+      // collision must tie-break the same way on every replay
+      TextOps.portableHash(col(FpCol)).as("change_lsn"))
     MergeApply.applyBatch(index, events, batchId)
   }
 

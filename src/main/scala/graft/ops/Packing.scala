@@ -50,9 +50,9 @@ object Packing {
         col("grp").cast("long").as("grp"),
         col("start_off"),
         col("end_off"),
-        (col("start_off") / capacity).cast("long").as("first_seq"),
+        floor(col("start_off") / capacity).cast("long").as("first_seq"),
         // last token of the doc sits at end_off - 1
-        ((col("end_off") - 1) / capacity).cast("long").as("last_seq"))
+        floor((col("end_off") - 1) / capacity).cast("long").as("last_seq"))
   }
 
   /** Per-group packing summary: sequences produced and the fill ratio

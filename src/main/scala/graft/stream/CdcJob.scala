@@ -86,11 +86,15 @@ final case class CdcConfig(
     columnTransforms: Map[String, String] = Map.empty,
     /** Row-level event gate — the analog of Debezium's `Filter` SMT
       * (`io.debezium.transforms.Filter`, filter.condition): a predicate
-      * over the AFTER image; a data event ('c'/'u') whose after-image
-      * fails it (or evaluates null) is dropped BEFORE assembly/merge.
-      * Event-drop semantics, exactly like the SMT: a failing update is
-      * simply not applied (the sink keeps the key's prior version);
-      * deletes and control records always pass (no after image). The
+      * over the AFTER image; a data event ('c'/'u'/'r') whose
+      * after-image fails it (or evaluates null) is dropped BEFORE
+      * assembly/merge. Event-drop semantics, exactly like the SMT: a
+      * failing update is simply not applied (the sink keeps the key's
+      * prior version); deletes and control records always pass (no
+      * after image). Debezium applies SMTs to EVERY record — snapshot
+      * READ events included — so the same predicate also gates the
+      * initial snapshot ([[CdcJob.snapshot]]) and signal-driven
+      * incremental/blocking snapshot chunks ([[Signals.process]]). The
       * LLM-pipeline use is the ingest-time quality gate: e.g.
       * `length(col("after.text")) >= 32` keeps junk documents from ever
       * entering the corpus sink. */
@@ -174,12 +178,29 @@ object CdcJob {
     * immutable table version, which gives the same consistency the
     * reference buys with LOCK TABLE.
     */
+  /** Apply the Filter-SMT row gate to a FLAT source view (snapshot
+    * paths): the predicate is written against the after image
+    * (`col("after.x")`), so the source row is exposed as a transient
+    * `after` struct for evaluation. Null = drop, like the stream gate.
+    */
+  def gateSource(source: DataFrame, rowFilter: Option[Column]): DataFrame =
+    rowFilter match {
+      case None => source
+      case Some(pred) =>
+        source.withColumn("after", struct(source.columns.map(col).toSeq: _*))
+          .where(coalesce(pred, lit(false)))
+          .drop("after")
+    }
+
   def snapshot(
       spark: SparkSession,
-      source: DataFrame,
+      sourceRaw: DataFrame,
       cfg: CdcConfig,
       snapshotLsn: Long
   ): IceLiteTable = {
+    // one configured gate covers every ingest path: READ rows the
+    // stream lane would drop never enter via the snapshot lane either
+    val source = gateSource(sourceRaw, cfg.rowFilter)
     val table = IceLite.create(spark, cfg.tableRoot,
       MergeApply.asNullable(source.schema).asInstanceOf[org.apache.spark.sql.types.StructType],
       cfg.keyCol, cfg.numBuckets)
@@ -422,7 +443,7 @@ object CdcJob {
     val gated = rowFilter match {
       case None => colFiltered
       case Some(pred) => colFiltered.where(
-        !col("op").isin("c", "u") || coalesce(pred, lit(false)))
+        !col("op").isin("c", "u", "r") || coalesce(pred, lit(false)))
     }
     // The before-image is only ever consulted for the merge KEY (deletes
     // carry the key in `before`), so the engine path prunes it to that
@@ -567,7 +588,7 @@ object CdcJob {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        cfg.signalDir.foreach(d => Signals.process(spark, table, d))
+        cfg.signalDir.foreach(d => Signals.process(spark, table, d, cfg.rowFilter))
         cfg.heartbeatActionSql.foreach(sql => spark.sql(sql).collect())
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
@@ -650,7 +671,7 @@ object CdcJob {
     val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
     todo.zipWithIndex.foreach { case (chunk, j) =>
       if (j < stopAfterBatches) {
-        cfg.signalDir.foreach(d => Signals.process(spark, table, d))
+        cfg.signalDir.foreach(d => Signals.process(spark, table, d, cfg.rowFilter))
         cfg.heartbeatActionSql.foreach(sql => spark.sql(sql).collect())
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
@@ -660,7 +681,7 @@ object CdcJob {
         daemon.foreach(_.poke())
       }
     }
-    daemon.foreach { d => d.drain(); d.close() }
+    daemon.foreach { d => try d.drain() finally d.close() }
     out.toSeq
   }
 }

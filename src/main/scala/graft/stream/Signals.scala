@@ -59,11 +59,14 @@ object Signals {
   /** Poll + execute all pending signals (called between micro-batches —
     * the reference likewise interleaves snapshot chunks with streaming).
     */
-  def process(spark: SparkSession, table: IceLiteTable, signalDir: String): Int = {
+  def process(spark: SparkSession, table: IceLiteTable, signalDir: String,
+      rowFilter: Option[org.apache.spark.sql.Column] = None): Int = {
     var n = 0
     pending(signalDir).foreach { p =>
       val sig = parse(p)
-      val source = spark.read.parquet(sig.sourcePath)
+      // the configured Filter-SMT gate applies to snapshot READ events
+      // too (Debezium SMTs see every record) — same rule as CdcJob.snapshot
+      val source = CdcJob.gateSource(spark.read.parquet(sig.sourcePath), rowFilter)
       sig.signalType match {
         case "blocking-snapshot" =>
           IncrementalSnapshot.blocking(table, source, sig.pinLsn)

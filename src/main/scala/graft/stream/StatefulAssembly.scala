@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming._
 /** Buffered state of one open transaction (keyed by tx_id in the
   * Structured Streaming state store).
   */
-case class TxBuffer(records: Seq[LogRecord])
+case class TxBuffer(records: Seq[LogRecord], quarantined: Boolean = false)
 
 /** T1 as TRUE streaming state: `flatMapGroupsWithState` keyed by tx_id
   * — the faithful distributed port of the reference's transaction
@@ -47,6 +47,19 @@ object StatefulAssembly {
   /** Quarantined-record op marker (excluded from merge and emission). */
   val DlqOp = "x"
 
+  private def toDlq(txId: Long)(o: LogRecord): ChangeEvent = ChangeEvent(
+    commit_lsn = o.lsn, change_lsn = o.lsn, begin_lsn = -1L,
+    tx_id = txId, op = DlqOp, table = o.table,
+    before = o.before, after = o.after, ts_ms = o.ts_ms)
+
+  private def positionMarker(txId: Long, c: LogRecord, begin: Long): ChangeEvent =
+    ChangeEvent(
+      commit_lsn = c.lsn, change_lsn = c.lsn, begin_lsn = begin,
+      tx_id = txId, op = TxAssembler.MarkerOp, table = c.table,
+      before = None, after = None, ts_ms = c.ts_ms)
+
+  private def isClose(r: LogRecord): Boolean = r.op == "R" || r.op == "C"
+
   /** Replay the reference's per-tx state machine over newly arrived
     * records; emit the transaction's events iff it closed.
     */
@@ -55,23 +68,42 @@ object StatefulAssembly {
       incoming: Iterator[LogRecord],
       state: GroupState[TxBuffer]
   ): Iterator[ChangeEvent] = {
+    // A previously quarantined tx stays quarantined: later triggers'
+    // records (and its eventual COMMIT/ROLLBACK) also route to the DLQ
+    // — never merged — so a poison tx can't partially apply its tail.
+    // The close still emits the position marker (R3) and clears state.
+    if (state.getOption.exists(_.quarantined)) {
+      val inc = incoming.toSeq.sortBy(_.lsn)
+      val close = inc.find(isClose)
+      if (close.isDefined) state.remove()
+      else state.update(TxBuffer(Nil, quarantined = true))
+      return inc.iterator.map(toDlq(txId)) ++
+        close.iterator.map(c => positionMarker(txId, c, -1L))
+    }
     val buf = scala.collection.mutable.ArrayBuffer[LogRecord]()
     state.getOption.foreach(b => buf ++= b.records)
     buf ++= incoming
     if (buf.size > maxBuffered) {
-      state.remove() // don't leave the oversized buffer behind
-      if (!quarantine)
+      if (!quarantine) {
+        state.remove() // don't leave the oversized buffer behind
         throw new IllegalStateException(
           s"transaction $txId exceeded maxBufferedPerTx=$maxBuffered buffered records " +
             "without closing — poison transaction (raise the cap, repair the log, " +
             "or configure a DLQ dir to quarantine instead)")
+      }
       // DLQ: surface every buffered record as an 'x' event (commit_lsn
-      // unknown — the tx never closed — so each record carries its own
-      // position); the stream routes these to the dead-letter dir
-      return buf.sortBy(_.lsn).iterator.map(o => ChangeEvent(
-        commit_lsn = o.lsn, change_lsn = o.lsn, begin_lsn = -1L,
-        tx_id = txId, op = DlqOp, table = o.table,
-        before = o.before, after = o.after, ts_ms = o.ts_ms))
+      // unknown while the tx is open — each record carries its own
+      // position); the stream routes these to the dead-letter dir. If
+      // the close is already in the buffer the tx is done (emit its
+      // marker); otherwise the quarantined flag persists so the tail
+      // and eventual close are quarantined too.
+      val all = buf.sortBy(_.lsn)
+      val close = all.find(isClose)
+      if (close.isDefined) state.remove()
+      else state.update(TxBuffer(Nil, quarantined = true))
+      val begin = all.collectFirst { case r if r.op == "B" => r.lsn }.getOrElse(-1L)
+      return all.iterator.map(toDlq(txId)) ++
+        close.iterator.map(c => positionMarker(txId, c, begin))
     }
     val sorted = buf.sortBy(_.lsn)
 
@@ -148,16 +180,22 @@ object StatefulAssembly {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (events: DataFrame, batchId: Long) =>
-        cfg.signalDir.foreach(d => Signals.process(spark, table, d))
+        cfg.signalDir.foreach(d => Signals.process(spark, table, d, cfg.rowFilter))
         // quarantined records go to the dead-letter dir, never the merge
-        val toApply = cfg.dlqDir match {
-          case None => events
+        cfg.dlqDir match {
+          case None => MergeApply.applyBatch(table, events, batchId); ()
           case Some(dlq) =>
-            events.where(col("op") === DlqOp)
-              .write.mode("overwrite").parquet(f"$dlq/batch-$batchId%08d")
-            events.where(col("op") =!= DlqOp)
+            // persist once: the quarantine/apply split must not re-run
+            // the assembled batch's lineage twice (linear waste at scale)
+            val cached = events.persist()
+            try {
+              cached.where(col("op") === DlqOp)
+                .write.mode("overwrite").parquet(f"$dlq/batch-$batchId%08d")
+              MergeApply.applyBatch(table, cached.where(col("op") =!= DlqOp), batchId)
+              ()
+            } finally { cached.unpersist(); () }
         }
-        MergeApply.applyBatch(table, toApply, batchId); ()
+        ()
       }
       .start()
   }

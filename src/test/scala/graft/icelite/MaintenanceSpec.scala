@@ -57,6 +57,32 @@ class MaintenanceSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("poisoned background compaction surfaces: notification row + drain() throws") {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 40, nDocs = 30, seed = 91)
+    val base = Fs.tempDir("graft-poisoncompact")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 2)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 4)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val snap = table.refresh()
+    val delta = snap.deltas.values.flatten.headOption
+      .getOrElse(fail("fixture needs a delta chain"))
+    // poison: a referenced delta file disappears underneath the fold
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"${table.root}/$delta"))
+    val daemon = new Maintenance.CompactionDaemon(table, chainThreshold = 1)
+    daemon.poke()
+    val ex = intercept[IllegalStateException] { daemon.drain() }
+    assert(ex.getMessage.contains("background compaction failed"))
+    daemon.close()
+    val notes = table.readNotifications()
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(notes.exists(_ == ("compaction", "compaction-failed")),
+      s"expected a compaction-failed notification, got ${notes.toSeq}")
+    Fs.deleteRecursively(base)
+  }
+
   private def oracle(cfg: ChangeLogConfig) = {
     val initial = (0L until cfg.nDocs.toLong).map { k =>
       val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)

@@ -47,6 +47,28 @@ class DedupIndexSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("update stamps a deterministic change_lsn: index state is identical under batch repartitioning") {
+    val base = Fs.tempDir("graft-dedupidx-det")
+    val corpus = docs((0L until 10L).map(i => i -> s"det doc $i"): _*)
+    val idxA = DedupIndex.create(spark, s"$base/a", corpus, numBuckets = 4)
+    val idxB = DedupIndex.create(spark, s"$base/b", corpus, numBuckets = 4)
+    val batch = docs((100L until 140L).map(i => i -> s"new text $i"): _*)
+    // same logical batch, perturbed physical partitioning: the stored
+    // versions (incl. change_lsn) must come out bit-identical — a
+    // nondeterministic stamp (e.g. monotonically_increasing_id) would
+    // tie-break same-commitLsn collisions differently across retries
+    DedupIndex.update(idxA, batch, batchId = 1L, commitLsn = 5L)
+    DedupIndex.update(idxB, batch.repartition(7), batchId = 1L, commitLsn = 5L)
+    def state(t: graft.icelite.IceLiteTable): Set[(String, Long, Long, Long)] =
+      t.readRaw(t.refresh().buckets)
+        .select(DedupIndex.FpCol, "doc_id", graft.icelite.IceLite.VC, graft.icelite.IceLite.VL)
+        .as[(String, Long, Long, Long)].collect().toSet
+    val a = state(idxA)
+    assert(a == state(idxB))
+    assert(a.nonEmpty)
+    Fs.deleteRecursively(base)
+  }
+
   test("dedupAndUpdate: cross-batch growth, within-batch canonicalization, idempotent replay") {
     val base = Fs.tempDir("graft-dedupidx")
     val corpus = docs((0L until 20L).map(i => i -> s"seed doc $i"): _*)

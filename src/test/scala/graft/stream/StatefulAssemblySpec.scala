@@ -107,6 +107,61 @@ class StatefulAssemblySpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("quarantined tx stays quarantined: later-trigger tail and its COMMIT go to the DLQ, never merged") {
+    import spark.implicits._
+    import graft.model.{LogRecord, TokenDoc}
+    import org.apache.spark.sql.functions.col
+    val base = Fs.tempDir("graft-dlq2")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 2, maxFilesPerTrigger = 1, maxTxRecords = 5,
+      dlqDir = Some(s"$base/dlq"))
+    // trigger 1: healthy tx 1 + poison tx 666 (20 records, open)
+    val segA = Seq(
+      LogRecord(1L, 1L, "B", -1L, "token_docs", None, None, 0L),
+      LogRecord(2L, 1L, "c", -1L, "token_docs", None,
+        Some(TokenDoc("docGOOD", Seq(1, 2), 2, "cdc")), 0L),
+      LogRecord(3L, 1L, "C", -1L, "token_docs", None, None, 0L)) ++
+      (10L until 30L).map(i =>
+        LogRecord(i, 666L, "c", -1L, "token_docs", None,
+          Some(TokenDoc(s"docP$i", Seq(1), 1, "cdc")), 0L))
+    // trigger 2: poison tail + its COMMIT — the silent-partial-apply trap:
+    // these must NOT re-accumulate from empty state and merge on commit
+    val segB = (40L until 43L).map(i =>
+      LogRecord(i, 666L, "c", -1L, "token_docs", None,
+        Some(TokenDoc(s"docP$i", Seq(1), 1, "cdc")), 0L)) ++ Seq(
+      LogRecord(50L, 666L, "C", -1L, "token_docs", None, None, 0L),
+      LogRecord(60L, 2L, "B", -1L, "token_docs", None, None, 0L),
+      LogRecord(61L, 2L, "c", -1L, "token_docs", None,
+        Some(TokenDoc("docGOOD2", Seq(3), 1, "cdc")), 0L),
+      LogRecord(62L, 2L, "C", -1L, "token_docs", None, None, 0L))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdc.logDir))
+    Seq(segA, segB).zipWithIndex.foreach { case (seg, i) =>
+      val tmp = s"${cdc.logDir}-stage-$i"
+      seg.toDS().toDF().coalesce(1).write.parquet(tmp)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(Fs.listParquet(tmp).head),
+        java.nio.file.Paths.get(f"${cdc.logDir}/seg-$i%03d.parquet"))
+    }
+    val fresh = spark.newSession()
+    val table = graft.icelite.IceLite.create(fresh, cdc.tableRoot,
+      MergeApply.asNullable(org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.Encoders.product[TokenDoc].schema))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      "doc_id", cdc.numBuckets)
+    StatefulAssembly.stream(fresh, table, cdc).awaitTermination()
+    // only the two healthy docs merged — no partial poison-tx apply
+    val got = table.read().as[TokenDoc].collect().map(_.doc_id).toSet
+    assert(got == Set("docGOOD", "docGOOD2"), s"got $got")
+    // the DLQ holds the whole poison tx: 20 + 3 tail + its COMMIT record
+    val dlq = spark.read.parquet(s"$base/dlq/batch-*")
+    assert(dlq.count() == 24, s"dlq=${dlq.count()}")
+    assert(dlq.where(col("op") =!= StatefulAssembly.DlqOp).count() == 0)
+    assert(dlq.where(col("tx_id") =!= 666L).count() == 0)
+    // R3 still holds: the close advanced the watermark past the poison commit
+    assert(table.refresh().summary.watermarkCommit >= 50L)
+    Fs.deleteRecursively(base)
+  }
+
   test("watermarked windowed event-rate metrics cover every data event") {
     val cfg = ChangeLogConfig(nTx = 100, nDocs = 50, seed = 109)
     val base = Fs.tempDir("graft-metrics")
