@@ -57,6 +57,19 @@ object Main {
       // Filter-SMT analog: SQL predicate over the after image, e.g.
       // --row-filter "after.n_tok >= 32" (ingest-time quality gate)
       rowFilter = a.get("row-filter").map(org.apache.spark.sql.functions.expr),
+      // --skipped-operations "d,t" (skipped.operations analog)
+      skippedOperations = a.get("skipped-operations")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filterNot(_ == Set("none")).getOrElse(Set.empty),
+      // --message-key-columns "tableRegex:col1,col2;otherRegex:col3"
+      messageKeyColumns = a.get("message-key-columns").map(_.split(";").toSeq.map { e =>
+        val Array(re, cols) = e.split(":", 2)
+        re -> cols.split(",").map(_.trim).toSeq
+      }).getOrElse(Nil),
+      // --topic-regex / --topic-replacement (ByLogicalTableRouter analog)
+      topicRouting = for {
+        re <- a.get("topic-regex"); repl <- a.get("topic-replacement")
+      } yield (re, repl),
       signalDir = a.get("signal-dir"),
       // emitted-record sink + its parity switches (E1/E2/E5)
       emitDir = a.get("emit-dir"),

@@ -80,6 +80,25 @@ object SparkEntry {
     s"b AS ($bands)"
   }
 
+  /** Equal-signature-component count between sig aliases a and d
+    * (mirrors graft.plans.SigMatchCount over the arrayed signatures).
+    */
+  private def MATCH_SUM: String =
+    (0 until Dedup.MinhashK)
+      .map(i => s"(CASE WHEN a.s$i = d.s$i THEN 1 ELSE 0 END)")
+      // grouped: a flat 128-term left-associated chain exceeds DuckDB's
+      // binder recursion depth (128)
+      .grouped(8).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
+
+  /** Capped bucket membership CTE (mirrors Dedup.bucketPairs' window
+    * rank: each (band, bucket) keeps its Dedup.DefaultMaxBucket lowest
+    * ids) — `out` over `src` with member column `idc`.
+    */
+  private def BUCKET_CAP(out: String, src: String, idc: String): String =
+    s"$out AS (SELECT $idc, band, bucket FROM (SELECT $idc, band, bucket, " +
+      s"row_number() OVER (PARTITION BY band, bucket ORDER BY $idc) AS rn FROM $src) " +
+      s"WHERE rn <= ${Dedup.DefaultMaxBucket})"
+
   /** Stratified-sampling keep predicate — generated from the ACTIVE
     * Curation.SampleRatesBp constants (salted portable hash under the
     * stratum's basis-point rate), so the oracle replays the exact
@@ -224,6 +243,18 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, d, "documents")).orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash16(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // STREAMING near-dup: even doc_ids are the already-ingested corpus
+    // (banded-MinHash IceLite index), odd doc_ids are the incoming
+    // micro-batch probed against it — near-dup detection incremental
+    // across batches, per-batch work bounded by bucket pruning
+    "stream_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = graft.util.Fs.tempDir("graft-ndq")
+      val idx = NearDupIndex.create(s, s"$root/idx",
+        docs.where(col("doc_id") % 2 === 0))
+      NearDupIndex.probe(idx, docs.where(col("doc_id") % 2 === 1))
+        .orderBy(col("doc_id"))
+    }),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -608,13 +639,25 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       s"""WITH $SHINGLES,
         |$MINHASH_SIG,
-        |$MINHASH_BANDS
-        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+        |$MINHASH_BANDS,
+        |${BUCKET_CAP("bc", "b", "doc_id")}
+        |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bc a JOIN bc b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "stream_neardup" ->
+      s"""WITH $SHINGLES,
+        |$MINHASH_SIG,
+        |$MINHASH_BANDS,
+        |b1 AS (SELECT doc_id, band, bucket FROM b WHERE doc_id % 2 = 0),
+        |${BUCKET_CAP("idx", "b1", "doc_id")},
+        |cand AS (SELECT DISTINCT p.doc_id AS doc_id, i.doc_id AS dup_of FROM b p JOIN idx i ON p.band = i.band AND p.bucket = i.bucket WHERE p.doc_id % 2 = 1),
+        |m AS (SELECT c.doc_id, c.dup_of, ($MATCH_SUM) AS matches FROM cand c JOIN sig a ON a.doc_id = c.doc_id JOIN sig d ON d.doc_id = c.dup_of),
+        |q AS (SELECT doc_id, dup_of, matches, row_number() OVER (PARTITION BY doc_id ORDER BY dup_of) AS rn FROM m WHERE matches >= ${NearDupIndex.DefaultMinMatches})
+        |SELECT doc_id, dup_of, CAST(matches AS BIGINT) AS matches FROM q WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_lsh_verified" ->
       s"""WITH $SHINGLES,
         |$MINHASH_SIG,
         |$MINHASH_BANDS,
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+        |${BUCKET_CAP("bc", "b", "doc_id")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bc a JOIN bc b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pr AS (SELECT c.doc_a AS da, c.doc_b AS db, count(*) AS inter FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id AND sa.s = sb.s GROUP BY 1,2)
         |SELECT da AS doc_a, db AS doc_b, inter, round(inter*1.0/(s1.n+s2.n-inter),4) AS jaccard
@@ -630,7 +673,8 @@ object SparkEntry {
     "dedup_embedding_cos" ->
       s"""WITH ${LSH_PLANES(24)},
         |bb AS (SELECT vec_id, CAST(p // 3 AS INTEGER) AS band, CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 3 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket FROM s GROUP BY 1,2),
-        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |${BUCKET_CAP("bbc", "bb", "vec_id")},
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bbc a JOIN bbc b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT c.id_a, c.id_b, round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),4) AS cos_sim
         |FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id JOIN embeddings eb ON c.id_b = eb.vec_id
         |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4 ORDER BY id_a, id_b""".stripMargin,

@@ -159,6 +159,13 @@ class IceLiteV2Table(spark: SparkSession, root: String) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val snap: IceSnapshot = IceLite.readLatest(root).get
 
+  /** The snapshot this table instance is pinned to — readers that need
+    * snapshot metadata (e.g. the truncate floor) must take it from
+    * HERE, never from a second `readLatest` (a commit between the two
+    * reads would apply an older floor to a newer file set).
+    */
+  private[dsv2] def pinnedSnapshot: IceSnapshot = snap
+
   override def name(): String = root
   /** Deep-nullable so INSERTs whose sources are nullable parquet columns
     * resolve (stored values are still checked non-null by the writer).
@@ -342,10 +349,20 @@ object IceLiteV2 {
   def readMerged(spark: SparkSession, root: String, catalogName: String = "graft")
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val snap = IceLite.readLatest(root).get
+    val raw0 = readRaw(spark, root, catalogName)
+    // Resolve the snapshot ONCE, from the very table instance the scan
+    // pinned at resolution: a concurrent commit (e.g. a TRUNCATE, or
+    // the async compaction daemon) between a separate readLatest and
+    // the scan's own snapshot would apply an older floor to a newer
+    // file set, briefly resurrecting wiped rows.
+    val snap = raw0.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.asInstanceOf[IceLiteV2Table].pinnedSnapshot
+    }.getOrElse(throw new IllegalStateException(
+      s"catalog read of $root did not resolve to an IceLiteV2Table"))
     val sm = snap.summary
     graft.plans.LwwMaxBy.register(spark)
-    val raw = readRaw(spark, root, catalogName)
+    val raw = raw0
       .where(col(snap.keyCol).isNotNull &&
         (col(IceLite.VC) > sm.truncCommit ||
           (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))

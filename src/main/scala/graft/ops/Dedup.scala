@@ -33,6 +33,20 @@ object Dedup {
   /** Default document-frequency cap for shingles (see class note). */
   val DefaultMaxDocFreq: Int = 1000
 
+  /** Per-(band, bucket) membership cap for LSH candidate generation.
+    * A degenerate corpus (mass-duplicated boilerplate — the common case
+    * in web crawls) can put O(corpus) members into ONE bucket, whose
+    * |B|^2 pair explosion lands on a single task; the shingle DF cap
+    * does not protect against it (identical docs share every shingle
+    * below the cap). The cap keeps each bucket's `DefaultMaxBucket`
+    * LOWEST ids (deterministic, so the SQL oracles replay it exactly) —
+    * the same discipline as [[DefaultMaxDocFreq]]. Near-dup RECALL is
+    * unaffected in practice: a bucket that overflows the cap is a
+    * dup-cluster whose surviving members still pair with each other,
+    * and dedup treats a cluster transitively anyway.
+    */
+  val DefaultMaxBucket: Int = 256
+
   /** Exact dedup: group on the normalized-content fingerprint, keep the
     * smallest doc_id as canonical.
     */
@@ -168,7 +182,8 @@ object Dedup {
     * pair enumeration.
     */
   def minhashCandidates(df: DataFrame, n: Int = 3, textCol: String = "text",
-      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+      maxDocFreq: Int = DefaultMaxDocFreq,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = minhashSignatures(df, n, textCol, maxDocFreq)
     val bandStructs = (0 until minhashBands).map { b =>
       struct(lit(b).as("band"),
@@ -180,16 +195,31 @@ object Dedup {
     // pairs within each (band, bucket): ONE groupBy over the banded
     // signatures instead of a self-join — a self-join of a derived plan
     // recomputes the whole signature aggregation for both sides (2x the
-    // dominant cost), and shuffles it twice. Collecting the bucket's doc
-    // list is bounded by bucket collision size — the same per-key bound
-    // the equi-join had (same key -> same reducer) — and the pair
-    // explosion it feeds is identical.
-    banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("ds"))
+    // dominant cost), and shuffles it twice. The membership cap runs as
+    // a window row_number BEFORE the list is collected (a streamed
+    // rank, never an unbounded in-row list — see [[DefaultMaxBucket]]);
+    // the groupBy reuses the window's (band, bucket) partitioning, so
+    // the cap costs no extra exchange.
+    bucketPairs(banded, "doc_id", "doc_a", "doc_b", maxBucket)
+  }
+
+  /** Capped within-bucket pair enumeration shared by the MinHash and
+    * sign-LSH candidate generators: rank members per (band, bucket) by
+    * id, keep the lowest `maxBucket`, emit ordered distinct pairs.
+    */
+  private def bucketPairs(banded: DataFrame, idCol: String,
+      outA: String, outB: String, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col(idCol))
+    banded
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxBucket)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("ds"))
       .where(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .where(col("doc_a") < col("doc_b"))
+      .select(explode(col("ds")).as(outA), col("ds"))
+      .select(col(outA), explode(col("ds")).as(outB))
+      .where(col(outA) < col(outB))
       .distinct()
   }
 
@@ -237,13 +267,13 @@ object Dedup {
     * integer-exact (see [[Similarity]]), so oracles replay it.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4,
-      bands: Int = 8, planesPerBand: Int = 3): DataFrame = {
+      bands: Int = 8, planesPerBand: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bb = Similarity.bandBuckets(emb, bands, planesPerBand)
-    val cand = bb.as("a").join(bb.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    // same capped one-pass pair generation as minhashCandidates (the
+    // self-join it replaces also recomputed bandBuckets' plane dot
+    // products for both sides)
+    val cand = bucketPairs(bb, "vec_id", "id_a", "id_b", maxBucket)
     val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     cand.join(ea, "id_a").join(eb, "id_b")

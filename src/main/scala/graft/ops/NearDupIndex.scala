@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.icelite.{IceLite, IceLiteTable}
+import graft.stream.MergeApply
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Streaming NEAR-duplicate detection — the banded-MinHash counterpart
+  * of [[DedupIndex]] (which is exact-only): the corpus's LSH state
+  * lives in two fingerprint-keyed IceLite sinks, and each micro-batch
+  * is checked against it with work proportional to the BATCH, making
+  * near-dup (not just exact-dup) detection incremental across batches.
+  *
+  *   - `bands` table: key = "band:bucket", payload = that bucket's
+  *     member doc_ids — SORTED and CAPPED at [[Dedup.DefaultMaxBucket]]
+  *     (the same degenerate-corpus discipline as
+  *     [[Dedup.minhashCandidates]]; the cap is a window rank, never an
+  *     unbounded in-row list).
+  *   - `sigs` table: key = doc_id, payload = the full k-permutation
+  *     MinHash signature ([[Dedup.MinhashK]] longs, bounded state per
+  *     doc), used to verify candidates by signature agreement.
+  *
+  * Per-batch probe cost: the batch's band keys hash to ≤ numBuckets
+  * bucket ids (collected as ints — never keys), only those index
+  * file-sets are read, and the batch side broadcasts into every join —
+  * the index is never shuffled. A candidate is a batch doc sharing ≥1
+  * (band, bucket) with an indexed doc; it is VERIFIED by counting
+  * equal signature components (integer-exact, `matches >= minMatches`
+  * — no floating-point thresholds, so SQL oracles replay it
+  * bit-for-bit; matches/k estimates Jaccard).
+  *
+  * Within one micro-batch only EXACT duplicates are canonicalized
+  * (min doc_id, as [[DedupIndex]]); two near-dup docs arriving in the
+  * same batch both register, and every future copy of either is
+  * flagged. The batch is the atomic unit of arrival — the same
+  * semantics Debezium-style pipelines give concurrent events.
+  *
+  * Reference anchor: the reference has no near-dup surface (it is a
+  * CDC connector); this is part of the training-data curation tier the
+  * engine adds on the same storage/apply machinery
+  * (`InformixConnectorIT.java` exercises only relational parity).
+  */
+object NearDupIndex {
+
+  /** Verification threshold: minimum equal signature components
+    * (26/128 ≈ 0.2 estimated Jaccard — the same operating point as the
+    * batch dedup oracles' 0.2 threshold).
+    */
+  val DefaultMinMatches: Int = 26
+
+  final case class Index(bands: IceLiteTable, sigs: IceLiteTable)
+
+  private def K: Int = Dedup.MinhashK
+
+  /** Per-doc MinHash signatures as one array column (doc_id, sig). Docs
+    * with fewer than n words have no shingles and carry no signature
+    * (they can never be near-dups of anything).
+    */
+  def signatures(batch: DataFrame, textCol: String = "text"): DataFrame =
+    Dedup.minhashSignatures(batch, textCol = textCol)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+
+  /** Banded rows (doc_id, band, bucket, bb) from arrayed signatures —
+    * the same fold as [[Dedup.bandBucket]]; bb = "band:bucket" is the
+    * bands table's merge key.
+    */
+  def bandRows(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Dedup.minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        Dedup.bandBucket((0 until Dedup.MinhashRowsPerBand).map(j =>
+          col("sig").getItem(b * Dedup.MinhashRowsPerBand + j))).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bucket").as("bucket"),
+        concat_ws(":", col("x.band"), col("x.bucket")).as("bb"))
+  }
+
+  /** Capped, sorted member lists per bb: rank first (streamed window,
+    * bounded memory), collect after — the list is ≤ maxBucket long by
+    * construction.
+    */
+  private def memberLists(rows: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("bb")).orderBy(col("doc_id"))
+    rows.select(col("bb"), col("doc_id")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxBucket)
+      .groupBy(col("bb"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("members"))
+  }
+
+  private def snapTable(spark: org.apache.spark.sql.SparkSession, root: String,
+      rows: DataFrame, key: String, numBuckets: Int): IceLiteTable = {
+    val cfg = graft.stream.CdcConfig(
+      logDir = s"$root/_nolog", tableRoot = root,
+      checkpointDir = s"$root/_nockpt", keyCol = key, numBuckets = numBuckets)
+    graft.stream.CdcJob.snapshot(spark, rows, cfg, snapshotLsn = 0L)
+  }
+
+  /** Build the index from an initial corpus (one signature pass). */
+  def create(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, textCol: String = "text", numBuckets: Int = 64,
+      maxBucket: Int = Dedup.DefaultMaxBucket): Index = {
+    val sg = signatures(corpus, textCol)
+    val bands = memberLists(bandRows(sg), maxBucket)
+    Index(
+      bands = snapTable(spark, s"$root/bands", bands, "bb", numBuckets),
+      sigs = snapTable(spark, s"$root/sigs", sg, "doc_id", numBuckets))
+  }
+
+  /** Load an existing index. */
+  def load(spark: org.apache.spark.sql.SparkSession, root: String): Index =
+    Index(IceLite.load(spark, s"$root/bands"), IceLite.load(spark, s"$root/sigs"))
+
+  /** Batch docs that are near-dups of INDEXED docs:
+    * (doc_id, dup_of, matches) with dup_of = the smallest qualifying
+    * indexed owner and matches = its equal-signature-component count.
+    * Reads only the index buckets the batch hashes to.
+    */
+  def probe(idx: Index, batch: DataFrame, minMatches: Int = DefaultMinMatches,
+      textCol: String = "text"): DataFrame = {
+    val sg = signatures(batch, textCol)
+    val br = bandRows(sg)
+    val bsnap = idx.bands.refresh()
+    // distinct BUCKET ids (≤ numBuckets ints — driver-safe at any batch
+    // size, the DedupIndex.probe discipline)
+    val buckets = br
+      .select(pmod(hash(col("bb")), lit(bsnap.numBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val bandIdx = idx.bands.readMerged(buckets)
+      .where(!col(IceLite.TOMB)).select(col("bb"), col("members"))
+    val cand = bandIdx
+      .join(broadcast(br.select(col("doc_id"), col("bb"))), Seq("bb"))
+      .select(col("doc_id"), explode(col("members")).as("dup_of"))
+      .where(col("dup_of") =!= col("doc_id"))
+      .distinct()
+    val ssnap = idx.sigs.refresh()
+    val candBuckets = cand
+      .select(pmod(hash(col("dup_of")), lit(ssnap.numBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val sigIdx = idx.sigs.readMerged(candBuckets)
+      .where(!col(IceLite.TOMB))
+      .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+    val withA = cand.join(sg.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+    // integer verification: count equal components with the codegen'd
+    // sig_matches expression (an unrolled 128-term when-chain exceeds
+    // janino's 64 KB method limit and silently de-codegens the stage)
+    graft.plans.VecMath.register(batch.sparkSession)
+    sigIdx.join(broadcast(withA), Seq("dup_of"))
+      .withColumn("matches", expr("sig_matches(sig_a, sig_b)"))
+      .where(col("matches") >= minMatches)
+      .groupBy(col("doc_id"))
+      .agg(min(col("dup_of")).as("dup_of"),
+        min_by(col("matches"), col("dup_of")).as("matches"))
+      .select(col("doc_id"), col("dup_of"), col("matches"))
+  }
+
+  /** Register new docs: signatures insert, band member lists
+    * read-modify-merged (union, re-sorted, re-capped) — both through
+    * the engine's idempotent versioned apply, so replays converge.
+    */
+  def update(idx: Index, newDocs: DataFrame, batchId: Long, commitLsn: Long,
+      textCol: String = "text",
+      maxBucket: Int = Dedup.DefaultMaxBucket): Unit = {
+    val sg = signatures(newDocs, textCol)
+    val sigEvents = sg.select(
+      lit("c").as("op"),
+      struct(col("doc_id"), col("sig")).as("after"),
+      lit(null).cast(StructType(Seq(StructField("doc_id", LongType)))).as("before"),
+      lit(commitLsn).as("commit_lsn"),
+      // deterministic per doc (the DedupIndex change_lsn rule)
+      TextOps.portableHash(col("doc_id").cast("string")).as("change_lsn"))
+    MergeApply.applyBatch(idx.sigs, sigEvents, batchId)
+
+    val br = bandRows(sg)
+    val bsnap = idx.bands.refresh()
+    val buckets = br
+      .select(pmod(hash(col("bb")), lit(bsnap.numBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val touched = idx.bands.readMerged(buckets)
+      .where(!col(IceLite.TOMB)).select(col("bb"), col("members"))
+      .join(broadcast(br.select(col("bb")).distinct()), Seq("bb"), "left_semi")
+    val merged = memberLists(
+      touched.select(col("bb"), explode(col("members")).as("doc_id"))
+        .unionByName(br.select(col("bb"), col("doc_id"))),
+      maxBucket)
+    val bandEvents = merged.select(
+      lit("c").as("op"),
+      struct(col("bb"), col("members")).as("after"),
+      lit(null).cast(StructType(Seq(StructField("bb",
+        org.apache.spark.sql.types.StringType)))).as("before"),
+      lit(commitLsn).as("commit_lsn"),
+      TextOps.portableHash(col("bb")).as("change_lsn"))
+    MergeApply.applyBatch(idx.bands, bandEvents, batchId)
+    ()
+  }
+
+  /** The full incremental step: flag the batch's near-dups against the
+    * index, canonicalize exact dups within the batch, register the
+    * survivors, and return the clean rows. One probe + two engine
+    * applies per micro-batch.
+    */
+  def dedupAndUpdate(idx: Index, batch: DataFrame, batchId: Long, commitLsn: Long,
+      minMatches: Int = DefaultMinMatches, textCol: String = "text",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val dups = probe(idx, batch, minMatches, textCol).select(col("doc_id"))
+    val fresh = batch.join(broadcast(dups), Seq("doc_id"), "left_anti")
+    val canon = DedupIndex.fingerprints(fresh, textCol)
+      .groupBy(col(DedupIndex.FpCol)).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val clean = fresh.join(broadcast(canon), Seq("doc_id"), "left_semi")
+    update(idx, clean, batchId, commitLsn, textCol, maxBucket)
+    clean
+  }
+}

@@ -79,6 +79,64 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `sig_matches(a, b)` — number of positionally equal components of two
+  * long arrays (MinHash signatures), as a tight generated loop. The
+  * unrolled 128-term `when` chain this replaces exceeded janino's 64 KB
+  * method limit, silently falling the whole stage back to interpreted
+  * evaluation — the exact per-row x per-component dispatch cost the
+  * codegen expressions exist to avoid.
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sig_matches requires two array<bigint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sig_matches"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var m = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) m += 1L
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $m = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `<name>(emb)` -> array<long> of `bands` sign-LSH bucket ids, computed
   * in ONE compiled pass: quantize each float once (Spark-exact HALF_UP
   * via BigDecimal — bit-identical to `round(v*10000)`), then integer dot
@@ -218,11 +276,16 @@ object VecMath {
     java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
   /** Register the vector expressions in the session registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSim(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sig_matches",
+      exprs => SigMatchCount(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** Register a sign-LSH bucketing function with its plane table baked
     * in (name must encode the config — the registry closure captures it).

@@ -99,6 +99,26 @@ final case class CdcConfig(
       * `length(col("after.text")) >= 32` keeps junk documents from ever
       * entering the corpus sink. */
     rowFilter: Option[Column] = None,
+    /** Operations to skip on every ingest path — the reference's
+      * `skipped.operations` config (values c/u/d/t; Debezium's 'none'
+      * = the empty set here). Skipped data events are dropped BEFORE
+      * assembly, exactly like the reference drops them before emit;
+      * control records (B/C/R/D) always pass — a transaction whose
+      * every op is skipped still closes and advances the offset. */
+    skippedOperations: Set[String] = Set.empty,
+    /** Per-table message-key override on the EMISSION surface — the
+      * reference's `message.key.columns`
+      * (`<tableRegex>:<col1>,<col2>;...`): first matching regex wins,
+      * and the emitted record key becomes the listed after-image
+      * fields joined with ':'. The MERGE key is structural and never
+      * rewritten (only the outbound record key is). */
+    messageKeyColumns: Seq[(String, Seq[String])] = Nil,
+    /** Topic routing on the emission surface — the reference's
+      * ByLogicalTableRouter SMT (`topic.regex` / `topic.replacement`,
+      * Java capture-group backrefs like `$$1` supported): an emitted
+      * record's topic = the replacement when the table matches, else
+      * the table name itself. */
+    topicRouting: Option[(String, String)] = None,
     /** Signal directory (E7): polled between micro-batches for
       * incremental/blocking snapshot requests — see [[Signals]]. */
     signalDir: Option[String] = None,
@@ -395,7 +415,8 @@ object CdcJob {
       columnTransforms: Map[String, String],
       prune: Boolean = true,
       filters: CaptureFilters = CaptureFilters.none,
-      rowFilter: Option[Column] = None): DataFrame = {
+      rowFilter: Option[Column] = None,
+      skippedOperations: Set[String] = Set.empty): DataFrame = {
     // F1 table filter: keep control records (they close transactions for
     // every table) and data ops of captured tables only; sys* always out.
     // Include side = literal list OR regex list (a table passes if it
@@ -440,11 +461,16 @@ object CdcJob {
     // Filter-SMT row gate: data events failing the after-image predicate
     // (SQL three-valued: null = fail) are dropped here — before pruning,
     // so the predicate may reference any after field.
-    val gated = rowFilter match {
+    val gated0 = rowFilter match {
       case None => colFiltered
       case Some(pred) => colFiltered.where(
         !col("op").isin("c", "u", "r") || coalesce(pred, lit(false)))
     }
+    // skipped.operations: drop the configured data ops before assembly
+    // (control records pass — a fully-skipped tx still closes, T4-style)
+    val gated =
+      if (skippedOperations.isEmpty) gated0
+      else gated0.where(!col("op").isin(skippedOperations.toSeq.map(x => x: Any): _*))
     // The before-image is only ever consulted for the merge KEY (deletes
     // carry the key in `before`), so the engine path prunes it to that
     // single nested field right above the scan — the parquet reader then
@@ -487,11 +513,15 @@ object CdcJob {
       returnEmptyTransactions: Boolean = false,
       filters: CaptureFilters = CaptureFilters.none,
       inlineCompact: Boolean = true,
-      rowFilter: Option[Column] = None): MergeApply.MergeStats = {
+      rowFilter: Option[Column] = None,
+      skippedOperations: Set[String] = Set.empty,
+      messageKeyColumns: Seq[(String, Seq[String])] = Nil,
+      topicRouting: Option[(String, String)] = None): MergeApply.MergeStats = {
     val spark = rawBatch.sparkSession
     val keyCol = table.current.keyCol
     val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms,
-      prune = true, filters = filters, rowFilter = rowFilter)
+      prune = true, filters = filters, rowFilter = rowFilter,
+      skippedOperations = skippedOperations)
 
     val input =
       if (!txCarryover) transformed
@@ -540,7 +570,8 @@ object CdcJob {
       val full =
         if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
         else events
-      TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol)
+      TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol,
+          messageKeyColumns, topicRouting)
         .write.mode("overwrite").parquet(f"$dir/batch-$batchId%08d")
       TxAssembler.transactionMetadataAll(input, returnEmptyTransactions)
         .write.mode("overwrite").parquet(f"$dir/tx-batch-$batchId%08d")
@@ -593,7 +624,10 @@ object CdcJob {
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
-          inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter)
+          inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
+          skippedOperations = cfg.skippedOperations,
+          messageKeyColumns = cfg.messageKeyColumns,
+          topicRouting = cfg.topicRouting)
         daemon.foreach(_.poke()); ()
       }
       .start()
@@ -677,7 +711,10 @@ object CdcJob {
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
-          inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter)
+          inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
+          skippedOperations = cfg.skippedOperations,
+          messageKeyColumns = cfg.messageKeyColumns,
+          topicRouting = cfg.topicRouting)
         daemon.foreach(_.poke())
       }
     }

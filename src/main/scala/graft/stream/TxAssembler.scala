@@ -191,12 +191,38 @@ object TxAssembler {
     * emitted stream to a compacted topic or their own sink.
     */
   def emitRecords(events: DataFrame, tombstonesOnDelete: Boolean,
-      keyCol: String = "doc_id"): DataFrame = {
+      keyCol: String = "doc_id",
+      messageKeyColumns: Seq[(String, Seq[String])] = Nil,
+      topicRouting: Option[(String, String)] = None): DataFrame = {
     val afterType = events.schema("after").dataType
+    // message.key.columns: first matching table regex overrides the
+    // record key with the listed after-image fields joined by ':' (the
+    // structural MERGE key itself is never rewritten). The before image
+    // is pruned to the merge key on the engine path, so only the key
+    // column can fall back to it (deletes); other override fields read
+    // from the after image.
+    def fieldOf(c: String): Column =
+      if (c == keyCol)
+        coalesce(col("after").getField(c), col("before").getField(c)).cast("string")
+      else col("after").getField(c).cast("string")
+    val defaultKey =
+      coalesce(col("after").getField(keyCol), col("before").getField(keyCol)).cast("string")
+    val keyExpr = messageKeyColumns.foldRight(defaultKey) { case ((re, cols), acc) =>
+      when(col("table").rlike("^(?:" + re + ")$"),
+        concat_ws(":", cols.map(fieldOf): _*)).otherwise(acc)
+    }
+    // ByLogicalTableRouter: topic = replacement on match (backrefs $1..)
+    // else the table name (anchored regex — a non-match leaves the
+    // string unchanged under regexp_replace)
+    val topicExpr = topicRouting match {
+      case None => col("table")
+      case Some((re, repl)) => regexp_replace(col("table"), "^(?:" + re + ")$", repl)
+    }
     // position markers are engine-internal (watermark advance), never
     // emitted records
-    val keyed = events.where(col("op") =!= MarkerOp).withColumn("key",
-      coalesce(col("after").getField(keyCol), col("before").getField(keyCol)))
+    val keyed = events.where(col("op") =!= MarkerOp)
+      .withColumn("key", keyExpr)
+      .withColumn("topic", topicExpr)
     val base =
       if (!tombstonesOnDelete) keyed.withColumn("emit_seq", lit(0))
       else keyed
@@ -206,6 +232,6 @@ object TxAssembler {
         .withColumn("after", when(col("emit_seq") === 1, lit(null).cast(afterType))
           .otherwise(col("after")))
     base.select(col("commit_lsn"), col("change_lsn"), col("emit_seq"),
-      col("op"), col("key"), col("after"), col("ts_ms"))
+      col("op"), col("topic"), col("key"), col("after"), col("ts_ms"))
   }
 }

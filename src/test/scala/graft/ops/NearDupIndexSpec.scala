@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.util.Fs
+
+/** Streaming near-dup detection against the banded-MinHash IceLite
+  * index: cross-batch detection with per-batch bounded work.
+  */
+class NearDupIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private val words = (0 until 60).map(i => s"tok$i")
+  private val orig = words.mkString(" ")
+  private val near = words.updated(30, "changed").mkString(" ")
+  private val other = (0 until 40).map(i => s"zebra$i").mkString(" ")
+
+  test("probe flags NEAR-dups (not just exact) of indexed docs, with the smallest owner") {
+    val base = Fs.tempDir("graft-ndidx")
+    val idx = NearDupIndex.create(spark, s"$base/idx",
+      docs(1L -> orig, 2L -> other), numBuckets = 8)
+    val got = NearDupIndex.probe(idx, docs(
+      100L -> near,                 // one word changed vs doc 1
+      101L -> other,                // exact dup of doc 2
+      102L -> (0 until 40).map(i => s"fresh$i").mkString(" ")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(100L, 101L), s"got $got")
+    assert(got(100L)._1 == 1L)
+    assert(got(100L)._2 >= NearDupIndex.DefaultMinMatches && got(100L)._2 < 128L,
+      s"near-dup should agree on most but not all components: ${got(100L)}")
+    assert(got(101L) == (2L, 128L), "exact dup agrees on every component")
+    Fs.deleteRecursively(base)
+  }
+
+  test("cross-batch: a near-dup of a doc REGISTERED by an earlier batch is caught") {
+    val base = Fs.tempDir("graft-ndidx")
+    val idx = NearDupIndex.create(spark, s"$base/idx", docs(1L -> other), numBuckets = 8)
+    // batch 1 introduces fresh content F (doc 10); batch 2 carries a
+    // near-dup of F — detection must work across the batch boundary
+    val clean1 = NearDupIndex.dedupAndUpdate(idx,
+      docs(10L -> orig, 11L -> other), batchId = 1L, commitLsn = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean1 == Set(10L), s"got $clean1") // 11 is an exact dup of indexed 1
+    val got2 = NearDupIndex.probe(idx, docs(20L -> near))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2.map(_._1) == Seq(20L) && got2.head._2 == 10L, s"got $got2")
+    // and dedupAndUpdate drops it while registering nothing new for it
+    val clean2 = NearDupIndex.dedupAndUpdate(idx,
+      docs(20L -> near), batchId = 2L, commitLsn = 20L)
+      .select("doc_id").as[Long].collect()
+    assert(clean2.isEmpty)
+    Fs.deleteRecursively(base)
+  }
+
+  test("update is engine-idempotent; within-batch exact dups canonicalize to min id") {
+    val base = Fs.tempDir("graft-ndidx")
+    val idx = NearDupIndex.create(spark, s"$base/idx", docs(1L -> other), numBuckets = 8)
+    val batch = docs(30L -> orig, 31L -> orig) // same content twice
+    val clean = NearDupIndex.dedupAndUpdate(idx, batch, batchId = 1L, commitLsn = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(30L))
+    // replay of the same batchId is a no-op on both tables
+    val sigsBefore = idx.sigs.refresh().snapshotId
+    val bandsBefore = idx.bands.refresh().snapshotId
+    NearDupIndex.update(idx, docs(30L -> orig), batchId = 1L, commitLsn = 10L)
+    assert(idx.sigs.refresh().snapshotId == sigsBefore)
+    assert(idx.bands.refresh().snapshotId == bandsBefore)
+    Fs.deleteRecursively(base)
+  }
+
+  test("probe reads only the band-table buckets the batch hashes to") {
+    val base = Fs.tempDir("graft-ndidx")
+    val corpus = docs((0L until 100L).map(i =>
+      i -> (0 until 20).map(j => s"corp${i}w$j").mkString(" ")): _*)
+    val idx = NearDupIndex.create(spark, s"$base/idx", corpus, numBuckets = 32)
+    val one = docs(500L -> (0 until 20).map(j => s"corp7w$j").mkString(" "))
+    val full = idx.bands.read().inputFiles.length
+    val bsnap = idx.bands.refresh()
+    val buckets = NearDupIndex.bandRows(NearDupIndex.signatures(one))
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col("bb")),
+        org.apache.spark.sql.functions.lit(bsnap.numBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = idx.bands.readMerged(buckets).inputFiles.length
+    assert(pruned < full, s"pruned=$pruned full=$full")
+    // and the pruned probe still answers: doc 500 is an exact dup of corpus doc 7
+    val got = NearDupIndex.probe(idx, one)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((500L, 7L)), s"got $got")
+    Fs.deleteRecursively(base)
+  }
+}

@@ -149,6 +149,33 @@ class OpsSpec extends SparkSpec {
     assert(verified.contains((1L, 2L))) // identical docs always collide in every band
   }
 
+  test("degenerate corpus: LSH bucket cap bounds pair fan-out (mass-duplicated boilerplate)") {
+    import spark.implicits._
+    // 600 identical docs: below the shingle DF cap (1000) so they all
+    // reach LSH with identical signatures — every band puts all 600 in
+    // ONE bucket. Uncapped that is C(600,2)=179,700 pairs exploding from
+    // single tasks; the cap keeps each bucket's 256 lowest ids.
+    val boiler = "the quick brown fox jumps over the lazy dog again and again and again"
+    val corpus = ((0L until 600L).map(i => (i, boiler)) ++
+      (1000L until 1020L).map(i => (i, s"unique text number $i with its own private words w$i x$i y$i z$i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boilerPairs = pairs.filter(p => p._1 < 600L && p._2 < 600L)
+    assert(boilerPairs.size == 256 * 255 / 2,
+      s"expected C(256,2)=${256 * 255 / 2} capped pairs, got ${boilerPairs.size}")
+    assert(boilerPairs.forall(p => p._1 < 256L && p._2 < 256L),
+      "cap must keep the LOWEST doc_ids (deterministic, oracle-replayable)")
+    // embedding flavor of the same degeneracy: identical vectors land in
+    // one bucket per band
+    val dupVecs = (0L until 600L).map(i => (i, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val vp = Dedup.embeddingNearDups(dupVecs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(vp.size == 256 * 255 / 2, s"embedding cap: got ${vp.size}")
+    assert(vp.forall(p => p._1 < 256L && p._2 < 256L))
+  }
+
   test("banded embedding near-dup: no cartesian in the plan; recall vs brute measured") {
     val banded = Dedup.embeddingNearDups(embs)
     val plan = banded.queryExecution.executedPlan.toString

@@ -79,6 +79,59 @@ class EmissionSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("message.key.columns override + logical-table topic routing on the emission surface") {
+    val (base, raw) = fixture()
+    val events = TxAssembler.assemble(raw)
+    val out = TxAssembler.emitRecords(events, tombstonesOnDelete = true,
+      messageKeyColumns = Seq(("token_.*", Seq("doc_id", "n_tok"))),
+      topicRouting = Some(("token_(.*)", "cdc.$1"))).cache()
+    // the table regex matched everything -> every record routed + rekeyed
+    assert(out.count() > 0)
+    assert(out.where(col("topic") =!= "cdc.docs").count() == 0,
+      "topic.regex/replacement must rewrite token_docs -> cdc.docs")
+    val cu = out.where(col("op").isin("c", "u"))
+    assert(cu.count() > 0)
+    assert(cu.where(col("key") =!=
+      concat_ws(":", col("after.doc_id"), col("after.n_tok"))).count() == 0,
+      "override key must be the listed after-image fields joined with ':'")
+    // deletes + tombstones: null after image, only the merge key survives
+    val d = out.where(col("op").isin("d", "tombstone"))
+    assert(d.count() > 0)
+    assert(d.where(!col("key").startsWith("doc") || col("key").contains(":")).count() == 0)
+    // no routing/override configured: topic = table name, key = merge key
+    val plain = TxAssembler.emitRecords(events, tombstonesOnDelete = false)
+    assert(plain.where(col("topic") =!= "token_docs").count() == 0)
+    assert(plain.where(col("key").contains(":")).count() == 0)
+    Fs.deleteRecursively(base)
+  }
+
+  test("skipped.operations: configured ops are dropped on the ingest path (tx still closes)") {
+    import spark.implicits._
+    import graft.model.TokenDoc
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 87, deletePct = 25)
+    val base = Fs.tempDir("graft-skipops")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4,
+      skippedOperations = Set("d"))
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val log = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
+    assert(log.exists(_.op == "d"), "fixture must contain deletes")
+    val initial = (0L until cfg.nDocs.toLong).map { k =>
+      val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+      ChangeLogGen.docId(k) -> TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+    }.toMap
+    // oracle: the same log with every delete record removed
+    val want = ReplayOracle.replay(initial, log.filterNot(_.op == "d"),
+      ChangeLogGen.snapshotLsn)
+    val got = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(got.keySet == want.keySet,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens $k") }
+    Fs.deleteRecursively(base)
+  }
+
   test("outbox router: CREATE events on the outbox table become routed records") {
     import spark.implicits._
     import graft.ops.Outbox
