@@ -250,8 +250,10 @@ object SparkEntry {
     "stream_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val root = graft.util.Fs.tempDir("graft-ndq")
+      // bucket count sized to the corpus half (results are independent
+      // of it — only the index file layout changes)
       val idx = NearDupIndex.create(s, s"$root/idx",
-        docs.where(col("doc_id") % 2 === 0))
+        docs.where(col("doc_id") % 2 === 0), numBuckets = 16)
       NearDupIndex.probe(idx, docs.where(col("doc_id") % 2 === 1))
         .orderBy(col("doc_id"))
     }),

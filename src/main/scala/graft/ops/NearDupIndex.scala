@@ -103,11 +103,16 @@ object NearDupIndex {
   def create(spark: org.apache.spark.sql.SparkSession, root: String,
       corpus: DataFrame, textCol: String = "text", numBuckets: Int = 64,
       maxBucket: Int = Dedup.DefaultMaxBucket): Index = {
-    val sg = signatures(corpus, textCol)
-    val bands = memberLists(bandRows(sg), maxBucket)
-    Index(
-      bands = snapTable(spark, s"$root/bands", bands, "bb", numBuckets),
-      sigs = snapTable(spark, s"$root/sigs", sg, "doc_id", numBuckets))
+    // persist: the signature aggregation (the dominant cost) feeds BOTH
+    // tables; create() is eager (snapshot writes), so the cache's
+    // lifetime is exactly this call
+    val sg = signatures(corpus, textCol).persist()
+    try {
+      val bands = memberLists(bandRows(sg), maxBucket)
+      Index(
+        bands = snapTable(spark, s"$root/bands", bands, "bb", numBuckets),
+        sigs = snapTable(spark, s"$root/sigs", sg, "doc_id", numBuckets))
+    } finally { sg.unpersist(); () }
   }
 
   /** Load an existing index. */
@@ -121,7 +126,12 @@ object NearDupIndex {
     */
   def probe(idx: Index, batch: DataFrame, minMatches: Int = DefaultMinMatches,
       textCol: String = "text"): DataFrame = {
-    val sg = signatures(batch, textCol)
+    // persist: the batch's signatures feed the band rows (and their
+    // bucket-id collect below, which materializes the cache) AND the
+    // sig_a verification join — without it the 128-permutation
+    // aggregation runs twice per probe. The cache is batch-sized; it is
+    // released by Spark's LRU once the caller has consumed the result.
+    val sg = signatures(batch, textCol).persist()
     val br = bandRows(sg)
     val bsnap = idx.bands.refresh()
     // distinct BUCKET ids (≤ numBuckets ints — driver-safe at any batch
@@ -164,7 +174,15 @@ object NearDupIndex {
   def update(idx: Index, newDocs: DataFrame, batchId: Long, commitLsn: Long,
       textCol: String = "text",
       maxBucket: Int = Dedup.DefaultMaxBucket): Unit = {
-    val sg = signatures(newDocs, textCol)
+    // persist: feeds the sig events AND the band rows; update is eager
+    // (two applyBatch calls), so the lifetime is this call
+    val sg = signatures(newDocs, textCol).persist()
+    try updateFrom(idx, sg, batchId, commitLsn, maxBucket)
+    finally { sg.unpersist(); () }
+  }
+
+  private def updateFrom(idx: Index, sg: DataFrame, batchId: Long,
+      commitLsn: Long, maxBucket: Int): Unit = {
     val sigEvents = sg.select(
       lit("c").as("op"),
       struct(col("doc_id"), col("sig")).as("after"),
