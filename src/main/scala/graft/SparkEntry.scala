@@ -344,6 +344,10 @@ object SparkEntry {
     // itself — not just the exact small-stratum branch — is hash-checked)
     "sketch_distinct" -> ((s, d) =>
       Sketches.distinctProfile(t(s, d, "documents")).orderBy(col("lang"))),
+    // N-way shared-content profile from ONE union KMV sketch (no 2^L
+    // inclusion-exclusion; exact histogram = small-scale comparison)
+    "sketch_kway" -> ((s, d) =>
+      Sketches.kwayProfile(t(s, d, "documents")).orderBy(col("shared_by"))),
     // Gopher-family repetition signals — shuffle-free per-doc projection
     "text_repetition" -> ((s, d) =>
       TextOps.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
@@ -817,6 +821,20 @@ object SparkEntry {
         |  $est AS est_distinct,
         |  round(($est - a.n_distinct)*1.0/a.n_distinct, 4) AS rel_err
         |FROM a JOIN d USING(lang) ORDER BY lang""".stripMargin
+    },
+    // n-way replay: ONE union bottom-k over distinct content hashes;
+    // sample members' sharing counts scale by est_union/n_kept
+    "sketch_kway" -> {
+      val k = Sketches.KmvK
+      val num = Sketches.KmvEstNum
+      s"""WITH h AS (SELECT DISTINCT lang, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS hv FROM documents),
+        |ph AS (SELECT hv, count(DISTINCT lang) AS nl FROM h GROUP BY hv),
+        |r AS (SELECT hv, nl, row_number() OVER (ORDER BY hv) AS rn FROM ph),
+        |s AS (SELECT count(*) FILTER (WHERE rn <= $k) AS n_kept, max(hv) FILTER (WHERE rn <= $k) AS kth FROM r),
+        |e AS (SELECT n_kept, kth, (CASE WHEN n_kept < $k THEN n_kept ELSE $num // kth END) // n_kept AS per_member FROM s),
+        |g AS (SELECT nl, count(*) AS n_exact, CAST(sum(CASE WHEN hv <= (SELECT kth FROM e) THEN 1 ELSE 0 END) AS BIGINT) AS m FROM ph GROUP BY nl)
+        |SELECT nl AS shared_by, n_exact, m, m * (SELECT per_member FROM e) AS est_shared
+        |FROM g ORDER BY shared_by""".stripMargin
     },
     // overlap replay: per-pair union bottom-k over distinct (lang, hv)
     // rows + inclusion-exclusion with the per-stratum estimates

@@ -207,7 +207,7 @@ object Dedup {
     * sign-LSH candidate generators: rank members per (band, bucket) by
     * id, keep the lowest `maxBucket`, emit ordered distinct pairs.
     */
-  private def bucketPairs(banded: DataFrame, idCol: String,
+  private[graft] def bucketPairs(banded: DataFrame, idCol: String,
       outA: String, outB: String, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col(idCol))

@@ -22,18 +22,44 @@ case class MediaFeatures(
     feature: Seq[Float]
 )
 
+/** Image features from a REAL decode: dimensions + per-channel pixel
+  * means. `width = -1` marks an undecodable payload (kept, not
+  * dropped — at corpus scale you want the failure rate observable).
+  */
+case class ImageFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    mean: Seq[Float]
+)
+
+/** Audio features from a REAL decode of a PCM container (WAV/AIFF):
+  * format metadata + root-mean-square amplitude. `sample_rate = -1`
+  * marks an undecodable payload.
+  */
+case class AudioFeatures(
+    doc_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    frames: Long,
+    rms: Double
+)
+
 /** Multimodal-column plumbing: binary payloads flow through typed
   * Datasets; decode / feature-extract runs per-partition in batches
   * (the Scala analog of `mapInPandas` — one iterator pass, no
   * per-row UDF dispatch, arrow-style batch amortization left to the
   * vectorized reader).
   *
-  * The actual media decode is STUBBED (this environment has no
-  * image/audio codecs): `decodeStub` produces deterministic fake
-  * features purely from the bytes, so the Spark-side plumbing —
-  * schema, batch shape, partition-wise execution, metadata pruning —
-  * is real and testable, and swapping in a real codec changes one
-  * function.
+  * Decode is REAL for the formats the JDK itself ships codecs for —
+  * javax.imageio (PNG/JPEG/BMP/GIF) and javax.sound.sampled (WAV/AIFF
+  * PCM) — no external native libraries involved: [[decodeImage]] /
+  * [[decodeAudio]] run the actual decoders inside `mapPartitions`
+  * tasks. Formats beyond the JDK's codecs (video, opus, webp, ...)
+  * still fall back to [[decodeStub]]'s deterministic byte features,
+  * which also remain the small-scale ORACLE surface (a SQL engine can
+  * replay byte arithmetic but not a PNG inflater).
   */
 object Multimodal {
 
@@ -75,5 +101,90 @@ object Multimodal {
         // per-task decoder init would go here (codec context, model, ...)
         it.map { case (id, bytes) => decodeStub(bytes).copy(doc_id = id) }
       }
+  }
+
+  /** REAL image decode (JDK javax.imageio — PNG/JPEG/BMP/GIF):
+    * dimensions, band count, and per-channel pixel means. Returns the
+    * `width = -1` sentinel on undecodable bytes instead of throwing —
+    * a web-scale corpus always contains corrupt payloads, and a
+    * poisoned task would kill the whole extract job.
+    */
+  def decodeImage(payload: Array[Byte]): ImageFeatures = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) ImageFeatures(-1L, -1, -1, 0, Seq.empty)
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        val bands = raster.getNumBands
+        val sums = new Array[Long](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sums(b) += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageFeatures(-1L, w, h, bands,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            sums.map(s => (s.toDouble / n).toFloat)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => ImageFeatures(-1L, -1, -1, 0, Seq.empty) }
+  }
+
+  /** REAL audio decode (JDK javax.sound.sampled — WAV/AIFF PCM):
+    * format metadata + RMS amplitude normalized to [0, 1]. Same
+    * sentinel-not-throw contract as [[decodeImage]].
+    */
+  def decodeAudio(payload: Array[Byte]): AudioFeatures = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val data = in.readAllBytes()
+        val nSamples = data.length / math.max(1, bytesPerSample)
+        var sumSq = 0.0
+        var i = 0
+        val big = fmt.isBigEndian
+        while (i + bytesPerSample <= data.length && bytesPerSample == 2) {
+          val lo = data(if (big) i + 1 else i) & 0xff
+          val hi = data(if (big) i else i + 1)
+          val v = ((hi << 8) | lo).toShort / 32768.0
+          sumSq += v * v
+          i += bytesPerSample
+        }
+        val rms = if (nSamples == 0 || bytesPerSample != 2) 0.0
+          else math.sqrt(sumSq / nSamples)
+        AudioFeatures(-1L, fmt.getSampleRate.toInt, fmt.getChannels,
+          in.getFrameLength, rms)
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => AudioFeatures(-1L, -1, 0, -1L, 0.0)
+    }
+  }
+
+  /** Real-decode feature extraction for image payloads (mime
+    * image types), per-partition batches. Non-image rows are not
+    * silently skipped — they surface with the sentinel shape.
+    */
+  def extractImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeImage(bytes).copy(doc_id = id) })
+  }
+
+  /** Real-decode feature extraction for PCM audio payloads. */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudio(bytes).copy(doc_id = id) })
   }
 }

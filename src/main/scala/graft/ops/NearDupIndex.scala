@@ -31,11 +31,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * — no floating-point thresholds, so SQL oracles replay it
   * bit-for-bit; matches/k estimates Jaccard).
   *
-  * Within one micro-batch only EXACT duplicates are canonicalized
-  * (min doc_id, as [[DedupIndex]]); two near-dup docs arriving in the
-  * same batch both register, and every future copy of either is
-  * flagged. The batch is the atomic unit of arrival — the same
-  * semantics Debezium-style pipelines give concurrent events.
+  * Within one micro-batch, exact duplicates canonicalize to the min
+  * doc_id (as [[DedupIndex]]) and verified NEAR-dups of a lower-id
+  * batch doc are dropped too ([[withinBatchNearDups]]): the lowest id
+  * of a near-dup cluster arriving together is the one that registers,
+  * exactly as if the cluster had arrived spread across batches.
   *
   * Reference anchor: the reference has no near-dup surface (it is a
   * CDC connector); this is part of the training-data curation tier the
@@ -215,10 +215,33 @@ object NearDupIndex {
     ()
   }
 
+  /** Batch docs that are VERIFIED near-dups of a lower-id doc in the
+    * SAME batch: capped banded candidate pairs (the batch's own LSH,
+    * [[Dedup.bucketPairs]]) verified by signature agreement. A doc is
+    * flagged iff it has a qualifying lower-id partner — whether or not
+    * that partner is itself flagged (a dup CHAIN collapses to its local
+    * minima; deterministic, one pass, no iterative component
+    * computation). Input is the arrayed-signature frame (batch-sized;
+    * every join broadcasts it).
+    */
+  def withinBatchNearDups(sg: DataFrame, minMatches: Int = DefaultMinMatches,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    graft.plans.VecMath.register(sg.sparkSession)
+    val pairs = Dedup.bucketPairs(bandRows(sg), "doc_id", "doc_a", "doc_b", maxBucket)
+    pairs
+      .join(broadcast(sg.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), Seq("doc_a"))
+      .join(broadcast(sg.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), Seq("doc_b"))
+      .where(expr("sig_matches(sig_a, sig_b)") >= minMatches)
+      .select(col("doc_b").as("doc_id")).distinct()
+  }
+
   /** The full incremental step: flag the batch's near-dups against the
-    * index, canonicalize exact dups within the batch, register the
-    * survivors, and return the clean rows. One probe + two engine
-    * applies per micro-batch.
+    * index, canonicalize EXACT dups within the batch, drop the batch's
+    * own verified near-dup tails ([[withinBatchNearDups]] — the lowest
+    * id of a near-dup cluster arriving together is the one that
+    * registers), register the survivors, and return the clean rows.
+    * One probe + one within-batch pass + two engine applies per
+    * micro-batch — all batch-bounded.
     */
   def dedupAndUpdate(idx: Index, batch: DataFrame, batchId: Long, commitLsn: Long,
       minMatches: Int = DefaultMinMatches, textCol: String = "text",
@@ -228,8 +251,18 @@ object NearDupIndex {
     val canon = DedupIndex.fingerprints(fresh, textCol)
       .groupBy(col(DedupIndex.FpCol)).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val clean = fresh.join(broadcast(canon), Seq("doc_id"), "left_semi")
-    update(idx, clean, batchId, commitLsn, textCol, maxBucket)
+    val exactClean = fresh.join(broadcast(canon), Seq("doc_id"), "left_semi")
+    // signatures of the exact-clean set feed the within-batch check AND
+    // the registration; persisted for the (eager) update below. `near`
+    // stays cached (it is tiny — flagged ids only) because the returned
+    // lazy `clean` plan references it.
+    val sgC = signatures(exactClean, textCol).persist()
+    val near = withinBatchNearDups(sgC, minMatches, maxBucket).persist()
+    val clean = exactClean.join(broadcast(near), Seq("doc_id"), "left_anti")
+    try updateFrom(idx,
+      sgC.join(broadcast(near), Seq("doc_id"), "left_anti"),
+      batchId, commitLsn, maxBucket)
+    finally { sgC.unpersist(); () }
     clean
   }
 }

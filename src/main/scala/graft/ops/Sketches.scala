@@ -56,6 +56,50 @@ object Sketches {
           col("n_distinct"), 4))
   }
 
+  /** N-WAY shared-content profile across ALL strata at once: for each
+    * c in 1..L, how many distinct contents appear in exactly c strata —
+    * exact (the small-scale comparison column) AND estimated from ONE
+    * union KMV sketch. Pairwise inclusion-exclusion does not scale past
+    * a handful of sets (2^L terms); the KMV set-operation estimator
+    * does: the bottom-k of the union is a uniform sample of the
+    * distinct-content universe, so the number of sample members shared
+    * by exactly c strata, scaled by est_union/n_kept, estimates the
+    * true count (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", SIGMOD'07).
+    *
+    * Scale shape: one reduce of the corpus to distinct (stratum, hash)
+    * rows, one map-side-combined sharing-count aggregation, ONE bounded
+    * union sketch (k longs of driver state — the model-state pattern),
+    * and one scan with the broadcast `hv <= kth` membership predicate.
+    * No global sort, no 2^L expansion, no distinct-set shuffle.
+    * Integer-exact: `est_shared = m * (est_union div n_kept)` (the
+    * per-member scale is divided FIRST so the product stays in range at
+    * any k ≤ 128 — the same expression the generated oracle replays).
+    */
+  def kwayProfile(df: DataFrame, strataCol: String = "lang",
+      textCol: String = "text", k: Int = KmvK): DataFrame = {
+    require(k >= 2 && k <= 128, s"k out of the overflow-safe range: $k")
+    graft.plans.KmvSketch.register(df.sparkSession)
+    val num = (k - 1).toLong * (1L << 56)
+    val hv = df.select(col(strataCol).as("lang0"),
+        TextOps.portableHash(TextOps.normalized(col(textCol))).as("__hv"))
+      .distinct()
+    val ph = hv.groupBy(col("__hv"))
+      .agg(countDistinct(col("lang0")).as("shared_by"))
+    val sk = ph.agg(expr(s"kmv_sketch(__hv, $k)").as("__sk"))
+      .select(col("__sk.n_kept").as("n_kept"), col("__sk.kth").as("kth"))
+      .collect()(0)
+    val nKept = sk.getLong(0)
+    val kth = if (sk.isNullAt(1)) 0L else sk.getLong(1)
+    val estUnion = if (nKept < k) nKept else num / math.max(1L, kth)
+    val perMember = if (nKept == 0L) 0L else estUnion / nKept
+    ph.groupBy(col("shared_by"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("__hv") <= kth, 1L).otherwise(0L)).as("m"))
+      .select(col("shared_by"), col("n_exact"), col("m"),
+        (col("m") * lit(perMember)).as("est_shared"))
+  }
+
   /** Pairwise corpus-overlap matrix between strata, by KMV sketch merge
     * + inclusion-exclusion: for every unordered stratum pair,
     * `est_inter = max(0, est_a + est_b - est_union)` where `est_union`

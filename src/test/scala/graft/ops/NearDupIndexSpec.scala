@@ -55,6 +55,22 @@ class NearDupIndexSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("within-batch NEAR-dups collapse to the lowest id; only it registers") {
+    val base = Fs.tempDir("graft-ndidx")
+    val idx = NearDupIndex.create(spark, s"$base/idx", docs(1L -> other), numBuckets = 8)
+    // orig and its near-dup arrive in ONE batch: only the lower id
+    // registers, the tail is dropped — same outcome as arriving split
+    val clean = NearDupIndex.dedupAndUpdate(idx,
+      docs(40L -> orig, 41L -> near), batchId = 1L, commitLsn = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(40L), s"got $clean")
+    // a future copy of the DROPPED tail still flags (to the registered owner)
+    val got = NearDupIndex.probe(idx, docs(50L -> near))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((50L, 40L)), s"got $got")
+    Fs.deleteRecursively(base)
+  }
+
   test("update is engine-idempotent; within-batch exact dups canonicalize to min id") {
     val base = Fs.tempDir("graft-ndidx")
     val idx = NearDupIndex.create(spark, s"$base/idx", docs(1L -> other), numBuckets = 8)

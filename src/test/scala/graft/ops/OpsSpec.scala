@@ -230,6 +230,53 @@ class OpsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("multimodal REAL decode: JDK PNG + WAV codecs through the partition path; sentinel on corrupt bytes") {
+    import spark.implicits._
+    // deterministic 8x5 RGB PNG written with the JDK encoder
+    val img = new java.awt.image.BufferedImage(8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 8)
+      img.setRGB(x, y, new java.awt.Color((x * 40) % 256, (y * 60) % 256, 7).getRGB)
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val n = 40.0
+    val meanR = (0 until 5).flatMap(_ => (0 until 8).map(x => (x * 40) % 256)).sum / n
+    val meanG = (0 until 5).flatMap(y => (0 until 8).map(_ => (y * 60) % 256)).sum / n
+    val media = Seq(
+      (1L, "image/png", png, png.length),
+      (2L, "image/png", Array[Byte](1, 2, 3), 3)) // corrupt
+      .toDF("doc_id", "mime", "payload", "declared_len")
+    val feats = Multimodal.extractImageFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 8 && feats(1L).height == 5 && feats(1L).channels == 3)
+    assert(math.abs(feats(1L).mean(0) - meanR) < 1e-4, s"meanR ${feats(1L).mean}")
+    assert(math.abs(feats(1L).mean(1) - meanG) < 1e-4)
+    assert(math.abs(feats(1L).mean(2) - 7.0) < 1e-4)
+    assert(feats(2L).width == -1, "corrupt payload surfaces the sentinel, never a task failure")
+    // 16-bit mono 8 kHz WAV at constant amplitude 0.5 -> rms 0.5
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = Array.fill(800)((0.5 * 32767).toShort)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val wbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
+    val wav = wbos.toByteArray
+    val am = Seq((10L, "audio/wav", wav, wav.length))
+      .toDF("doc_id", "mime", "payload", "declared_len")
+    val af = Multimodal.extractAudioFeatures(am).collect()(0)
+    assert(af.sample_rate == 8000 && af.channels == 1 && af.frames == 800L, af.toString)
+    assert(math.abs(af.rms - 0.5) < 0.01, s"rms ${af.rms}")
+    // corrupt audio: sentinel
+    val bad = Multimodal.extractAudioFeatures(
+      Seq((11L, "audio/wav", Array[Byte](9, 9), 2)).toDF("doc_id", "mime", "payload", "declared_len"))
+      .collect()(0)
+    assert(bad.sample_rate == -1)
+  }
+
   test("multimodal plumbing: per-partition stub decode matches byte-level truth") {
     val media = Multimodal.toMedia(docs)
     assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)

@@ -102,6 +102,41 @@ class SketchSpec extends SparkSpec {
     assert(again.getLong(4) == r.getLong(4) && again.getLong(5) == r.getLong(5))
   }
 
+  test("kway profile: exact under k; union-sample scaling tracks a known 3-way sharing layout") {
+    // small case (union < k=64): everything exact, est == n_exact
+    val small =
+      (0 until 10).map(i => (i.toLong, "A", s"all three $i")) ++
+        (0 until 10).map(i => (100L + i, "B", s"all three $i")) ++
+        (0 until 10).map(i => (200L + i, "C", s"all three $i")) ++
+        (0 until 15).map(i => (300L + i, "A", s"a and b $i")) ++
+        (0 until 15).map(i => (400L + i, "B", s"a and b $i")) ++
+        (0 until 20).map(i => (500L + i, "C", s"c only $i"))
+    val s = Sketches.kwayProfile(small.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(s.keySet == Set(1L, 2L, 3L))
+    assert(s(1L) == (20L, 20L)) // c-only: exact AND est exact under k
+    assert(s(2L) == (15L, 15L))
+    assert(s(3L) == (10L, 10L))
+    // large case (union >> k): per-class estimates from the union
+    // sample; m sums to k and each class tracks its true share
+    val big =
+      (0 until 3000).map(i => (i.toLong, "A", s"uni A $i")) ++
+        (0 until 3000).map(i => (10000L + i, "B", s"uni B $i")) ++
+        (0 until 3000).map(i => (20000L + i, "A", s"duo $i")) ++
+        (0 until 3000).map(i => (30000L + i, "B", s"duo $i"))
+    val b = Sketches.kwayProfile(big.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(b(1L)._1 == 6000 && b(2L)._1 == 3000, "exact histogram")
+    assert(b.values.map(_._2).sum == Sketches.KmvK, "sample members sum to k")
+    // true shares: 6000 vs 3000 of a 9000 union; generous 1-sigma-ish bounds
+    assert(math.abs(b(1L)._3 - 6000).toDouble / 6000 < 0.5, s"est1=${b(1L)._3}")
+    assert(math.abs(b(2L)._3 - 3000).toDouble / 3000 < 0.6, s"est2=${b(2L)._3}")
+    // partition invariance (sketch merge path + deterministic scaling)
+    val again = Sketches.kwayProfile(big.toDF("doc_id", "lang", "text").repartition(13))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == b.map { case (k2, v) => k2 -> v._3 })
+  }
+
   test("repetition signals match hand-computed goldens") {
     val df = Seq(
       (1L, "a b c d"),            // all unique words, all unique bigrams
