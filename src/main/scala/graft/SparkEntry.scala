@@ -351,6 +351,10 @@ object SparkEntry {
     // Gopher-family repetition signals — shuffle-free per-doc projection
     "text_repetition" -> ((s, d) =>
       TextOps.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // segment-level duplication (boilerplate detector): non-overlapping
+    // 16-token windows, dup iff the window hash occurs in >= 2 docs
+    "text_seg_dup" -> ((s, d) =>
+      TextOps.segmentDupStats(t(s, d, "documents")).orderBy(col("doc_id"))),
     // pairwise stratum-overlap matrix by KMV sketch merge +
     // inclusion-exclusion (exact union/inter columns = the small-scale
     // comparison; estimates are the bounded-state scale path)
@@ -859,6 +863,14 @@ object SparkEntry {
         |FROM u JOIN e1 ea ON ea.lang = u.lang_a JOIN e1 eb ON eb.lang = u.lang_b
         |ORDER BY lang_a, lang_b""".stripMargin
     },
+    "text_seg_dup" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\\s+')) >= 16),
+        |sg AS (SELECT DISTINCT doc_id, ${H("array_to_string(ws[i*16+1 : i*16+16], ' ')")} AS sh FROM w, unnest(range(0, len(ws)//16)) t(i)),
+        |f AS (SELECT sh, count(*) AS dfq FROM sg GROUP BY sh)
+        |SELECT sg.doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN f.dfq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+        |  round(sum(CASE WHEN f.dfq >= 2 THEN 1 ELSE 0 END)*1.0/count(*), 4) AS dup_ratio
+        |FROM sg JOIN f USING(sh) GROUP BY sg.doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
         |b AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd, ws,

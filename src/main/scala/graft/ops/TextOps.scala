@@ -150,4 +150,42 @@ object TextOps {
           col("__mb").cast("double") / (col("n_words") - 1), 4))
           .as("top_bigram_frac"))
   }
+
+  /** SEGMENT-level duplication profile — the boilerplate detector
+    * (CCNet-style paragraph dedup re-expressed over token windows,
+    * since the corpus's text is a single token stream): each doc is
+    * chunked into NON-overlapping `segTokens`-token segments, each
+    * segment carries the portable hash of its token window, and a
+    * segment counts as duplicated iff its hash occurs in at least two
+    * distinct documents. Output per doc: distinct segments, duplicated
+    * segments, duplication ratio. Docs shorter than one full segment
+    * are excluded (no complete window to judge).
+    *
+    * Scale shape: one row per DISTINCT (doc, segment-hash) — the
+    * within-doc distinct happens before any aggregation, so the
+    * frequency groupBy is a plain `count(*)` on hash keys (map-side
+    * combined, no count-distinct Expand, skew-free: a boilerplate
+    * segment shared by millions of docs is still one reducer key with
+    * a combined count). The frequency join is hash-co-partitioned with
+    * the segment rows. No corpus-wide sort, nothing quadratic.
+    */
+  def segmentDupStats(df: DataFrame, segTokens: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    val segs = df.select(col("doc_id"), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= segTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), (size(col("__ws")) / segTokens).cast("int") - 1)).as("__i"),
+        col("__ws"))
+      .select(col("doc_id"),
+        portableHash(concat_ws(" ",
+          slice(col("__ws"), col("__i") * segTokens + 1, lit(segTokens)))).as("__sh"))
+      .distinct()
+    val freq = segs.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    segs.join(freq, Seq("__sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_segs").cast("double") / col("n_segs"), 4))
+  }
 }

@@ -87,6 +87,22 @@ class NearDupIndexSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("probe plan shape: batch side broadcasts, no cartesian/BNLJ, compiled sig verify") {
+    val base = Fs.tempDir("graft-ndidx-plan")
+    val corpus = docs((0L until 50L).map(i =>
+      i -> (0 until 20).map(j => s"pl${i}w$j").mkString(" ")): _*)
+    val idx = NearDupIndex.create(spark, s"$base/idx", corpus, numBuckets = 8)
+    val plan = NearDupIndex.probe(idx, docs(900L -> (0 until 20).map(j => s"pl3w$j").mkString(" ")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe must never plan an index x batch cross join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the batch side must broadcast into the index join:\n$plan")
+    assert(plan.contains("sig_matches"),
+      s"verification must run the compiled sig_matches expression:\n$plan")
+    Fs.deleteRecursively(base)
+  }
+
   test("probe reads only the band-table buckets the batch hashes to") {
     val base = Fs.tempDir("graft-ndidx")
     val corpus = docs((0L until 100L).map(i =>

@@ -230,6 +230,25 @@ class OpsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("segment dup stats: a shared 16-token window flags in BOTH docs; short docs excluded") {
+    import spark.implicits._
+    val shared = (0 until 16).map(i => s"s$i").mkString(" ")
+    val segB = (0 until 16).map(i => s"t$i").mkString(" ")
+    val segC = (0 until 16).map(i => s"u$i").mkString(" ")
+    val out = TextOps.segmentDupStats(Seq(
+      (1L, s"$shared $segB"),   // 2 segments; the first is shared with doc 2
+      (2L, s"$shared $segC"),
+      (3L, "too short")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), "sub-segment docs are excluded")
+    assert(out(1L) == ((2L, 1L)) && out(2L) == ((2L, 1L)))
+    // a window repeated WITHIN one doc only is not cross-doc boilerplate
+    val within = TextOps.segmentDupStats(Seq(
+      (9L, s"$segC $segC")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(within.toSeq == Seq((1L, 0L)), "within-doc distinct first: 1 distinct seg, 0 dups")
+  }
+
   test("multimodal REAL decode: JDK PNG + WAV codecs through the partition path; sentinel on corrupt bytes") {
     import spark.implicits._
     // deterministic 8x5 RGB PNG written with the JDK encoder
