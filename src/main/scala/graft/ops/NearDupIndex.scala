@@ -215,6 +215,38 @@ object NearDupIndex {
     ()
   }
 
+  /** Structured-Streaming form: tail a document directory and keep the
+    * corpus near-dup-free INCREMENTALLY — each micro-batch is deduped
+    * against the index (and within itself), survivors register, and
+    * the clean rows land in `outDir/batch-N` (overwrite-per-batchId,
+    * so replays after a restart are idempotent end to end: the engine
+    * applies are batchId-gated and the output dir is rewritten
+    * identically). `commitLsn = baseLsn + batchId + 1` keeps index
+    * versions monotone across batches.
+    */
+  def stream(spark: org.apache.spark.sql.SparkSession, idx: Index,
+      docsDir: String, checkpointDir: String, outDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      minMatches: Int = DefaultMinMatches, textCol: String = "text",
+      maxFilesPerTrigger: Int = 1, baseLsn: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(docsDir)
+      .writeStream
+      .queryName("graft-neardup-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val clean = dedupAndUpdate(idx, df, batchId,
+          commitLsn = baseLsn + batchId + 1, minMatches = minMatches,
+          textCol = textCol)
+        clean.write.mode("overwrite").parquet(f"$outDir/batch-$batchId%08d")
+        ()
+      }
+      .start()
+
   /** Batch docs that are VERIFIED near-dups of a lower-id doc in the
     * SAME batch: capped banded candidate pairs (the batch's own LSH,
     * [[Dedup.bucketPairs]]) verified by signature agreement. A doc is

@@ -87,6 +87,31 @@ class NearDupIndexSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("structured-streaming ingest: cross-trigger near-dup dropped, clean stream emitted") {
+    import spark.implicits._
+    val base = Fs.tempDir("graft-ndidx-ss")
+    val idx = NearDupIndex.create(spark, s"$base/idx", docs(1L -> other), numBuckets = 8)
+    // two files -> two triggers (maxFilesPerTrigger=1): the near-dup of
+    // trigger-1's fresh doc arrives in trigger 2
+    val segA = docs(10L -> orig, 11L -> other)           // 11 dups indexed 1
+    val segB = docs(20L -> near, 21L -> (0 until 40).map(i => s"solo$i").mkString(" "))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/docs"))
+    Seq(segA, segB).zipWithIndex.foreach { case (seg, i) =>
+      val tmp = s"$base/stage-$i"
+      seg.coalesce(1).write.parquet(tmp)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(Fs.listParquet(tmp).head),
+        java.nio.file.Paths.get(f"$base/docs/seg-$i%03d.parquet"))
+    }
+    NearDupIndex.stream(spark, idx, s"$base/docs", s"$base/ckpt", s"$base/out",
+      segA.schema).awaitTermination()
+    val clean = spark.read.parquet(s"$base/out/batch-*")
+      .select("doc_id").as[Long].collect().toSet
+    // 10 fresh; 11 exact-dup of indexed; 20 near-dup of 10 (cross trigger); 21 fresh
+    assert(clean == Set(10L, 21L), s"got $clean")
+    Fs.deleteRecursively(base)
+  }
+
   test("probe plan shape: batch side broadcasts, no cartesian/BNLJ, compiled sig verify") {
     val base = Fs.tempDir("graft-ndidx-plan")
     val corpus = docs((0L until 50L).map(i =>
