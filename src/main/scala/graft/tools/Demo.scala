@@ -79,6 +79,22 @@ object Demo {
     println(s"== lineage rows: ${lineage.count()}")
     lineage.orderBy("batch_id", "bucket").show(5)
 
+    // probe 5: streaming near-dup index — register a corpus, then probe
+    // a batch holding one near-dup (one word changed) and one fresh doc
+    locally {
+      import spark.implicits._
+      val words = (0 until 40).map(i => s"tok$i")
+      val corpus = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val ndx = graft.ops.NearDupIndex.create(spark, s"$base/ndidx", corpus, numBuckets = 4)
+      val batch = Seq(
+        (100L, words.updated(20, "changed").mkString(" ")),
+        (101L, (0 until 40).map(i => s"fresh$i").mkString(" "))).toDF("doc_id", "text")
+      val flagged = graft.ops.NearDupIndex.probe(ndx, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      println(s"== PROBE near-dup index: flagged=${flagged.mkString(",")} " +
+        s"(expect doc 100 -> owner 1, matches in (26,128); doc 101 clean)")
+    }
+
     Fs.deleteRecursively(base)
     spark.stop()
     println("== DONE")
