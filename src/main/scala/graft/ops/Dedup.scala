@@ -162,19 +162,31 @@ object Dedup {
     components.foldLeft(lit(0L).cast("long"))((acc, c) =>
       pmod(acc * 31 + c, lit(MinhashBucketMod)))
 
-  /** MinHash signatures: k portable permutations, min over the DF-capped
-    * shingles. One `groupBy(doc_id)` with map-side partial min —
-    * skew-free.
+  /** MinHash signatures as ONE array column (doc_id, sig[k]): the k
+    * permutation minima computed by the fused
+    * [[graft.plans.MinHashSigs]] TypedImperativeAggregate — one
+    * ObjectHashAggregate buffer of k longs per doc, map-side combined,
+    * instead of 128 separate codegen'd min-aggregates (which were slow
+    * to janino-compile and dominated every signature-based operator's
+    * cost). Arithmetic is bit-identical to the column form the SQL
+    * oracles replay.
     */
-  def minhashSignatures(df: DataFrame, n: Int = 3, textCol: String = "text",
+  def minhashSigArray(df: DataFrame, n: Int = 3, textCol: String = "text",
       maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
     val sh = cappedShingles(df, n, textCol, maxDocFreq)
       .withColumn("h", pmod(portableHash(col("shingle")), lit(MinhashP)))
-    val aggs = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MinhashP))).as(s"s$i")
-    }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    graft.plans.MinHashSigs.register(df.sparkSession, MinhashA, MinhashB, MinhashP)
+    sh.groupBy(col("doc_id")).agg(expr("minhash_sigs(h)").as("sig"))
   }
+
+  /** MinHash signatures in the flat (doc_id, s0..s127) shape — the
+    * oracle-facing projection of [[minhashSigArray]].
+    */
+  def minhashSignatures(df: DataFrame, n: Int = 3, textCol: String = "text",
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    minhashSigArray(df, n, textCol, maxDocFreq).select(
+      col("doc_id") +:
+        (0 until MinhashK).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
 
   /** LSH banding: `minhashBands` bands of `MinhashRowsPerBand` signature
     * components each; candidate pairs = docs sharing any band bucket.
@@ -184,11 +196,11 @@ object Dedup {
   def minhashCandidates(df: DataFrame, n: Int = 3, textCol: String = "text",
       maxDocFreq: Int = DefaultMaxDocFreq,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = minhashSignatures(df, n, textCol, maxDocFreq)
+    val sig = minhashSigArray(df, n, textCol, maxDocFreq)
     val bandStructs = (0 until minhashBands).map { b =>
       struct(lit(b).as("band"),
         bandBucket((0 until MinhashRowsPerBand).map(j =>
-          col(s"s${b * MinhashRowsPerBand + j}"))).as("bucket"))
+          element_at(col("sig"), b * MinhashRowsPerBand + j + 1))).as("bucket"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

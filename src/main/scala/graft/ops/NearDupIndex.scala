@@ -59,9 +59,7 @@ object NearDupIndex {
     * (they can never be near-dups of anything).
     */
   def signatures(batch: DataFrame, textCol: String = "text"): DataFrame =
-    Dedup.minhashSignatures(batch, textCol = textCol)
-      .select(col("doc_id"),
-        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+    Dedup.minhashSigArray(batch, textCol = textCol)
 
   /** Banded rows (doc_id, band, bucket, bb) from arrayed signatures —
     * the same fold as [[Dedup.bandBucket]]; bb = "band:bucket" is the
