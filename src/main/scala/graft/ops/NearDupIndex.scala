@@ -52,7 +52,6 @@ object NearDupIndex {
 
   final case class Index(bands: IceLiteTable, sigs: IceLiteTable)
 
-  private def K: Int = Dedup.MinhashK
 
   /** Per-doc MinHash signatures as one array column (doc_id, sig). Docs
     * with fewer than n words have no shingles and carry no signature
@@ -121,6 +120,12 @@ object NearDupIndex {
     * (doc_id, dup_of, matches) with dup_of = the smallest qualifying
     * indexed owner and matches = its equal-signature-component count.
     * Reads only the index buckets the batch hashes to.
+    *
+    * Bound: candidates ≤ |batch| x bands x maxBucket (each batch doc
+    * meets at most `maxBucket` members in each of its bands' buckets),
+    * and the broadcast side is the BATCH-derived candidate set — size
+    * your micro-batches (maxFilesPerTrigger) so that bound broadcasts;
+    * the corpus-sized index is never shuffled regardless.
     */
   def probe(idx: Index, batch: DataFrame, minMatches: Int = DefaultMinMatches,
       textCol: String = "text"): DataFrame = {

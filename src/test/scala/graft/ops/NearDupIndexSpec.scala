@@ -87,6 +87,56 @@ class NearDupIndexSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("seeded fuzz: random dup/near-dup/unique mix over random batch splits is self-consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    // 12 base contents; docs are exact copies, one-word-changed variants,
+    // or unique — shuffled and split into 3 uneven batches
+    val bases = (0 until 12).map(b => (0 until 30).map(i => s"base${b}w$i"))
+    val docsAll = new scala.util.Random(7).shuffle(
+      (0 until 60).map { id =>
+        val b = rnd.nextInt(bases.size)
+        val kind = rnd.nextInt(3)
+        val text = kind match {
+          case 0 => bases(b).mkString(" ")                                   // exact copy
+          case 1 => bases(b).updated(rnd.nextInt(30), s"chg$id").mkString(" ") // near-dup
+          case _ => (0 until 30).map(i => s"uniq${id}w$i").mkString(" ")       // unique
+        }
+        (id.toLong, text)
+      })
+    val base = Fs.tempDir("graft-ndidx-fuzz")
+    val idx = NearDupIndex.create(spark, s"$base/idx",
+      docs(100000L -> (0 until 30).map(i => s"seedw$i").mkString(" ")), numBuckets = 8)
+    val cuts = Seq(docsAll.take(20), docsAll.slice(20, 45), docsAll.drop(45))
+    cuts.zipWithIndex.foreach { case (chunk, i) =>
+      val clean = NearDupIndex.dedupAndUpdate(idx, chunk.toDF("doc_id", "text"),
+        batchId = i + 1L, commitLsn = (i + 1) * 10L)
+        .select("doc_id").as[Long].collect().toSet
+      // INVARIANT 1: whatever was dropped must verify as a near-dup of
+      // something ALREADY registered or of a lower-id batch doc
+      val dropped = chunk.map(_._1).toSet -- clean
+      if (dropped.nonEmpty) {
+        val flaggedVsIndex = NearDupIndex.probe(idx, chunk.toDF("doc_id", "text"))
+          .select("doc_id").as[Long].collect().toSet
+        dropped.foreach { d =>
+          assert(flaggedVsIndex.contains(d),
+            s"batch $i: dropped doc $d no longer verifies against the index")
+        }
+      }
+      // INVARIANT 2: survivors are now registered — probing them flags
+      // every one (each matches its own stored signature exactly)
+      if (clean.nonEmpty) {
+        val self = NearDupIndex.probe(idx,
+          chunk.filter(c => clean.contains(c._1))
+            .map { case (id, t) => (id + 500000L, t) }.toDF("doc_id", "text"))
+          .select("doc_id").as[Long].collect().toSet
+        assert(self.size == clean.size,
+          s"batch $i: ${clean.size - self.size} survivors not findable after registration")
+      }
+    }
+    Fs.deleteRecursively(base)
+  }
+
   test("structured-streaming ingest: cross-trigger near-dup dropped, clean stream emitted") {
     import spark.implicits._
     val base = Fs.tempDir("graft-ndidx-ss")
