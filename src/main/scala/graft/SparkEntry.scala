@@ -144,6 +144,15 @@ object SparkEntry {
     // the full conversion-mode matrix (decimal modes, variable-scale
     // decimal, temporal precisions, char padding, boolean literals)
     "f5b_type_matrix" -> ((s, d) => ValueConv.typeMatrix(t(s, d, "events"))),
+    // binary.handling.mode matrix over a real binary payload column
+    "f5c_binary_modes" -> ((s, d) => {
+      val media = Multimodal.toMedia(t(s, d, "documents"))
+      media.select(col("doc_id"),
+        ValueConv.binaryAs(col("payload"), "base64").as("b64"),
+        ValueConv.binaryAs(col("payload"), "base64-url-safe").as("b64url"),
+        ValueConv.binaryAs(col("payload"), "hex").as("hx"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- T: transaction assembly ----
     "t1_tx_group" -> ((s, d) => CdcRelational.t1TxGroup(t(s, d, "events"))),
     "t2_rollback_discard" -> ((s, d) => CdcRelational.t2RollbackDiscard(t(s, d, "events"))),
@@ -566,6 +575,11 @@ object SparkEntry {
       s"$LOG SELECT lsn, key_id FROM log ORDER BY lsn",
     "f5_value_conversion" ->
       "SELECT event_id, value AS v_double, CAST(round(value*100) AS BIGINT) AS v_cents, CAST(floor(value) AS BIGINT) AS v_floor FROM events WHERE event_id < 500 ORDER BY event_id",
+    "f5c_binary_modes" ->
+      """SELECT doc_id, to_base64(encode(text)) AS b64,
+        |  replace(replace(to_base64(encode(text)),'+','-'),'/','_') AS b64url,
+        |  lower(hex(encode(text))) AS hx
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "f5b_type_matrix" ->
       """WITH e AS (SELECT event_id, ts, user_id, event_type, value,
         |  CAST(round(value*100) AS BIGINT) AS cents, CAST(round(value*1000000) AS BIGINT) AS u6

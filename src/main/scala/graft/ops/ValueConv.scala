@@ -133,6 +133,25 @@ object ValueConv {
       .when(trim(c) === "f", lit(false))
       .otherwise(lower(trim(c)) === "true")
 
+  /** binary.handling.mode — how binary columns surface on the emitted
+    * record (the reference threads Debezium's `BinaryHandlingMode`
+    * through its converters, `InformixValueConverters.java:50`):
+    * `bytes` (raw), `base64`, `base64-url-safe` (RFC 4648 §5 alphabet,
+    * padding kept — java.util.Base64.getUrlEncoder parity), or `hex`
+    * (LOWERCASE, as Debezium emits it; Spark's hex() is uppercase).
+    */
+  def binaryAs(c: Column, mode: String): Column = mode match {
+    case "bytes" => c
+    // Spark's base64() is MIME-chunked (a \r\n every 76 chars) — the
+    // reference emits java.util.Base64's unchunked form; translate
+    // deletes the line breaks (none of \r\n is in the b64 alphabet)
+    case "base64" => translate(base64(c), "\r\n", "")
+    case "base64-url-safe" => translate(base64(c), "+/\r\n", "-_")
+    case "hex" => lower(hex(c))
+    case other => throw new IllegalArgumentException(
+      s"unknown binary.handling.mode '$other' (bytes|base64|base64-url-safe|hex)")
+  }
+
   // ---- default-value parsing (driver-side, like the reference's
   //      schema machinery — defaults are metadata, not row data) ----
 

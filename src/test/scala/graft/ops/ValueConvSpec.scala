@@ -134,4 +134,28 @@ class ValueConvSpec extends SparkSpec {
     val b = ValueConv.typeMatrix(events).collect()
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("binary.handling.mode: base64 / url-safe / hex match java.util.Base64 exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val payloads = Seq(
+      1L -> Array[Byte](0, 1, 2, -1, 62, 63, -5, -17),
+      2L -> "héllo?>world".getBytes("UTF-8"),
+      3L -> Array.empty[Byte],
+      // LONG payload: Spark's base64() MIME-chunks past 76 chars (a
+      // \r\n java.util.Base64 never emits) — must come out unchunked
+      4L -> Array.tabulate(300)(i => ((i * 37 + 11) % 256).toByte))
+    val df = payloads.toDF("id", "b")
+    val got = df.select(col("id"),
+      ValueConv.binaryAs(col("b"), "base64").as("b64"),
+      ValueConv.binaryAs(col("b"), "base64-url-safe").as("u"),
+      ValueConv.binaryAs(col("b"), "hex").as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    payloads.foreach { case (id, bytes) =>
+      assert(got(id)._1 == java.util.Base64.getEncoder.encodeToString(bytes), s"b64 $id")
+      assert(got(id)._2 == java.util.Base64.getUrlEncoder.encodeToString(bytes), s"url $id")
+      assert(got(id)._3 == bytes.map(x => f"${x & 0xff}%02x").mkString, s"hex $id")
+    }
+    intercept[IllegalArgumentException](ValueConv.binaryAs(col("b"), "nope"))
+  }
 }
