@@ -68,14 +68,24 @@ class EmissionSpec extends SparkSpec {
     // committed transactions got metadata rows; rolled-back ones none
     assert(txMeta.where(col("commit_lsn").isNull).count() == 0)
     assert(txMeta.count() > 0)
-    // switches off: no tombstones emitted
+    // switches off: no tombstones emitted; key override + topic routing
+    // wired through the batch path end to end
     val cdcOff = cdc.copy(tableRoot = s"$base/table2", checkpointDir = s"$base/ckpt2",
-      emitDir = Some(s"$base/emit2"), tombstonesOnDelete = false)
+      emitDir = Some(s"$base/emit2"), tombstonesOnDelete = false,
+      messageKeyColumns = Seq(("token_.*", Seq("doc_id", "n_tok"))),
+      topicRouting = Some(("token_(.*)", "cdc.$1")))
     val t2 = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
       cdcOff, ChangeLogGen.snapshotLsn)
     CdcJob.runBatchIncremental(spark, t2, cdcOff, filesPerBatch = 2)
-    assert(spark.read.parquet(s"$base/emit2/batch-*")
-      .where(col("op") === "tombstone").count() == 0)
+    val emitted2 = spark.read.parquet(s"$base/emit2/batch-*")
+    assert(emitted2.where(col("op") === "tombstone").count() == 0)
+    assert(emitted2.where(col("topic") =!= "cdc.docs").count() == 0,
+      "topic routing must reach the emitDir sink")
+    val cu2 = emitted2.where(col("op").isin("c", "u"))
+    assert(cu2.count() > 0)
+    assert(cu2.where(col("key") =!=
+      concat_ws(":", col("after.doc_id"), col("after.n_tok"))).count() == 0,
+      "message.key.columns must reach the emitDir sink")
     Fs.deleteRecursively(base)
   }
 
