@@ -351,6 +351,10 @@ object SparkEntry {
     // bounded-state KMV distinct sketch vs exact distinct, per language
     // (every stratum exceeds k at sf0.01, so the estimator arithmetic
     // itself — not just the exact small-stratum branch — is hash-checked)
+    // source/domain balancing: per-source share caps via the salted
+    // shuffle-free keep discipline (the crawl-curation op)
+    "source_caps" -> ((s, d) =>
+      Curation.sourceCapStats(t(s, d, "documents")).orderBy(col("source"))),
     "sketch_distinct" -> ((s, d) =>
       Sketches.distinctProfile(t(s, d, "documents")).orderBy(col("lang"))),
     // N-way shared-content profile from ONE union KMV sketch (no 2^L
@@ -798,6 +802,18 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"SELECT doc_id, lang FROM documents WHERE $SAMPLE_KEEP ORDER BY doc_id",
+    "source_caps" -> {
+      val bp = Curation.SourceCapBp
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT source, n_docs, (n_docs*10000)//tot AS share_bp,
+        |  CAST(CASE WHEN n_docs <= (tot*$bp)//10000 THEN 10000 ELSE (((tot*$bp)//10000)*10000)//n_docs END AS BIGINT) AS rate_bp
+        |  FROM c, t),
+        |k AS (SELECT d.source, CAST(sum(CASE WHEN ${H("CAST(doc_id AS VARCHAR) || ':srccap'")} % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN r USING(source) GROUP BY d.source)
+        |SELECT r.source, r.n_docs, CAST(share_bp AS BIGINT) AS share_bp, rate_bp, n_kept
+        |FROM r JOIN k USING(source) ORDER BY source""".stripMargin
+    },
     "sample_strat_stats" ->
       s"""SELECT lang, count(*) AS n_total,
         |CAST(sum(CASE WHEN $SAMPLE_KEEP THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

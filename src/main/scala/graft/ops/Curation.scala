@@ -74,6 +74,76 @@ object Curation {
           .cast("long")).as("n_kept"))
       .withColumn("rate", round(col("n_kept").cast("double") / col("n_total"), 4))
 
+  /** Default per-source corpus-share cap in basis points (15% — with a
+    * handful of roughly equal sources every one of them bites, so the
+    * small-scale oracle exercises both branches). The SQL oracle is
+    * GENERATED from this constant.
+    */
+  val SourceCapBp: Int = 1500
+
+  /** Source/domain balancing — the crawl-curation op that keeps any one
+    * source (domain, dump, feed) from dominating the training mix: each
+    * source's share of the corpus is capped at `maxShareBp`. The keep
+    * decision is the [[sampleKeep]] discipline, not a rank: a source
+    * over its cap keeps docs whose salted portable hash falls under
+    * `rate_bp = floor(cap_n * 10000 / n_source)` — shuffle-free
+    * (per-row filter against a broadcast #sources-row rate table) and
+    * bit-reproducible. Unlike [[sampleStratified]] (fixed config
+    * rates), rates here derive from the data, so a growing source's
+    * rate TIGHTENS — but hash-threshold samples are NESTED: the kept
+    * set at a lower rate is a subset of the kept set at any higher
+    * rate, so growth only sheds docs deterministically, never churns
+    * the sample. The achieved count
+    * is rate-accurate rather than exactly cap_n — the same trade every
+    * hash-sampled system makes, and the per-source sort the exact-rank
+    * form needs is a corpus-wide shuffle this op exists to avoid.
+    * All arithmetic is integer (`div`), so oracles replay it.
+    */
+  def sourceCapRates(df: DataFrame, sourceCol: String = "source",
+      maxShareBp: Int = SourceCapBp): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"),
+        expr("n_docs * 10000L div __tot").as("share_bp"),
+        expr(s"__tot * $maxShareBp div 10000").as("__cap"))
+      .withColumn("rate_bp",
+        when(col("n_docs") <= col("__cap"), lit(10000L))
+          .otherwise(expr("__cap * 10000L div n_docs")))
+      .drop("__cap")
+  }
+
+  private def capHash(docId: Column): Column =
+    pmod(portableHash(concat(docId.cast("string"), lit(":srccap"))), lit(10000L))
+
+  /** The capped corpus: one broadcast join against the rate table, one
+    * per-row hash test — the corpus never shuffles.
+    */
+  def applySourceCaps(df: DataFrame, sourceCol: String = "source",
+      maxShareBp: Int = SourceCapBp): DataFrame = {
+    val rates = sourceCapRates(df, sourceCol, maxShareBp)
+      .select(col(sourceCol), col("rate_bp"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .where(capHash(col("doc_id")) < col("rate_bp"))
+      .drop("rate_bp")
+  }
+
+  /** Per-source balancing report: size, share, applied rate, kept count
+    * — the observable the oracle checks.
+    */
+  def sourceCapStats(df: DataFrame, sourceCol: String = "source",
+      maxShareBp: Int = SourceCapBp): DataFrame = {
+    val rates = sourceCapRates(df, sourceCol, maxShareBp)
+    val kept = df
+      .join(broadcast(rates.select(col(sourceCol), col("rate_bp"))), Seq(sourceCol))
+      .groupBy(col(sourceCol))
+      .agg(sum(when(capHash(col("doc_id")) < col("rate_bp"), 1L).otherwise(0L))
+        .as("n_kept"))
+    rates.join(kept, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("share_bp"),
+        col("rate_bp"), col("n_kept"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least one
     * word n-gram shingle with any document of the eval split, with the
     * overlap count. `evalPred` marks the eval split (rows NOT matching

@@ -59,6 +59,38 @@ class CurationSpec extends SparkSpec {
     assert(a.subsetOf(g))
   }
 
+  test("source caps: dominant sources squeezed to ~cap, small ones untouched, samples nested") {
+    import spark.implicits._
+    // srcBIG = 70% of the corpus, srcMID = 20%, srcTINY = 10%; cap 15%
+    val docs = ((0 until 1400).map(i => (i.toLong, "srcBIG")) ++
+      (2000 until 2400).map(i => (i.toLong, "srcMID")) ++
+      (3000 until 3200).map(i => (i.toLong, "srcTINY")))
+      .toDF("doc_id", "source")
+    val stats = Curation.sourceCapStats(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // tiny source: under the cap, rate 10000, everything kept
+    assert(stats("srcTINY") == ((200L, 1000L, 10000L, 200L)))
+    // dominant source: rate = floor(cap_n*10000/n) = floor(300*10000/1400)
+    assert(stats("srcBIG")._3 == 2142L, stats("srcBIG").toString)
+    // achieved count tracks the cap (binomial around 300, wide tolerance)
+    assert(math.abs(stats("srcBIG")._4 - 300L) < 60, stats("srcBIG").toString)
+    assert(stats("srcMID")._3 == 7500L) // floor(300*10000/400)
+    // applied corpus = exactly the stats' kept counts
+    val kept = Curation.applySourceCaps(docs)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("srcBIG") == stats("srcBIG")._4 && kept("srcMID") == stats("srcMID")._4)
+    // NESTED property: a grown dominant source only sheds — the new
+    // kept set is a subset of the old one for the already-present docs
+    val before = Curation.applySourceCaps(docs)
+      .where($"source" === "srcBIG").select("doc_id").as[Long].collect().toSet
+    val grownDocs = (docs.as[(Long, String)].collect() ++
+      (10000 until 11000).map(i => (i.toLong, "srcBIG"))).toSeq.toDF("doc_id", "source")
+    val after = Curation.applySourceCaps(grownDocs)
+      .where($"source" === "srcBIG" && $"doc_id" < 2000).select("doc_id").as[Long].collect().toSet
+    assert(after.subsetOf(before), "tightening rate must shed, never churn")
+  }
+
   test("length quantiles match a brute-force sorted-rank replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
