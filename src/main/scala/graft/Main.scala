@@ -63,8 +63,12 @@ object Main {
         .filterNot(_ == Set("none")).getOrElse(Set.empty),
       // --message-key-columns "tableRegex:col1,col2;otherRegex:col3"
       messageKeyColumns = a.get("message-key-columns").map(_.split(";").toSeq.map { e =>
-        val Array(re, cols) = e.split(":", 2)
-        re -> cols.split(",").map(_.trim).toSeq
+        e.split(":", 2) match {
+          case Array(re, cols) if cols.nonEmpty =>
+            re -> cols.split(",").map(_.trim).toSeq
+          case _ => throw new IllegalArgumentException(
+            s"--message-key-columns entry '$e' is not <tableRegex>:<col1>,<col2>")
+        }
       }).getOrElse(Nil),
       // --topic-regex / --topic-replacement (ByLogicalTableRouter analog)
       topicRouting = for {

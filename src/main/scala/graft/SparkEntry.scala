@@ -80,6 +80,21 @@ object SparkEntry {
     s"b AS ($bands)"
   }
 
+  /** MINHASH_SIG with NearDupIndex's no-shingle fallback: docs absent
+    * from sh (short, or fully DF-capped) contribute ONE pseudo-shingle
+    * hash — the normalized full text (mirrors
+    * NearDupIndex.signatures).
+    */
+  private def MINHASH_SIG_FB: String = {
+    val sigCols = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*h + $b) % ${Dedup.MinhashP}) AS s$i"
+    }.mkString(", ")
+    s"""hm AS (SELECT doc_id, ${H("s")} % ${Dedup.MinhashP} AS h FROM sh
+       | UNION ALL SELECT doc_id, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} % ${Dedup.MinhashP} AS h
+       |   FROM documents WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh)),
+       |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id)""".stripMargin
+  }
+
   /** Equal-signature-component count between sig aliases a and d
     * (mirrors graft.plans.SigMatchCount over the arrayed signatures).
     */
@@ -258,7 +273,10 @@ object SparkEntry {
     // across batches, per-batch work bounded by bucket pruning
     "stream_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val root = graft.util.Fs.tempDir("graft-ndq")
+      // FIXED temp root, replaced per invocation: repeated bench passes
+      // must not accumulate index dirs on tmpfs (bench-noise notes)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-ndq-fixed"
+      graft.util.Fs.deleteRecursively(root)
       // bucket count sized to the corpus half (results are independent
       // of it — only the index file layout changes)
       val idx = NearDupIndex.create(s, s"$root/idx",
@@ -672,7 +690,7 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bc a JOIN bc b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
     "stream_neardup" ->
       s"""WITH $SHINGLES,
-        |$MINHASH_SIG,
+        |$MINHASH_SIG_FB,
         |$MINHASH_BANDS,
         |b1 AS (SELECT doc_id, band, bucket FROM b WHERE doc_id % 2 = 0),
         |${BUCKET_CAP("idx", "b1", "doc_id")},

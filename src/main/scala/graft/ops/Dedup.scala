@@ -41,9 +41,14 @@ object Dedup {
     * below the cap). The cap keeps each bucket's `DefaultMaxBucket`
     * LOWEST ids (deterministic, so the SQL oracles replay it exactly) —
     * the same discipline as [[DefaultMaxDocFreq]]. Near-dup RECALL is
-    * unaffected in practice: a bucket that overflows the cap is a
-    * dup-cluster whose surviving members still pair with each other,
-    * and dedup treats a cluster transitively anyway.
+    * unaffected in the common case: a bucket that overflows the cap is
+    * a dup-cluster whose surviving members still pair with each other,
+    * and dedup treats a cluster transitively anyway. Known edge: a doc
+    * whose EVERY band bucket is full of lower-id members that are NOT
+    * its near-dups (adversarial single-band-segment collisions) can be
+    * evicted from all lists and become unreachable to later probes —
+    * accepted as the price of the bound; compose [[DedupIndex]] (exact,
+    * uncapped) upstream where exact-dup completeness is required.
     */
   val DefaultMaxBucket: Int = 256
 
@@ -172,11 +177,17 @@ object Dedup {
     * oracles replay.
     */
   def minhashSigArray(df: DataFrame, n: Int = 3, textCol: String = "text",
-      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    val sh = cappedShingles(df, n, textCol, maxDocFreq)
-      .withColumn("h", pmod(portableHash(col("shingle")), lit(MinhashP)))
-    graft.plans.MinHashSigs.register(df.sparkSession, MinhashA, MinhashB, MinhashP)
-    sh.groupBy(col("doc_id")).agg(expr("minhash_sigs(h)").as("sig"))
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame =
+    sigOfHashRows(cappedShingles(df, n, textCol, maxDocFreq)
+      .select(col("doc_id"), pmod(portableHash(col("shingle")), lit(MinhashP)).as("h")))
+
+  /** The fused signature aggregation over prepared (doc_id, h) rows —
+    * h already reduced into [0, MinhashP). Shared with callers that
+    * synthesize extra hash rows (NearDupIndex's no-shingle fallback).
+    */
+  private[graft] def sigOfHashRows(rows: DataFrame): DataFrame = {
+    graft.plans.MinHashSigs.register(rows.sparkSession, MinhashA, MinhashB, MinhashP)
+    rows.groupBy(col("doc_id")).agg(expr("minhash_sigs(h)").as("sig"))
   }
 
   /** MinHash signatures in the flat (doc_id, s0..s127) shape — the

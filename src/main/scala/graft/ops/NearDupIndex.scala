@@ -53,12 +53,28 @@ object NearDupIndex {
   final case class Index(bands: IceLiteTable, sigs: IceLiteTable)
 
 
-  /** Per-doc MinHash signatures as one array column (doc_id, sig). Docs
-    * with fewer than n words have no shingles and carry no signature
-    * (they can never be near-dups of anything).
+  /** Per-doc MinHash signatures as one array column (doc_id, sig).
+    *
+    * Docs that produce NO shingles — fewer than 3 words, or every
+    * shingle above the document-frequency cap (mass boilerplate) —
+    * would otherwise never register and their EXACT duplicates would
+    * pass every future batch unflagged. They fall back to ONE
+    * pseudo-shingle, the normalized full text: exact copies then share
+    * the whole signature (every band collides, matches = k), while
+    * near-dup detection for such docs honestly degrades to exact-only
+    * (there is no shingle structure left to compare).
     */
-  def signatures(batch: DataFrame, textCol: String = "text"): DataFrame =
-    Dedup.minhashSigArray(batch, textCol = textCol)
+  def signatures(batch: DataFrame, textCol: String = "text"): DataFrame = {
+    val hashed = Dedup.cappedShingles(batch, textCol = textCol)
+      .select(col("doc_id"),
+        pmod(TextOps.portableHash(col("shingle")), lit(Dedup.MinhashP)).as("h"))
+    val fallback = batch
+      .join(hashed.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        pmod(TextOps.portableHash(TextOps.normalized(col(textCol))),
+          lit(Dedup.MinhashP)).as("h"))
+    Dedup.sigOfHashRows(hashed.unionByName(fallback))
+  }
 
   /** Banded rows (doc_id, band, bucket, bb) from arrayed signatures —
     * the same fold as [[Dedup.bandBucket]]; bb = "band:bucket" is the
@@ -128,12 +144,21 @@ object NearDupIndex {
     * the corpus-sized index is never shuffled regardless.
     */
   def probe(idx: Index, batch: DataFrame, minMatches: Int = DefaultMinMatches,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    probeWithSig(idx, batch, minMatches, textCol)._1
+
+  /** probe plus the batch's PERSISTED signature frame, so
+    * [[dedupAndUpdate]] can reuse it (the signature aggregation is the
+    * dominant cost — computing it once per batch, not twice) and
+    * release it deterministically. Standalone [[probe]] callers leave
+    * the batch-sized cache to Spark's LRU.
+    */
+  private def probeWithSig(idx: Index, batch: DataFrame, minMatches: Int,
+      textCol: String): (DataFrame, DataFrame) = {
     // persist: the batch's signatures feed the band rows (and their
     // bucket-id collect below, which materializes the cache) AND the
     // sig_a verification join — without it the 128-permutation
-    // aggregation runs twice per probe. The cache is batch-sized; it is
-    // released by Spark's LRU once the caller has consumed the result.
+    // aggregation runs twice per probe.
     val sg = signatures(batch, textCol).persist()
     val br = bandRows(sg)
     val bsnap = idx.bands.refresh()
@@ -161,13 +186,14 @@ object NearDupIndex {
     // sig_matches expression (an unrolled 128-term when-chain exceeds
     // janino's 64 KB method limit and silently de-codegens the stage)
     graft.plans.VecMath.register(batch.sparkSession)
-    sigIdx.join(broadcast(withA), Seq("dup_of"))
+    val result = sigIdx.join(broadcast(withA), Seq("dup_of"))
       .withColumn("matches", expr("sig_matches(sig_a, sig_b)"))
       .where(col("matches") >= minMatches)
       .groupBy(col("doc_id"))
       .agg(min(col("dup_of")).as("dup_of"),
         min_by(col("matches"), col("dup_of")).as("matches"))
       .select(col("doc_id"), col("dup_of"), col("matches"))
+    (result, sg)
   }
 
   /** Register new docs: signatures insert, band member lists
@@ -245,7 +271,8 @@ object NearDupIndex {
         val clean = dedupAndUpdate(idx, df, batchId,
           commitLsn = baseLsn + batchId + 1, minMatches = minMatches,
           textCol = textCol)
-        clean.write.mode("overwrite").parquet(f"$outDir/batch-$batchId%08d")
+        try clean.write.mode("overwrite").parquet(f"$outDir/batch-$batchId%08d")
+        finally { clean.unpersist(); () }
         ()
       }
       .start()
@@ -281,23 +308,29 @@ object NearDupIndex {
   def dedupAndUpdate(idx: Index, batch: DataFrame, batchId: Long, commitLsn: Long,
       minMatches: Int = DefaultMinMatches, textCol: String = "text",
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val dups = probe(idx, batch, minMatches, textCol).select(col("doc_id"))
+    val (probed, sgAll) = probeWithSig(idx, batch, minMatches, textCol)
+    val dups = probed.select(col("doc_id"))
     val fresh = batch.join(broadcast(dups), Seq("doc_id"), "left_anti")
     val canon = DedupIndex.fingerprints(fresh, textCol)
       .groupBy(col(DedupIndex.FpCol)).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exactClean = fresh.join(broadcast(canon), Seq("doc_id"), "left_semi")
-    // signatures of the exact-clean set feed the within-batch check AND
-    // the registration; persisted for the (eager) update below. `near`
-    // stays cached (it is tiny — flagged ids only) because the returned
-    // lazy `clean` plan references it.
-    val sgC = signatures(exactClean, textCol).persist()
+    // REUSE the probe's persisted signatures (text-pure, so a semi-join
+    // beats recomputing the dominant-cost aggregation for the subset)
+    val sgC = sgAll.join(broadcast(exactClean.select(col("doc_id"))),
+      Seq("doc_id"), "left_semi")
     val near = withinBatchNearDups(sgC, minMatches, maxBucket).persist()
-    val clean = exactClean.join(broadcast(near), Seq("doc_id"), "left_anti")
+    // materialize the clean rows while the upstream caches are hot,
+    // then release every per-batch cache deterministically — a
+    // long-running stream must not accumulate cached frames. The
+    // returned frame itself stays cached (batch-sized); stream()
+    // unpersists it after writing.
+    val clean = exactClean.join(broadcast(near), Seq("doc_id"), "left_anti").persist()
+    clean.count()
     try updateFrom(idx,
       sgC.join(broadcast(near), Seq("doc_id"), "left_anti"),
       batchId, commitLsn, maxBucket)
-    finally { sgC.unpersist(); () }
+    finally { sgAll.unpersist(); near.unpersist(); () }
     clean
   }
 }

@@ -207,6 +207,12 @@ object CdcJob {
     rowFilter match {
       case None => source
       case Some(pred) =>
+        // the transient struct MUST be named `after` (that is the
+        // predicate's contract) — refuse a source that already has one
+        // rather than silently clobbering and dropping its data
+        require(!source.columns.contains("after"),
+          "rowFilter cannot gate a source that itself has a column named 'after' " +
+            "(the gate exposes the row as a transient `after` struct)")
         source.withColumn("after", struct(source.columns.map(col).toSeq: _*))
           .where(coalesce(pred, lit(false)))
           .drop("after")
@@ -423,7 +429,8 @@ object CdcJob {
       prune: Boolean = true,
       filters: CaptureFilters = CaptureFilters.none,
       rowFilter: Option[Column] = None,
-      skippedOperations: Set[String] = Set.empty): DataFrame = {
+      skippedOperations: Set[String] = Set.empty,
+      keepBeforeFields: Seq[String] = Nil): DataFrame = {
     // F1 table filter: keep control records (they close transactions for
     // every table) and data ops of captured tables only; sys* always out.
     // Include side = literal list OR regex list (a table passes if it
@@ -474,20 +481,30 @@ object CdcJob {
         !col("op").isin("c", "u", "r") || coalesce(pred, lit(false)))
     }
     // skipped.operations: drop the configured data ops before assembly
-    // (control records pass — a fully-skipped tx still closes, T4-style)
+    // (control records pass — a fully-skipped tx still closes, T4-style).
+    // Validated loudly: a typo'd control op ("C") would otherwise stop
+    // every transaction from ever closing.
     val gated =
       if (skippedOperations.isEmpty) gated0
-      else gated0.where(!col("op").isin(skippedOperations.toSeq.map(x => x: Any): _*))
+      else {
+        val invalid = skippedOperations -- Set("c", "u", "d", "t", "r")
+        require(invalid.isEmpty,
+          s"skipped.operations accepts data ops c/u/d/t/r only, got: ${invalid.mkString(",")}")
+        gated0.where(!col("op").isin(skippedOperations.toSeq.map(x => x: Any): _*))
+      }
     // The before-image is only ever consulted for the merge KEY (deletes
-    // carry the key in `before`), so the engine path prunes it to that
-    // single nested field right above the scan — the parquet reader then
-    // decodes just the `before.<key>` leaf.
+    // carry the key in `before`) plus any fields the EMISSION surface
+    // needs from it (message.key.columns overrides must produce the
+    // SAME record key on a delete as on the create — a compacted-topic
+    // consumer reconciles by key), so the engine path prunes it to just
+    // those nested fields right above the scan.
+    val beforeFields = (keyCol +: keepBeforeFields).distinct
     val pruned =
       if (!prune) gated
       else gated.select(
         col("lsn"), col("tx_id"), col("op"), col("discard_from"), col("ts_ms"),
         col("table"), col("after"),
-        struct(col("before").getField(keyCol).as(keyCol)).as("before"))
+        struct(beforeFields.map(f => col("before").getField(f).as(f)): _*).as("before"))
     // PK-changing update -> delete(old key) + insert(new key), matching
     // the reference's envelope contract (a primary-key update arrives as
     // delete+tombstone+insert, `InformixConnectorIT.java:257-352`).
@@ -528,7 +545,8 @@ object CdcJob {
     val keyCol = table.current.keyCol
     val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms,
       prune = true, filters = filters, rowFilter = rowFilter,
-      skippedOperations = skippedOperations)
+      skippedOperations = skippedOperations,
+      keepBeforeFields = messageKeyColumns.flatMap(_._2).distinct)
 
     val input =
       if (!txCarryover) transformed

@@ -172,7 +172,8 @@ object StatefulAssembly {
         .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
         .parquet(cfg.logDir),
       keyCol, cfg.tableInclude, cfg.columnTransforms, prune = false,
-      filters = cfg.filters, rowFilter = cfg.rowFilter)
+      filters = cfg.filters, rowFilter = cfg.rowFilter,
+      skippedOperations = cfg.skippedOperations)
       .as[LogRecord]
     assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined).toDF()
       .writeStream

@@ -196,15 +196,17 @@ object TxAssembler {
       topicRouting: Option[(String, String)] = None): DataFrame = {
     val afterType = events.schema("after").dataType
     // message.key.columns: first matching table regex overrides the
-    // record key with the listed after-image fields joined by ':' (the
-    // structural MERGE key itself is never rewritten). The before image
-    // is pruned to the merge key on the engine path, so only the key
-    // column can fall back to it (deletes); other override fields read
-    // from the after image.
+    // record key with the listed fields joined by ':' (the structural
+    // MERGE key itself is never rewritten). EVERY override field falls
+    // back to the before image, so a delete (null after) emits the
+    // SAME key its create did — a compacted-topic consumer reconciles
+    // records by key, and the reference builds the key from whichever
+    // image the record carries. The engine's before-image pruning
+    // keeps the override fields (CdcJob.prepareRaw keepBeforeFields).
+    // Caveat (as in the reference): overriding on a MUTABLE column
+    // changes the key across updates — a user footgun, not a mode.
     def fieldOf(c: String): Column =
-      if (c == keyCol)
-        coalesce(col("after").getField(c), col("before").getField(c)).cast("string")
-      else col("after").getField(c).cast("string")
+      coalesce(col("after").getField(c), col("before").getField(c)).cast("string")
     val defaultKey =
       coalesce(col("after").getField(keyCol), col("before").getField(keyCol)).cast("string")
     val keyExpr = messageKeyColumns.foldRight(defaultKey) { case ((re, cols), acc) =>

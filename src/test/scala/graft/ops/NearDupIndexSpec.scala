@@ -87,6 +87,20 @@ class NearDupIndexSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("short docs register via the pseudo-shingle fallback; exact dups caught cross-batch") {
+    import spark.implicits._
+    val base = Fs.tempDir("graft-ndidx-short")
+    val idx = NearDupIndex.create(spark, s"$base/idx", docs(1L -> other), numBuckets = 8)
+    // 2 words -> no shingles -> would previously never register
+    val clean1 = NearDupIndex.dedupAndUpdate(idx, docs(60L -> "hi there"),
+      batchId = 1L, commitLsn = 10L).select("doc_id").as[Long].collect().toSet
+    assert(clean1 == Set(60L))
+    val got = NearDupIndex.probe(idx, docs(70L -> "hi there", 71L -> "bye now"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((70L, 60L, 128L)), s"got ${got.toSeq}")
+    Fs.deleteRecursively(base)
+  }
+
   test("seeded fuzz: random dup/near-dup/unique mix over random batch splits is self-consistent") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260817L)

@@ -86,6 +86,12 @@ class EmissionSpec extends SparkSpec {
     assert(cu2.where(col("key") =!=
       concat_ws(":", col("after.doc_id"), col("after.n_tok"))).count() == 0,
       "message.key.columns must reach the emitDir sink")
+    // deletes through the ENGINE path: the pruned before image keeps
+    // the override fields, so the emitted key matches the creates'
+    val d2 = emitted2.where(col("op") === "d")
+    assert(d2.count() > 0)
+    assert(d2.where(!col("key").rlike("^doc[0-9]+:0$")).count() == 0,
+      "delete keys must use the (pruned) before image's override fields")
     Fs.deleteRecursively(base)
   }
 
@@ -104,10 +110,13 @@ class EmissionSpec extends SparkSpec {
     assert(cu.where(col("key") =!=
       concat_ws(":", col("after.doc_id"), col("after.n_tok"))).count() == 0,
       "override key must be the listed after-image fields joined with ':'")
-    // deletes + tombstones: null after image, only the merge key survives
+    // deletes + tombstones: null after image — every override field
+    // falls back to the BEFORE image, so the delete's key equals its
+    // create's (fixture before-images carry n_tok = 0)
     val d = out.where(col("op").isin("d", "tombstone"))
     assert(d.count() > 0)
-    assert(d.where(!col("key").startsWith("doc") || col("key").contains(":")).count() == 0)
+    assert(d.where(!col("key").rlike("^doc[0-9]+:0$")).count() == 0,
+      "delete/tombstone key must come from the before image, same shape as creates")
     // no routing/override configured: topic = table name, key = merge key
     val plain = TxAssembler.emitRecords(events, tombstonesOnDelete = false)
     assert(plain.where(col("topic") =!= "token_docs").count() == 0)
