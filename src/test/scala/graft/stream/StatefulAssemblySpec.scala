@@ -162,6 +162,48 @@ class StatefulAssemblySpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("skipped.operations gates the stateful path: skipped deletes never reach the merge") {
+    import spark.implicits._
+    import graft.model.{LogRecord, TokenDoc}
+    val base = Fs.tempDir("graft-skipops")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 2, maxFilesPerTrigger = 10,
+      skippedOperations = Set("d"))
+    // tx 1 creates docA + docB; tx 2 deletes docA — but deletes are
+    // configured skipped, so docA must survive (and tx 2 still closes)
+    val log = Seq(
+      LogRecord(1L, 1L, "B", -1L, "token_docs", None, None, 0L),
+      LogRecord(2L, 1L, "c", -1L, "token_docs", None,
+        Some(TokenDoc("docA", Seq(1), 1, "cdc")), 0L),
+      LogRecord(3L, 1L, "c", -1L, "token_docs", None,
+        Some(TokenDoc("docB", Seq(2), 1, "cdc")), 0L),
+      LogRecord(4L, 1L, "C", -1L, "token_docs", None, None, 0L),
+      LogRecord(5L, 2L, "B", -1L, "token_docs", None, None, 0L),
+      LogRecord(6L, 2L, "d", -1L, "token_docs",
+        Some(TokenDoc("docA", Seq(1), 1, "cdc")), None, 0L),
+      LogRecord(7L, 2L, "C", -1L, "token_docs", None, None, 0L))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdc.logDir))
+    locally {
+      val tmp = s"${cdc.logDir}-stage"
+      log.toDS().toDF().coalesce(1).write.parquet(tmp)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(Fs.listParquet(tmp).head),
+        java.nio.file.Paths.get(s"${cdc.logDir}/seg-000.parquet"))
+    }
+    val fresh = spark.newSession()
+    val table = graft.icelite.IceLite.create(fresh, cdc.tableRoot,
+      MergeApply.asNullable(org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.Encoders.product[TokenDoc].schema))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      "doc_id", cdc.numBuckets)
+    StatefulAssembly.stream(fresh, table, cdc).awaitTermination()
+    val got = table.read().as[TokenDoc].collect().map(_.doc_id).toSet
+    assert(got == Set("docA", "docB"), s"got $got")
+    // the delete-only tx still closed: watermark advanced past its commit
+    assert(table.refresh().summary.watermarkCommit >= 7L)
+    Fs.deleteRecursively(base)
+  }
+
   test("watermarked windowed event-rate metrics cover every data event") {
     val cfg = ChangeLogConfig(nTx = 100, nDocs = 50, seed = 109)
     val base = Fs.tempDir("graft-metrics")
