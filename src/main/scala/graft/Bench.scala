@@ -59,7 +59,7 @@ object Bench {
     "text_fingerprint", "mm_binary_features", "mm_media_features",
     "pack_offsets", "decontaminate", "sample_strat_stats", "source_caps", "mix_weights",
     "sketch_distinct", "sketch_overlap", "sketch_kway", "text_repetition",
-    "text_seg_dup", "length_quantiles", "stream_neardup")
+    "text_seg_dup", "text_lm_score", "length_quantiles", "stream_neardup")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

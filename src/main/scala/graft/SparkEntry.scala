@@ -409,6 +409,8 @@ object SparkEntry {
       TextOps.fingerprint(t(s, d, "documents"))
         .withColumn("norm_len", col("norm_len").cast("long"))
         .orderBy(col("doc_id"))),
+    "text_lm_score" -> ((s, d) =>
+      TextOps.unigramLogProb(t(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- training-data ops: multimodal plumbing ----
     "mm_binary_features" -> ((s, d) => {
       val media = Multimodal.toMedia(t(s, d, "documents"))
@@ -944,6 +946,14 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(a.lang_cand, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, lang_cand FROM am WHERE rn = 1) a USING(doc_id) ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS fingerprint, CAST(length(lower(regexp_replace(trim(text),'\\s+',' ','g'))) AS BIGINT) AS norm_len FROM documents ORDER BY doc_id",
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents),
+        |dc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1,2),
+        |freq AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  round(sum(c * (ln(n * 1.0) - ln(t * 1.0))) / CAST(sum(c) AS DOUBLE), 4) AS mean_logprob
+        |FROM dc JOIN freq USING (word) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_binary_features" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, CAST(unicode(substr(text,1,1)) AS BIGINT) AS first_byte FROM documents ORDER BY doc_id",
     // byte-exact replay of the stub decoder: checksum = fold (a*31+x) mod 2^32

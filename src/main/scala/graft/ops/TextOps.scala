@@ -151,6 +151,39 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** Corpus-fit unigram language-model scoring — the CCNet-style LM
+    * quality filter with the model trained on the corpus itself:
+    * p(w) = term_count(w) / total_tokens; per-doc score = mean natural
+    * log-probability over the doc's tokens (higher = more
+    * corpus-typical — the perplexity filter thresholds exactly this
+    * quantity, and junk/boilerplate-shuffled docs sit in the tails).
+    *
+    * Scale shape: two corpus passes, inherent to LM filtering (train,
+    * then score) — each is ONE map-side-combined aggregation. The
+    * (doc, word) counts partial-aggregate before their shuffle
+    * (shuffle volume = distinct pairs, not the token stream); term
+    * frequencies reduce by word (a stopword in every doc is one
+    * reducer key with a combined count). The scoring join is a hash
+    * equi-join on word keys — no broadcast of a corpus-scale
+    * vocabulary, skew-free because each doc contributes one row per
+    * DISTINCT word. The total-token count is a 1-row broadcast.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = df.select(col("doc_id"), explode(words(col(textCol))).as("word"))
+    val dc = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val freq = tok.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    // total tokens WITHOUT a third explode pass: a map-only projection
+    // (size of the token array per row) + scalar partial aggregation
+    val tot = df.agg(sum(size(words(col(textCol))).cast("long")).as("t"))
+    dc.join(freq, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        round(sum(col("c").cast("double") *
+            (log(col("n").cast("double")) - log(col("t").cast("double"))))
+          / sum(col("c")).cast("double"), 4).as("mean_logprob"))
+  }
+
   /** SEGMENT-level duplication profile — the boilerplate detector
     * (CCNet-style paragraph dedup re-expressed over token windows,
     * since the corpus's text is a single token stream): each doc is

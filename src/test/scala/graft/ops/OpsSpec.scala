@@ -249,6 +249,21 @@ class OpsSpec extends SparkSpec {
     assert(within.toSeq == Seq((1L, 0L)), "within-doc distinct first: 1 distinct seg, 0 dups")
   }
 
+  test("unigram LM score: hand-computed mean log-prob; rare-token docs score lower") {
+    import spark.implicits._
+    // corpus: T=5 tokens; freq a=2, b=2, c=1
+    val out = TextOps.unigramLogProb(Seq(
+      (1L, "a a b"), (2L, "b c")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 1: all tokens have p=2/5 -> mean = ln(0.4)
+    assert(out(1L) == ((3L, r4(math.log(0.4)))))
+    // doc 2: (ln(2/5) + ln(1/5)) / 2
+    assert(out(2L) == ((2L, r4((math.log(0.4) + math.log(0.2)) / 2))))
+    // a doc full of corpus-rare tokens scores below a corpus-typical one
+    assert(out(2L)._2 < out(1L)._2)
+  }
+
   test("multimodal REAL decode: JDK PNG + WAV codecs through the partition path; sentinel on corrupt bytes") {
     import spark.implicits._
     // deterministic 8x5 RGB PNG written with the JDK encoder
