@@ -304,6 +304,11 @@ object NearDupIndex {
     * registers), register the survivors, and return the clean rows.
     * One probe + one within-batch pass + two engine applies per
     * micro-batch — all batch-bounded.
+    *
+    * The returned frame is MATERIALIZED AND CACHED (its lineage runs
+    * through caches this method releases before returning) — the
+    * caller owns `unpersist()` once the rows are consumed, as
+    * [[stream]] does after writing each micro-batch.
     */
   def dedupAndUpdate(idx: Index, batch: DataFrame, batchId: Long, commitLsn: Long,
       minMatches: Int = DefaultMinMatches, textCol: String = "text",
