@@ -411,6 +411,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_lm_score" -> ((s, d) =>
       TextOps.unigramLogProb(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "text_langid_eval" -> ((s, d) =>
+      TextOps.langIdEval(t(s, d, "documents"))
+        .orderBy(col("lang"), col("pred_lang"))),
     // ---- training-data ops: multimodal plumbing ----
     "mm_binary_features" -> ((s, d) => {
       val media = Multimodal.toMedia(t(s, d, "documents"))
@@ -946,6 +949,13 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(a.lang_cand, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, lang_cand FROM am WHERE rn = 1) a USING(doc_id) ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"SELECT doc_id, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS fingerprint, CAST(length(lower(regexp_replace(trim(text),'\\s+',' ','g'))) AS BIGINT) AS norm_len FROM documents ORDER BY doc_id",
+    "text_langid_eval" ->
+      """WITH m(lang_cand, marker) AS (VALUES ('en','the'),('en','a'),('en','of'),('es','el'),('es','los'),('fr','le'),('fr','les'),('de','der'),('de','das')),
+        |wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents),
+        |h AS (SELECT doc_id, lang_cand, count(*) AS hits FROM wx JOIN m ON w = marker GROUP BY 1,2),
+        |am AS (SELECT doc_id, lang_cand, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rn FROM h),
+        |pred AS (SELECT d.doc_id, d.lang, COALESCE(a.lang_cand, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, lang_cand FROM am WHERE rn = 1) a USING(doc_id))
+        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM pred GROUP BY 1,2 ORDER BY lang, pred_lang""".stripMargin,
     "text_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents),
         |dc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1,2),

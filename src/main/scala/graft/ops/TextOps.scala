@@ -109,6 +109,21 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
   }
 
+  /** Language-ID quality assessment: the confusion matrix of
+    * [[langId]]'s prediction against a labeled `lang` column — the
+    * standard curation-QA readout when a corpus carries upstream
+    * language labels (how often the heuristic disagrees, and with
+    * what). Output: (lang, pred_lang, n_docs), one map-side-combined
+    * groupBy over doc-level rows — O(labels × languages) result rows
+    * at any corpus size.
+    */
+  def langIdEval(df: DataFrame, textCol: String = "text",
+      labelCol: String = "lang"): DataFrame =
+    langId(df, textCol)
+      .join(df.select(col("doc_id"), col(labelCol)), Seq("doc_id"))
+      .groupBy(col(labelCol), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Repetition signals (the Gopher-rules repetition family): fraction
     * of duplicated words, and the corpus-filter staples "most frequent
     * word share" / "most frequent bigram share" per document.

@@ -249,6 +249,17 @@ class OpsSpec extends SparkSpec {
     assert(within.toSeq == Seq((1L, 0L)), "within-doc distinct first: 1 distinct seg, 0 dups")
   }
 
+  test("langid eval: confusion matrix of prediction vs label") {
+    import spark.implicits._
+    val out = TextOps.langIdEval(Seq(
+      (1L, "the cat of a hat", "en"),   // en markers, labeled en -> agree
+      (2L, "the dog of a log", "fr"),   // en markers, labeled fr -> confusion cell
+      (3L, "xyz qqq zzz", "de")          // no markers -> pred und
+    ).toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("en", "en") -> 1L, ("fr", "en") -> 1L, ("de", "und") -> 1L))
+  }
+
   test("unigram LM score: hand-computed mean log-prob; rare-token docs score lower") {
     import spark.implicits._
     // corpus: T=5 tokens; freq a=2, b=2, c=1
