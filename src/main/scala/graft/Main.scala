@@ -64,8 +64,14 @@ object Main {
       // --message-key-columns "tableRegex:col1,col2;otherRegex:col3"
       messageKeyColumns = a.get("message-key-columns").map(_.split(";").toSeq.map { e =>
         e.split(":", 2) match {
-          case Array(re, cols) if cols.nonEmpty =>
-            re -> cols.split(",").map(_.trim).toSeq
+          case Array(re, cols) if re.trim.nonEmpty =>
+            // validate the PARSED list: 're:,' or 're: ' would pass a
+            // raw-string check but yield empty/blank columns -> every
+            // record keyed "" (or a deep AnalysisException mid-stream)
+            val cs = cols.split(",").map(_.trim).toSeq
+            if (cs.isEmpty || cs.exists(_.isEmpty)) throw new IllegalArgumentException(
+              s"--message-key-columns entry '$e' has an empty column name")
+            re.trim -> cs
           case _ => throw new IllegalArgumentException(
             s"--message-key-columns entry '$e' is not <tableRegex>:<col1>,<col2>")
         }

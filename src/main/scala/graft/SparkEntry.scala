@@ -40,16 +40,22 @@ object SparkEntry {
   // ---- generated SQL fragments that mirror graft.ops constants ----
 
   /** DF-capped distinct word-trigram shingles (mirrors
-    * Dedup.cappedShingles): CTEs w, sh0, hot, sh.
+    * Dedup.cappedShingles): CTEs w, sh0, hot, sh. The suffixed/
+    * predicated form exists because the DF cap and the no-shingle
+    * fallback are FRAME-dependent: an oracle mirroring an engine path
+    * that shingles a SUBSET of documents (stream_neardup's per-half
+    * frames) must compute the hot set within that subset, not
+    * corpus-globally — the two only coincide while the cap never binds.
     */
-  private def SHINGLES: String = {
+  private def SHINGLES_F(sfx: String, pred: String): String = {
     val cap = Dedup.DefaultMaxDocFreq
-    """w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\s+')) >= 3),
-      |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w, unnest(range(1, len(ws)-1)) t(i)),
-      |""".stripMargin +
-      s"hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $cap),\n" +
-      "sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot))"
+    s"""w$sfx AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE ($pred) AND len(string_split_regex(trim(text),'\\s+')) >= 3),
+      |sh0$sfx AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s FROM w$sfx, unnest(range(1, len(ws)-1)) t(i)),
+      |hot$sfx AS (SELECT s FROM sh0$sfx GROUP BY s HAVING count(*) > $cap),
+      |sh$sfx AS (SELECT doc_id, s FROM sh0$sfx WHERE s NOT IN (SELECT s FROM hot$sfx))""".stripMargin
   }
+
+  private def SHINGLES: String = SHINGLES_F("", "TRUE")
 
   /** MinHash signature CTEs hm, sig — generated from the ACTIVE
     * Dedup.MinhashA/B constants (k = Dedup.MinhashK permutations) so the
@@ -80,19 +86,20 @@ object SparkEntry {
     s"b AS ($bands)"
   }
 
-  /** MINHASH_SIG with NearDupIndex's no-shingle fallback: docs absent
-    * from sh (short, or fully DF-capped) contribute ONE pseudo-shingle
-    * hash — the normalized full text (mirrors
-    * NearDupIndex.signatures).
+  /** MINHASH_SIG with NearDupIndex's no-shingle fallback: docs in the
+    * frame but absent from sh$sfx (short, or fully DF-capped)
+    * contribute ONE pseudo-shingle hash — the normalized full text
+    * (mirrors NearDupIndex.signatures). Suffixed/predicated like
+    * [[SHINGLES_F]] and for the same frame-dependence reason.
     */
-  private def MINHASH_SIG_FB: String = {
+  private def MINHASH_SIG_FB_F(sfx: String, pred: String): String = {
     val sigCols = Dedup.MinhashA.zip(Dedup.MinhashB).zipWithIndex.map { case ((a, b), i) =>
       s"min(($a*h + $b) % ${Dedup.MinhashP}) AS s$i"
     }.mkString(", ")
-    s"""hm AS (SELECT doc_id, ${H("s")} % ${Dedup.MinhashP} AS h FROM sh
+    s"""hm$sfx AS (SELECT doc_id, ${H("s")} % ${Dedup.MinhashP} AS h FROM sh$sfx
        | UNION ALL SELECT doc_id, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} % ${Dedup.MinhashP} AS h
-       |   FROM documents WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh)),
-       |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM hm GROUP BY doc_id)""".stripMargin
+       |   FROM documents WHERE ($pred) AND doc_id NOT IN (SELECT DISTINCT doc_id FROM sh$sfx)),
+       |sig$sfx AS MATERIALIZED (SELECT doc_id, $sigCols FROM hm$sfx GROUP BY doc_id)""".stripMargin
   }
 
   /** Equal-signature-component count between sig aliases a and d
@@ -273,9 +280,13 @@ object SparkEntry {
     // across batches, per-batch work bounded by bucket pruning
     "stream_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // FIXED temp root, replaced per invocation: repeated bench passes
-      // must not accumulate index dirs on tmpfs (bench-noise notes)
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft-ndq-fixed"
+      // PER-JVM fixed temp root, replaced per invocation: repeated
+      // bench passes must not accumulate index dirs on tmpfs
+      // (bench-noise notes), and the pid suffix keeps concurrent JVMs
+      // (a bench run next to a Verify run) from clobbering each
+      // other's live index state. Honors GRAFT_TMPDIR like Fs.tempDir.
+      val root = s"${sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))}" +
+        s"/graft-ndq-${ProcessHandle.current.pid}"
       graft.util.Fs.deleteRecursively(root)
       // bucket count sized to the corpus half (results are independent
       // of it — only the index file layout changes)
@@ -694,8 +705,11 @@ object SparkEntry {
         |${BUCKET_CAP("bc", "b", "doc_id")}
         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bc a JOIN bc b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin,
     "stream_neardup" ->
-      s"""WITH $SHINGLES,
-        |$MINHASH_SIG_FB,
+      s"""WITH ${SHINGLES_F("_e", "doc_id % 2 = 0")},
+        |${MINHASH_SIG_FB_F("_e", "doc_id % 2 = 0")},
+        |${SHINGLES_F("_o", "doc_id % 2 = 1")},
+        |${MINHASH_SIG_FB_F("_o", "doc_id % 2 = 1")},
+        |sig AS (SELECT * FROM sig_e UNION ALL SELECT * FROM sig_o),
         |$MINHASH_BANDS,
         |b1 AS (SELECT doc_id, band, bucket FROM b WHERE doc_id % 2 = 0),
         |${BUCKET_CAP("idx", "b1", "doc_id")},

@@ -64,16 +64,54 @@ object NearDupIndex {
     * near-dup detection for such docs honestly degrades to exact-only
     * (there is no shingle structure left to compare).
     */
-  def signatures(batch: DataFrame, textCol: String = "text"): DataFrame = {
-    val hashed = Dedup.cappedShingles(batch, textCol = textCol)
+  def signatures(batch: DataFrame, textCol: String = "text"): DataFrame =
+    withFallback(batch, realSignatures(batch, textCol), textCol)
+
+  /** The shingled docs' signatures only — the expensive aggregation.
+    * Callers that consume the result repeatedly persist THIS frame;
+    * [[withFallback]] then builds on the cached plan.
+    */
+  private[graft] def realSignatures(batch: DataFrame, textCol: String): DataFrame =
+    Dedup.sigOfHashRows(Dedup.cappedShingles(batch, textCol = textCol)
       .select(col("doc_id"),
-        pmod(TextOps.portableHash(col("shingle")), lit(Dedup.MinhashP)).as("h"))
+        pmod(TextOps.portableHash(col("shingle")), lit(Dedup.MinhashP)).as("h")))
+
+  /** Union the pseudo-shingle fallback onto the real signatures. The
+    * fallback membership anti-joins the AGGREGATED frame — not the
+    * shingle lineage, which would re-run the DF-cap aggregation a
+    * second time per call (the derived-plan-reuse trap) — and its
+    * signature is computed IN-ROW: the min over a single hash h is
+    * (a_i*h + b_i) % p itself, a plain 128-term projection (no
+    * aggregation, overflow-free: a, h < p = 2^31-1 so a*h < 2^62).
+    * Bit-identical to feeding one (doc_id, h) row through
+    * [[Dedup.sigOfHashRows]].
+    */
+  private[graft] def withFallback(batch: DataFrame, real: DataFrame,
+      textCol: String): DataFrame = {
+    val h = pmod(TextOps.portableHash(TextOps.normalized(col(textCol))),
+      lit(Dedup.MinhashP))
+    val sigArr = array(Dedup.MinhashA.zip(Dedup.MinhashB).map { case (a, b) =>
+      pmod(h * lit(a) + lit(b), lit(Dedup.MinhashP))
+    }: _*)
     val fallback = batch
-      .join(hashed.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
-        pmod(TextOps.portableHash(TextOps.normalized(col(textCol))),
-          lit(Dedup.MinhashP)).as("h"))
-    Dedup.sigOfHashRows(hashed.unionByName(fallback))
+      .join(real.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), sigArr.as("sig"))
+    real.unionByName(fallback)
+  }
+
+  /** [[signatures]] with a deterministic cache lifetime for the
+    * multi-consumer paths (probe, create, update, dedupAndUpdate):
+    * persists the real-signature aggregation (so the union's two
+    * references to it — the union branch and the fallback anti-join
+    * build — compute it once) AND the final union (so the several
+    * downstream consumers do not re-run the batch lineage under it).
+    * Returns the frame and a release closure that drops both caches.
+    */
+  private[graft] def signaturesCached(batch: DataFrame,
+      textCol: String): (DataFrame, () => Unit) = {
+    val real = realSignatures(batch, textCol).persist()
+    val sg = withFallback(batch, real, textCol).persist()
+    (sg, () => { sg.unpersist(); real.unpersist(); () })
   }
 
   /** Banded rows (doc_id, band, bucket, bb) from arrayed signatures —
@@ -116,16 +154,16 @@ object NearDupIndex {
   def create(spark: org.apache.spark.sql.SparkSession, root: String,
       corpus: DataFrame, textCol: String = "text", numBuckets: Int = 64,
       maxBucket: Int = Dedup.DefaultMaxBucket): Index = {
-    // persist: the signature aggregation (the dominant cost) feeds BOTH
-    // tables; create() is eager (snapshot writes), so the cache's
+    // cached signatures: the aggregation (the dominant cost) feeds BOTH
+    // tables; create() is eager (snapshot writes), so the caches'
     // lifetime is exactly this call
-    val sg = signatures(corpus, textCol).persist()
+    val (sg, release) = signaturesCached(corpus, textCol)
     try {
       val bands = memberLists(bandRows(sg), maxBucket)
       Index(
         bands = snapTable(spark, s"$root/bands", bands, "bb", numBuckets),
         sigs = snapTable(spark, s"$root/sigs", sg, "doc_id", numBuckets))
-    } finally { sg.unpersist(); () }
+    } finally release()
   }
 
   /** Load an existing index. */
@@ -144,22 +182,21 @@ object NearDupIndex {
     * the corpus-sized index is never shuffled regardless.
     */
   def probe(idx: Index, batch: DataFrame, minMatches: Int = DefaultMinMatches,
-      textCol: String = "text"): DataFrame =
-    probeWithSig(idx, batch, minMatches, textCol)._1
+      textCol: String = "text"): DataFrame = {
+    // cached signatures: standalone probe callers leave the
+    // batch-sized caches to Spark's LRU (the result is lazy — an eager
+    // release here would just force recomputation downstream)
+    val (sg, _) = signaturesCached(batch, textCol)
+    probeUsing(idx, sg, minMatches)
+  }
 
-  /** probe plus the batch's PERSISTED signature frame, so
-    * [[dedupAndUpdate]] can reuse it (the signature aggregation is the
-    * dominant cost — computing it once per batch, not twice) and
-    * release it deterministically. Standalone [[probe]] callers leave
-    * the batch-sized cache to Spark's LRU.
+  /** probe over ALREADY-CACHED signatures ([[signaturesCached]]) — the
+    * shared core: the sg frame feeds the band rows (whose bucket-id
+    * collect below materializes the cache) and the sig_a verification
+    * join; uncached, the 128-permutation aggregation would run several
+    * times per probe.
     */
-  private def probeWithSig(idx: Index, batch: DataFrame, minMatches: Int,
-      textCol: String): (DataFrame, DataFrame) = {
-    // persist: the batch's signatures feed the band rows (and their
-    // bucket-id collect below, which materializes the cache) AND the
-    // sig_a verification join — without it the 128-permutation
-    // aggregation runs twice per probe.
-    val sg = signatures(batch, textCol).persist()
+  private def probeUsing(idx: Index, sg: DataFrame, minMatches: Int): DataFrame = {
     val br = bandRows(sg)
     val bsnap = idx.bands.refresh()
     // distinct BUCKET ids (≤ numBuckets ints — driver-safe at any batch
@@ -185,15 +222,14 @@ object NearDupIndex {
     // integer verification: count equal components with the codegen'd
     // sig_matches expression (an unrolled 128-term when-chain exceeds
     // janino's 64 KB method limit and silently de-codegens the stage)
-    graft.plans.VecMath.register(batch.sparkSession)
-    val result = sigIdx.join(broadcast(withA), Seq("dup_of"))
+    graft.plans.VecMath.register(sg.sparkSession)
+    sigIdx.join(broadcast(withA), Seq("dup_of"))
       .withColumn("matches", expr("sig_matches(sig_a, sig_b)"))
       .where(col("matches") >= minMatches)
       .groupBy(col("doc_id"))
       .agg(min(col("dup_of")).as("dup_of"),
         min_by(col("matches"), col("dup_of")).as("matches"))
       .select(col("doc_id"), col("dup_of"), col("matches"))
-    (result, sg)
   }
 
   /** Register new docs: signatures insert, band member lists
@@ -203,11 +239,11 @@ object NearDupIndex {
   def update(idx: Index, newDocs: DataFrame, batchId: Long, commitLsn: Long,
       textCol: String = "text",
       maxBucket: Int = Dedup.DefaultMaxBucket): Unit = {
-    // persist: feeds the sig events AND the band rows; update is eager
+    // cached: feeds the sig events AND the band rows; update is eager
     // (two applyBatch calls), so the lifetime is this call
-    val sg = signatures(newDocs, textCol).persist()
+    val (sg, release) = signaturesCached(newDocs, textCol)
     try updateFrom(idx, sg, batchId, commitLsn, maxBucket)
-    finally { sg.unpersist(); () }
+    finally release()
   }
 
   private def updateFrom(idx: Index, sg: DataFrame, batchId: Long,
@@ -297,13 +333,16 @@ object NearDupIndex {
       .select(col("doc_b").as("doc_id")).distinct()
   }
 
-  /** The full incremental step: flag the batch's near-dups against the
-    * index, canonicalize EXACT dups within the batch, drop the batch's
-    * own verified near-dup tails ([[withinBatchNearDups]] — the lowest
-    * id of a near-dup cluster arriving together is the one that
+  /** The full incremental step: canonicalize EXACT dups within the
+    * batch (first — see the frame note in the body), flag the
+    * canonicals' near-dups against the index, drop the batch's own
+    * verified near-dup tails ([[withinBatchNearDups]] — the lowest id
+    * of a near-dup cluster arriving together is the one that
     * registers), register the survivors, and return the clean rows.
-    * One probe + one within-batch pass + two engine applies per
-    * micro-batch — all batch-bounded.
+    * One signature pass + one probe + one within-batch pass + two
+    * engine applies per micro-batch — all batch-bounded. An exact copy
+    * of an index-flagged canonical is dropped with it (identical
+    * content, identical verdict).
     *
     * The returned frame is MATERIALIZED AND CACHED (its lineage runs
     * through caches this method releases before returning) — the
@@ -313,29 +352,43 @@ object NearDupIndex {
   def dedupAndUpdate(idx: Index, batch: DataFrame, batchId: Long, commitLsn: Long,
       minMatches: Int = DefaultMinMatches, textCol: String = "text",
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val (probed, sgAll) = probeWithSig(idx, batch, minMatches, textCol)
-    val dups = probed.select(col("doc_id"))
-    val fresh = batch.join(broadcast(dups), Seq("doc_id"), "left_anti")
-    val canon = DedupIndex.fingerprints(fresh, textCol)
+    // 1. within-batch EXACT canonicalization FIRST (cheap fingerprint
+    //    groupBy, no shingles): a mass-duplicated batch must not poison
+    //    the shingle-DF statistics — signed raw, every copy's shingles
+    //    are hot, the whole cluster degrades to the pseudo-shingle
+    //    fallback, and the canonical would register a signature its
+    //    later real-shingled copies can never match. Canonical-first is
+    //    also simply less work: one text per distinct content is signed.
+    val canon = DedupIndex.fingerprints(batch, textCol)
       .groupBy(col(DedupIndex.FpCol)).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exactClean = fresh.join(broadcast(canon), Seq("doc_id"), "left_semi")
-    // REUSE the probe's persisted signatures (text-pure, so a semi-join
-    // beats recomputing the dominant-cost aggregation for the subset)
-    val sgC = sgAll.join(broadcast(exactClean.select(col("doc_id"))),
-      Seq("doc_id"), "left_semi")
-    val near = withinBatchNearDups(sgC, minMatches, maxBucket).persist()
-    // materialize the clean rows while the upstream caches are hot,
-    // then release every per-batch cache deterministically — a
-    // long-running stream must not accumulate cached frames. The
-    // returned frame itself stays cached (batch-sized); stream()
-    // unpersists it after writing.
-    val clean = exactClean.join(broadcast(near), Seq("doc_id"), "left_anti").persist()
-    clean.count()
-    try updateFrom(idx,
-      sgC.join(broadcast(near), Seq("doc_id"), "left_anti"),
-      batchId, commitLsn, maxBucket)
-    finally { sgAll.unpersist(); near.unpersist(); () }
-    clean
+    val batchCanon = batch.join(broadcast(canon), Seq("doc_id"), "left_semi")
+    // 2. ONE cached signature pass over the canonical frame serves the
+    //    index probe, the within-batch near-check, AND registration.
+    //    (The DF-cap/fallback frame is thus the canonicalized batch;
+    //    index-flagged docs' shingles still count toward the cap — a
+    //    bounded approximation, each flagged doc is distinct content.)
+    val (sgB, release) = signaturesCached(batchCanon, textCol)
+    try {
+      val dups = probeUsing(idx, sgB, minMatches).select(col("doc_id"))
+      val clean0 = batchCanon.join(broadcast(dups), Seq("doc_id"), "left_anti")
+      val sgC = sgB.join(broadcast(clean0.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      val near = withinBatchNearDups(sgC, minMatches, maxBucket).persist()
+      try {
+        // materialize the clean rows while the upstream caches are hot,
+        // then release every per-batch cache deterministically — a
+        // long-running stream must not accumulate cached frames. The
+        // returned frame itself stays cached (batch-sized); stream()
+        // unpersists it after writing.
+        val clean = clean0.join(broadcast(near), Seq("doc_id"), "left_anti").persist()
+        try clean.count()
+        catch { case t: Throwable => clean.unpersist(); throw t }
+        updateFrom(idx,
+          sgC.join(broadcast(near), Seq("doc_id"), "left_anti"),
+          batchId, commitLsn, maxBucket)
+        clean
+      } finally { near.unpersist(); () }
+    } finally release()
   }
 }

@@ -197,16 +197,21 @@ object TxAssembler {
     val afterType = events.schema("after").dataType
     // message.key.columns: first matching table regex overrides the
     // record key with the listed fields joined by ':' (the structural
-    // MERGE key itself is never rewritten). EVERY override field falls
-    // back to the before image, so a delete (null after) emits the
-    // SAME key its create did — a compacted-topic consumer reconciles
-    // records by key, and the reference builds the key from whichever
-    // image the record carries. The engine's before-image pruning
-    // keeps the override fields (CdcJob.prepareRaw keepBeforeFields).
-    // Caveat (as in the reference): overriding on a MUTABLE column
-    // changes the key across updates — a user footgun, not a mode.
+    // MERGE key itself is never rewritten). Override fields read from
+    // whichever IMAGE the record carries — the after image when there
+    // is one, the before image only when the record has no after image
+    // at all (deletes/tombstones) — so a delete emits the SAME key its
+    // create did and a compacted-topic consumer reconciles by key.
+    // Deliberately NOT a per-field coalesce: an update that NULLs an
+    // override column must emit the null (matching a create with the
+    // null), not resurrect the stale pre-update value. The engine's
+    // before-image pruning keeps the override fields
+    // (CdcJob.prepareRaw keepBeforeFields). Caveat (as in the
+    // reference): overriding on a MUTABLE column changes the key
+    // across updates — a user footgun, not a mode.
     def fieldOf(c: String): Column =
-      coalesce(col("after").getField(c), col("before").getField(c)).cast("string")
+      when(col("after").isNull, col("before").getField(c))
+        .otherwise(col("after").getField(c)).cast("string")
     val defaultKey =
       coalesce(col("after").getField(keyCol), col("before").getField(keyCol)).cast("string")
     val keyExpr = messageKeyColumns.foldRight(defaultKey) { case ((re, cols), acc) =>

@@ -58,8 +58,6 @@ object Plans {
     graft.SparkEntry.queries("sketch_distinct")(spark, "/root/testdata/sf0.001").explain("formatted")
     println("########## PLAN 13: repetition signals (shuffle-free per-doc projection) ##########")
     graft.SparkEntry.queries("text_repetition")(spark, "/root/testdata/sf0.001").explain("formatted")
-    println("########## PLAN 15: unigram LM score (two map-side-combined passes, word-key join) ##########")
-    graft.SparkEntry.queries("text_lm_score")(spark, "/root/testdata/sf0.001").explain("formatted")
     println("########## PLAN 14: incremental dedup probe (bucket-pruned index read, batch broadcast) ##########")
     locally {
       val idxRoot = graft.util.Fs.tempDir("graft-plan-idx")
@@ -68,6 +66,8 @@ object Plans {
       graft.ops.DedupIndex.probe(idx, corpus.where(col("doc_id") < 3)).explain("formatted")
       graft.util.Fs.deleteRecursively(idxRoot)
     }
+    println("########## PLAN 15: unigram LM score (two map-side-combined passes, word-key join) ##########")
+    graft.SparkEntry.queries("text_lm_score")(spark, "/root/testdata/sf0.001").explain("formatted")
     Fs.deleteRecursively(base)
     spark.stop()
   }

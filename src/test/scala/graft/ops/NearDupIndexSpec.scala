@@ -101,6 +101,29 @@ class NearDupIndexSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("mass-duplicated batch: canonical registers a REAL signature; later near-dups still caught") {
+    import spark.implicits._
+    val base = Fs.tempDir("graft-ndidx-mass")
+    val idx = NearDupIndex.create(spark, s"$base/idx", docs(1L -> other), numBuckets = 8)
+    // 1100 exact copies (> DefaultMaxDocFreq): signed raw, every
+    // shingle is hot and the whole cluster would degrade to the
+    // pseudo-shingle fallback — exact canonicalization runs FIRST, so
+    // the one surviving canonical signs with real shingles
+    val text = (0 until 24).map(i => s"mass$i").mkString(" ")
+    val copies = (100L until 1200L).map(i => (i, text)).toDF("doc_id", "text")
+    val clean = NearDupIndex.dedupAndUpdate(idx, copies, batchId = 1L, commitLsn = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(100L), s"got ${clean.take(5)}")
+    // a NEAR-dup (one word changed) in a later batch must flag against
+    // the registered canonical — impossible if it had registered under
+    // the pseudo-shingle fallback
+    val near = text.replace("mass7", "changed")
+    val got = NearDupIndex.probe(idx, docs(5000L -> near))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((5000L, 100L)), s"got ${got.toSeq}")
+    Fs.deleteRecursively(base)
+  }
+
   test("seeded fuzz: random dup/near-dup/unique mix over random batch splits is self-consistent") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260817L)
