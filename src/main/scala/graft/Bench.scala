@@ -57,9 +57,11 @@ object Bench {
     "dedup_embedding_cos", "ann_topk", "ann_ivf_label", "ann_ivf_trained",
     "ann_lsh_bucketed", "f5b_type_matrix", "f5c_binary_modes", "text_quality", "text_langid",
     "text_fingerprint", "mm_binary_features", "mm_media_features",
-    "pack_offsets", "decontaminate", "sample_strat_stats", "source_caps", "mix_weights",
+    "pack_offsets", "decontaminate", "decontaminate_bloom", "sample_strat_stats",
+    "source_caps", "mix_weights",
     "sketch_distinct", "sketch_overlap", "sketch_kway", "text_repetition",
-    "text_seg_dup", "text_lm_score", "length_quantiles", "stream_neardup")
+    "text_seg_dup", "text_lm_score", "text_tfidf", "length_quantiles",
+    "dedup_components", "stream_neardup")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

@@ -300,6 +300,23 @@ object SparkEntry {
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
         .withColumn("inter", col("inter").cast("long"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    // transitive closure of the verified near-dup pairs: every doc keyed
+    // by its duplicate CLUSTER's min id (pointer-jumped min-label
+    // propagation — pairs alone under-delete on chains)
+    "dedup_components" -> ((s, d) => {
+      val pairs = Dedup.lshVerifiedPairs(t(s, d, "documents"))
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+    // O(1)-memory Bloom-gate decontamination (demo-sized bitmap so FP
+    // arithmetic is exercised and oracle-replayed; exact_hits=0 rows are
+    // the deterministic false positives)
+    "decontaminate_bloom" -> ((s, d) =>
+      Curation.bloomContamination(t(s, d, "documents"), col("doc_id") % 20 === 0,
+        mBits = Curation.BloomDemoBits).orderBy(col("doc_id"))),
+    // per-doc salient terms: top-3 by TF-IDF, ranked on the rounded score
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidfTop(t(s, d, "documents")).orderBy(col("doc_id"), col("rnk"))),
     // bucketed (banded sign-LSH) embedding near-dup — no corpus x corpus join
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings")).orderBy(col("id_a"), col("id_b"))),
@@ -728,6 +745,23 @@ object SparkEntry {
         |SELECT da AS doc_a, db AS doc_b, inter, round(inter*1.0/(s1.n+s2.n-inter),4) AS jaccard
         |FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id
         |WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // same CTE chain as dedup_lsh_verified, then the exact transitive
+    // hull by recursive closure (small-scale oracle for the distributed
+    // pointer-jumped propagation)
+    "dedup_components" ->
+      s"""WITH RECURSIVE $SHINGLES,
+        |$MINHASH_SIG,
+        |$MINHASH_BANDS,
+        |${BUCKET_CAP("bc", "b", "doc_id")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bc a JOIN bc b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT c.doc_a AS da, c.doc_b AS db, count(*) AS inter FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id AND sa.s = sb.s GROUP BY 1,2),
+        |p AS (SELECT da, db FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2),
+        |e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+        |reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u),
+        |cs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1)
+        |SELECT c.doc_id, c.component_id, cs.n_members FROM comp c JOIN cs USING(component_id) ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
         |hx AS (SELECT doc_id, ${H("w")} AS h FROM wx),
@@ -837,6 +871,32 @@ object SparkEntry {
         |SELECT doc_id, n_chars, source FROM documents
         |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
         |ORDER BY doc_id""".stripMargin,
+    // Bloom-gate decontamination: eval bits + k salted probes replayed
+    // literally (FPs are deterministic hash collisions, also replayed)
+    "decontaminate_bloom" -> {
+      val m = Curation.BloomDemoBits
+      val k = Curation.BloomK
+      def pos(i: Int) = s"${H(s"s || ':bloom$i'")} % $m"
+      val posUnion = (0 until k).map(i => s"SELECT ${pos(i)} AS p FROM ev")
+        .mkString(" UNION ALL ")
+      s"""WITH $SHINGLES,
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |pos AS (SELECT DISTINCT p FROM ($posUnion)),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |fl AS (SELECT doc_id FROM tr WHERE ${(0 until k).map(i => s"(${pos(i)}) IN (SELECT p FROM pos)").mkString(" AND ")}),
+        |bh AS (SELECT doc_id, count(*) AS bloom_hits FROM fl GROUP BY 1),
+        |ex AS (SELECT tr.doc_id, count(*) AS exact_hits FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1)
+        |SELECT bh.doc_id, bh.bloom_hits, COALESCE(ex.exact_hits, CAST(0 AS BIGINT)) AS exact_hits
+        |FROM bh LEFT JOIN ex USING(doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // rank on the ROUNDED score (see TextOps.tfidfTop portability note)
+    "text_tfidf" ->
+      """WITH tc AS (SELECT doc_id, w AS word, count(*) AS tc FROM (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents) GROUP BY 1,2),
+        |dfq AS (SELECT word, count(*) AS df FROM tc GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tc.doc_id, tc.word, round(tc.tc * ln((n.n + 1.0)/(dfq.df + 1)), 4) AS score FROM tc JOIN dfq USING(word), n),
+        |rk AS (SELECT doc_id, word, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "sample_stratified" ->
       s"SELECT doc_id, lang FROM documents WHERE $SAMPLE_KEEP ORDER BY doc_id",
     "source_caps" -> {

@@ -174,6 +174,74 @@ object Curation {
     df.where(!evalPred).join(broadcast(dirty), Seq("doc_id"), "left_anti")
   }
 
+  /** Bloom-gate probe count and demo bitmap size. The demo bitmap is
+    * deliberately SMALL (4096 bits) so the small-scale oracle actually
+    * exercises false-positive arithmetic (bits colliding across
+    * shingles) — with a production-sized bitmap the sf0.01 eval set
+    * sets so few bits that no FP ever fires and the bitmap path would
+    * be vacuously green. Production sizing: ~10 bits/element for ~1% FP
+    * (`mBits` parameter, default 2^20). The SQL oracles are GENERATED
+    * from these constants.
+    */
+  val BloomK: Int = 4
+  val BloomDemoBits: Int = 4096
+
+  /** Salted Bloom bit position of a shingle for probe `i` — portable
+    * MD5 arithmetic, replayed literally by the SQL oracles.
+    */
+  private[graft] def bloomPos(shingle: Column, i: Int, mBits: Int): Column =
+    pmod(portableHash(concat(shingle, lit(s":bloom$i"))), lit(mBits.toLong))
+
+  /** Bloom-filter decontamination — the O(1)-memory form of
+    * [[contamination]] for eval sets too large to ship as a broadcast
+    * join side: the eval split's shingles are folded into an `mBits`-bit
+    * Bloom bitmap (fixed size regardless of eval cardinality), and every
+    * training shingle is tested against it with `k` codegen'd bit
+    * probes ([[graft.plans.BloomBit]] — the bitmap rides the expression
+    * as a reference object, never a join). No false negatives: every
+    * truly contaminated shingle is flagged; false positives are
+    * deterministic (salted-hash collisions), so the SQL oracle replays
+    * them bit-for-bit.
+    *
+    * Build cost: the distinct bit-position set is collected to the
+    * driver — bounded by `mBits` values (one int per SET bit, ≤ m/8
+    * bytes of bitmap), the same bounded-model-collect discipline as the
+    * IVF centroid table, NOT an O(corpus) collect.
+    *
+    * Output: (doc_id, bloom_hits, exact_hits) per bloom-flagged
+    * training doc; `bloom_hits >= exact_hits` always, rows with
+    * `exact_hits = 0` are the filter's false positives.
+    */
+  def bloomContamination(df: DataFrame, evalPred: Column, n: Int = 3,
+      textCol: String = "text", mBits: Int = 1 << 20, k: Int = BloomK,
+      maxDocFreq: Int = Dedup.DefaultMaxDocFreq): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    val spark = df.sparkSession
+    val sh = Dedup.cappedShingles(df, n, textCol, maxDocFreq).cache()
+    val evalSh = sh.where(evalPred).select(col("shingle")).distinct()
+    val posCols = (0 until k).map(i => bloomPos(col("shingle"), i, mBits))
+    val positions = evalSh.select(explode(array(posCols: _*)).as("p")).distinct()
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words((p >>> 6).toInt) |= (1L << (p & 63)))
+    // registry name encodes the filter instance (bitmap content hash):
+    // two different filters in one session never alias
+    val sig = words.foldLeft(1125899906842597L)((a, w) => a * 31 + w)
+    val fname = s"bloom_bit_${mBits}_${java.lang.Long.toHexString(sig & Long.MaxValue)}"
+    graft.plans.BloomBit.register(spark, fname, words)
+    val tr = sh.where(!evalPred)
+    val withPos = (0 until k).foldLeft(tr)((d, i) =>
+      d.withColumn(s"__bp$i", bloomPos(col("shingle"), i, mBits)))
+    val hit = (0 until k).map(i => expr(s"$fname(__bp$i)")).reduce(_ && _)
+    val bloomHits = withPos.where(hit)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("bloom_hits"))
+    val exact = tr.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("exact_hits"))
+    bloomHits.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hits"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"))
+  }
+
   /** Exact per-stratum quantiles of the document token-length
     * distribution (the truncation / packing / filter-threshold input).
     *

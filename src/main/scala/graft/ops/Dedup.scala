@@ -316,4 +316,100 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
   }
+
+  /** Connected components over an undirected pair graph — the final
+    * stage of a near-dup pipeline. Verified pairs are only EDGES;
+    * deduplication needs each document's full duplicate CLUSTER: pair
+    * lists (and the local-minimum collapse in
+    * [[NearDupIndex.withinBatchNearDups]]) leave transitive chains
+    * (a~b, b~c but never a~c) split across keys, so keeping "one doc
+    * per pair" still retains duplicates. This operator closes the
+    * transitive hull and keys every member by its component's minimum
+    * doc id.
+    *
+    * Scale shape — distributed min-label propagation with POINTER
+    * JUMPING, all DataFrame ops:
+    *   - each round is two shuffles bounded by |E| and |V| (never a
+    *     pair enumeration): (1) every node takes the minimum of its own
+    *     label and its neighbours' labels; (2) every label chases its
+    *     target's label one step (`l := l(l)`), halving the depth of
+    *     any label-reference chain — rounds are O(log n) even on a path
+    *     graph, not O(diameter).
+    *   - labels are MONOTONE non-increasing, so convergence is detected
+    *     exactly by the per-round label sum (one decimal aggregate —
+    *     the only driver-side value per round).
+    *   - the label table is checkpoint-truncated EVERY round
+    *     (`localCheckpoint` — the round's one materializing action
+    *     anyway): each round's plan references the previous label frame
+    *     four times (twice via the propagate join, twice via the jump
+    *     self-join), so an un-truncated logical plan QUADRUPLES per
+    *     round and stalls the analyzer within ~10 rounds — persist
+    *     caches data but never shrinks the plan. On a real cluster use
+    *     `spark.sparkContext.setCheckpointDir` + reliable `checkpoint`
+    *     for fault tolerance; the shape is identical.
+    *
+    * Returns (doc_id, component_id, n_members), one row per node that
+    * appears in at least one pair. The returned frame is persisted and
+    * caller-owned: `unpersist()` it when done.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persist the edge list BEFORE symmetrizing: the union references it
+    // twice, and `pairs` is typically the whole verified-near-dup
+    // pipeline — evaluating it twice doubles the dominant cost
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    // label sums are exact in decimal(38,0) (a Long sum overflows at
+    // ~10^10 nodes x 10^10 ids); monotonicity makes equality a proof of
+    // fixpoint, not a heuristic
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    e.unpersist() // sym is materialized by the labels checkpoint above
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = prevSum == null // empty graph: nothing to propagate
+    while (!converged && round < maxRounds) {
+      round += 1
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("label").as("vl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      val stepped = labels
+        .join(nbrMin.select(col("u").as("node"), col("nl")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jump: l := min(l, label-of-l). Every label IS a node id
+      // present in the table (labels start as self and only move to
+      // other nodes' labels), so the lookup join always matches.
+      val lut = stepped.select(col("node").as("__t"), col("label").as("__tl"))
+      val jumped = stepped
+        .join(lut, stepped("label") === lut("__t"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__tl"), col("label"))).as("label"))
+      // lineage truncation every round (see class note); eager — it IS
+      // the round's materializing action
+      val next = jumped.localCheckpoint(true)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    val out = labels
+      .select(col("node").as("doc_id"), col("label").as("component_id"))
+      .join(sizes.withColumnRenamed("label", "component_id"), Seq("component_id"))
+      .select(col("doc_id"), col("component_id"), col("n_members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labels.unpersist()
+    sym.unpersist()
+    out
+  }
 }

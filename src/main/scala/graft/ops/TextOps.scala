@@ -58,6 +58,35 @@ object TextOps {
         count(lit(1)).as("term_count"))
       .orderBy(col("word"))
 
+  /** Per-document top-k terms by TF-IDF — the salient-term extractor
+    * (keyword labels, topic features, boilerplate triage) over the
+    * corpus vocabulary.
+    *
+    * Scale shape: term counts and document frequencies are two
+    * map-side-combined aggregations on hash-spread word keys (no skew);
+    * the corpus size joins in as a broadcast single row; the top-k
+    * window partitions by doc_id (bounded by one doc's distinct words,
+    * never the corpus). Scores are ROUNDED to 4 decimals BEFORE ranking
+    * so the (score desc, word) order — and therefore the result — is
+    * identical in any IEEE engine regardless of last-ulp `ln`
+    * differences.
+    */
+  def tfidfTop(df: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = df.select(col("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tc"))
+    val dfreq = tc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val scored = tc.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        round(col("tc") * log((col("__n") + 1).cast("double") / (col("df") + 1)), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("score"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
   /** Quality scoring: length/stopword/word-shape heuristics, the

@@ -35,6 +35,29 @@ class CurationSpec extends SparkSpec {
     assert(clean == Set(2L, 3L)) // eval doc excluded, contaminated dropped
   }
 
+  test("bloom decontamination: no false negatives; production bitmap agrees with exact") {
+    import spark.implicits._
+    val pred = col("doc_id") % 20 === 0
+    // production-sized bitmap: the 1-shingle eval set sets 4 of 2^20
+    // bits — FP probability ~(4/2^20)^4, so bloom == exact
+    val big = Curation.bloomContamination(corpus, pred, mBits = 1 << 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(big == Set((1L, 1L, 1L)), s"got $big")
+    // adversarially tiny bitmap (64 bits): false positives are allowed,
+    // false negatives are NOT — every exactly-contaminated doc must
+    // stay flagged with bloom_hits >= exact_hits
+    val tiny = Curation.bloomContamination(corpus, pred, mBits = 64)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = tiny.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byDoc.contains(1L) && byDoc(1L)._1 >= 1L && byDoc(1L)._2 == 1L)
+    assert(tiny.forall { case (_, bh, eh) => bh >= eh },
+      "bloom must never undercount the exact overlap")
+    // determinism: the same filter flags the same docs on a rerun
+    val rerun = Curation.bloomContamination(corpus, pred, mBits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rerun == tiny.toSet)
+  }
+
   test("stratified sampling is deterministic, stratum-rate-driven and re-runnable") {
     import spark.implicits._
     val docs = (0 until 2000)

@@ -176,6 +176,44 @@ class OpsSpec extends SparkSpec {
     assert(vp.forall(p => p._1 < 256L && p._2 < 256L))
   }
 
+  test("connected components: transitive hull with min labels, O(log n) rounds on a path") {
+    import spark.implicits._
+    // chain 1-2-3 (never a direct 1~3 pair), isolated pair 10-11, and a
+    // 64-node PATH — diameter 63, so plain neighbor propagation would
+    // need >50 rounds; pointer jumping must close it within maxRounds
+    val path = (100L until 163L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ path).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val byDoc = cc.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byDoc(1L) == (1L, 3L) && byDoc(2L) == (1L, 3L) && byDoc(3L) == (1L, 3L),
+      s"chain must collapse to min id 1: $byDoc")
+    assert(byDoc(10L) == (10L, 2L) && byDoc(11L) == (10L, 2L))
+    assert(byDoc(100L) == (100L, 64L) && byDoc(163L) == (100L, 64L),
+      "64-node path must fully collapse to its min (pointer jumping)")
+    assert(cc.count() == 3 + 2 + 64)
+    cc.unpersist()
+    // empty edge set -> empty result (no crash)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("tfidf top-k: rare terms outrank ubiquitous ones; rounded-score rank is deterministic") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common common rare"),
+      (2L, "common filler words here"),
+      (3L, "common more filler text")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfidfTop(corpus, k = 2)
+    val d1 = top.where(col("doc_id") === 1).orderBy(col("rnk"))
+      .select("word", "score").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // "rare": tc=1, df=1 -> 1*ln(4/2)=0.6931; "common": tc=3, df=3 ->
+    // 3*ln(4/4)=0 — rare wins despite 3x the term count
+    assert(d1.head._1 == "rare", s"got ${d1.toSeq}")
+    assert(math.abs(d1.head._2 - 0.6931) < 1e-9)
+    assert(top.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
   test("banded embedding near-dup: no cartesian in the plan; recall vs brute measured") {
     val banded = Dedup.embeddingNearDups(embs)
     val plan = banded.queryExecution.executedPlan.toString
