@@ -308,6 +308,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"))
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
+    // the deduplicated corpus at NEAR-dup granularity: only each
+    // cluster's canonical (min-id) member survives
+    "dedup_apply_neardup" -> ((s, d) =>
+      Dedup.applyNearDups(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))),
     // O(1)-memory Bloom-gate decontamination (demo-sized bitmap so FP
     // arithmetic is exercised and oracle-replayed; exact_hits=0 rows are
     // the deterministic false positives)
@@ -762,6 +768,21 @@ object SparkEntry {
         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u),
         |cs AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1)
         |SELECT c.doc_id, c.component_id, cs.n_members FROM comp c JOIN cs USING(component_id) ORDER BY doc_id""".stripMargin,
+    "dedup_apply_neardup" ->
+      s"""WITH RECURSIVE $SHINGLES,
+        |$MINHASH_SIG,
+        |$MINHASH_BANDS,
+        |${BUCKET_CAP("bc", "b", "doc_id")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bc a JOIN bc b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT c.doc_a AS da, c.doc_b AS db, count(*) AS inter FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id AND sa.s = sb.s GROUP BY 1,2),
+        |p AS (SELECT da, db FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2),
+        |e AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+        |reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u)
+        |SELECT doc_id, n_chars, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\\s+')) AS w FROM documents),
         |hx AS (SELECT doc_id, ${H("w")} AS h FROM wx),

@@ -352,6 +352,31 @@ object Dedup {
     * appears in at least one pair. The returned frame is persisted and
     * caller-owned: `unpersist()` it when done.
     */
+  /** Apply near-dup dedup: the corpus with every non-canonical cluster
+    * member removed — each [[connectedComponents]] component keeps only
+    * its minimum doc id. The victim id set (dup docs only — a small
+    * fraction of any reasonable corpus) is materialized and the corpus
+    * anti-joins against it; the corpus itself is never shuffled when the
+    * victim side broadcasts. The returned frame references the persisted
+    * victim set: caller evaluates (or persists) it, then the internal
+    * caches are this method's transient cost, not a leak — the victims
+    * frame is unpersisted-safe only after the caller is done with the
+    * result.
+    */
+  def applyNearDups(df: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      textCol: String = "text",
+      maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cc = connectedComponents(
+      lshVerifiedPairs(df, n, threshold, textCol, maxDocFreq)
+        .select(col("doc_a"), col("doc_b")))
+    val victims = cc.where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    victims.count()
+    cc.unpersist()
+    df.join(broadcast(victims), Seq("doc_id"), "left_anti")
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -197,6 +197,26 @@ class OpsSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("applyNearDups: only each cluster's min-id member survives") {
+    import spark.implicits._
+    // 1~2 identical -> cluster {1,2} keeps 1. Doc 3 (jaccard ~0.6 vs 1)
+    // sits BELOW the 16x8 banding operating point (~0.71 at 50%
+    // candidate probability) — by design not a MinHash candidate, so it
+    // survives; doc 4 is disjoint.
+    val kept = Dedup.applyNearDups(dupFixture)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept")
+    // at the exact-pair level the same apply drops BOTH 2 and 3: feed
+    // the quadratic small-scale pair oracle through the same closure
+    val cc = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(dupFixture, threshold = 0.2)
+        .select(col("doc_a"), col("doc_b")))
+    val canon = cc.where(col("doc_id") === col("component_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(canon == Set(1L), s"got $canon")
+    cc.unpersist()
+  }
+
   test("tfidf top-k: rare terms outrank ubiquitous ones; rounded-score rank is deterministic") {
     import spark.implicits._
     val corpus = Seq(
