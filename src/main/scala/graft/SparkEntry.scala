@@ -329,6 +329,30 @@ object SparkEntry {
     // all-pairs form: the small-scale recall oracle for the bucketed path
     "dedup_embedding_brute" -> ((s, d) =>
       Dedup.embeddingNearDupsBrute(t(s, d, "embeddings")).orderBy(col("id_a"), col("id_b"))),
+    // emission SMT chain (message.key.columns override + topic router +
+    // delete tombstones) over a derived committed-event stream: tables
+    // tab1/tab2 rewrite their record key to k1:k2, every table reroutes
+    // topic via regex, every delete emits a trailing tombstone record
+    "e_emit_smt" -> ((s, d) => {
+      val log = CdcRelational.changeLog(t(s, d, "events"))
+        .where(col("lsn") < 2000)
+      val tbl = concat(lit("tab"), (col("tx_id") % 3 + 1).cast("string"))
+      val img = struct(col("key_id").cast("string").as("k1"),
+        col("event_type").as("k2"))
+      val input = log.select(
+        col("op"), tbl.as("table"),
+        when(col("op") === "d", img).as("before"),
+        when(col("op") =!= "d", img).as("after"),
+        col("lsn").as("commit_lsn"), col("lsn").as("change_lsn"),
+        lit(0L).as("ts_ms"))
+      graft.stream.TxAssembler.emitRecords(input, tombstonesOnDelete = true,
+          keyCol = "k1",
+          messageKeyColumns = Seq(("tab[12]", Seq("k1", "k2"))),
+          topicRouting = Some(("tab(.*)", "cdc.t$1")))
+        .select(col("commit_lsn"), col("emit_seq").cast("long").as("emit_seq"),
+          col("op"), col("topic"), col("key"))
+        .orderBy(col("commit_lsn"), col("emit_seq"))
+    }),
     // ---- training-data ops: similarity search ----
     "ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -704,6 +728,19 @@ object SparkEntry {
         |'pl:' || CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) AS payload,
         |event_id AS commit_lsn
         |FROM events WHERE event_id < 500 ORDER BY commit_lsn""".stripMargin,
+    "e_emit_smt" ->
+      s"""$LOG,
+        |x AS (SELECT lsn AS commit_lsn, op, key_id, event_type,
+        |  'tab' || CAST(tx_id % 3 + 1 AS VARCHAR) AS tbl FROM log WHERE lsn < 2000),
+        |k AS (SELECT *,
+        |  CASE WHEN tbl IN ('tab1','tab2')
+        |       THEN CAST(key_id AS VARCHAR) || ':' || event_type
+        |       ELSE CAST(key_id AS VARCHAR) END AS key,
+        |  regexp_replace(tbl, '^(?:tab(.*))$$', 'cdc.t\\1') AS topic FROM x),
+        |u AS (SELECT commit_lsn, 0 AS emit_seq, op, topic, key FROM k
+        |  UNION ALL SELECT commit_lsn, 1, 'tombstone', topic, key FROM k WHERE op = 'd')
+        |SELECT commit_lsn, CAST(emit_seq AS BIGINT) AS emit_seq, op, topic, key
+        |FROM u ORDER BY commit_lsn, emit_seq""".stripMargin,
     "n2_chunk_boundaries" ->
       "SELECT CAST(floor(doc_id/100) AS BIGINT) AS chunk, min(doc_id) AS key_lo, max(doc_id) AS key_hi, count(*) AS n_rows FROM documents GROUP BY 1 ORDER BY 1",
     "cdc_merge_apply" ->
