@@ -424,6 +424,10 @@ object SparkEntry {
     // histogram (no corpus sort; the window runs over the histogram)
     "length_quantiles" -> ((s, d) =>
       Curation.lengthQuantiles(t(s, d, "documents")).orderBy(col("lang"))),
+    // sampling-based quantiles: bottom-k-by-hash uniform sample per
+    // stratum (bounded aggregate state), exact ranks on the sample
+    "quantile_sample" -> ((s, d) =>
+      Curation.sampleQuantiles(t(s, d, "documents")).orderBy(col("lang"))),
     // bounded-state KMV distinct sketch vs exact distinct, per language
     // (every stratum exceeds k at sf0.01, so the estimator arithmetic
     // itself — not just the exact small-stratum branch — is hash-checked)
@@ -994,6 +998,22 @@ object SparkEntry {
         |  min(CASE WHEN cum >= (tot*75+99)//100 THEN n END) AS p75,
         |  min(CASE WHEN cum >= (tot*95+99)//100 THEN n END) AS p95
         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+    // bottom-k-by-hash sample replayed with a rank-by-hash window
+    // (hash-collision dedup keeps the min value, mirroring KmvSample)
+    "quantile_sample" -> {
+      val k = Curation.QuantileSampleK
+      s"""WITH hsrc AS (SELECT lang, ${H("CAST(doc_id AS VARCHAR) || ':qsample'")} AS h, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS v FROM documents),
+        |dd AS (SELECT lang, h, min(v) AS v FROM hsrc GROUP BY 1,2),
+        |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dd),
+        |s AS (SELECT lang, v FROM r WHERE rn <= $k),
+        |q AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS vr, count(*) OVER (PARTITION BY lang) AS n FROM s)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_sample,
+        |  max(CASE WHEN vr = (n*25+99)//100 THEN v END) AS p25,
+        |  max(CASE WHEN vr = (n*50+99)//100 THEN v END) AS p50,
+        |  max(CASE WHEN vr = (n*75+99)//100 THEN v END) AS p75,
+        |  max(CASE WHEN vr = (n*95+99)//100 THEN v END) AS p95
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // KMV sketch replay: k smallest distinct portable hashes per stratum,
     // estimate = (k-1)*2^56 // kth (pure integer division, k = Sketches.KmvK)
     "sketch_distinct" -> {

@@ -273,6 +273,42 @@ object Curation {
       .agg(max(col("tot")).as("n_docs"), aggs: _*)
   }
 
+  /** Per-stratum sample size for sampling-based quantiles. */
+  val QuantileSampleK: Int = 64
+
+  /** Sampling-based per-stratum quantiles — the fixed-budget companion
+    * to [[lengthQuantiles]] for metrics whose domain is NOT
+    * small-integer-bounded (where the exact histogram trick doesn't
+    * apply): each stratum is reduced to a bottom-k-by-hash uniform
+    * sample via the [[graft.plans.KmvSample]] TypedImperativeAggregate
+    * (bounded k-pair state, map-side combined — the shuffle carries at
+    * most k longs per group per map task, never the corpus), and exact
+    * integer-rank quantiles are computed ON THE SAMPLE (the rank window
+    * runs over <= k rows per stratum). Deterministic end to end — the
+    * salted portable hash decides membership — so the SQL oracle
+    * replays the sample and the quantiles bit-for-bit.
+    */
+  def sampleQuantiles(df: DataFrame, strataCol: String = "lang",
+      textCol: String = "text", k: Int = QuantileSampleK,
+      qs: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.KmvSample.register(df.sparkSession)
+    val prepared = df.select(col(strataCol),
+      portableHash(concat(col("doc_id").cast("string"), lit(":qsample"))).as("h"),
+      size(TextOps.words(col(textCol))).cast("long").as("v"))
+    val sampled = prepared.groupBy(col(strataCol))
+      .agg(expr(s"kmv_sample(h, v, $k)").as("sample"))
+    val ex = sampled.select(col(strataCol), explode(col("sample")).as("v"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("v"))
+    val wt = Window.partitionBy(col(strataCol))
+    val ranked = ex.withColumn("vr", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wt))
+    val aggs = qs.map(q =>
+      max(when(col("vr") === expr(s"(n * $q + 99) div 100"), col("v"))).as(s"p$q"))
+    ranked.groupBy(col(strataCol))
+      .agg(max(col("n")).as("n_sample"), aggs: _*)
+  }
+
   /** Token-budget mixture weights: per-stratum document/token totals,
     * the stratum's share of the corpus tokens, and the resampling weight
     * that would equalize the mixture (target = uniform across strata).

@@ -58,6 +58,45 @@ class CurationSpec extends SparkSpec {
     assert(rerun == tiny.toSet)
   }
 
+  test("sampling quantiles: exact-size bottom-k sample, partitioning-invariant, state laws") {
+    import spark.implicits._
+    val docs = (0 until 3000)
+      .map(i => (i.toLong, ("w " * (10 + i % 90)).trim, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val a = Curation.sampleQuantiles(docs).orderBy("lang").collect().toSeq
+    val b = Curation.sampleQuantiles(docs.repartition(17, col("doc_id")))
+      .orderBy("lang").collect().toSeq
+    assert(a == b, "sample (and its quantiles) must be partitioning-invariant")
+    // sample size is exactly min(k, stratum size)
+    assert(a.forall(_.getLong(1) == Curation.QuantileSampleK.toLong))
+    val tiny = (0 until 5).map(i => (i.toLong, "a b c", "en")).toDF("doc_id", "text", "lang")
+    assert(Curation.sampleQuantiles(tiny).head.getLong(1) == 5L)
+    // state laws: collision keeps min payload; merge order never matters
+    val s1 = new graft.plans.KmvSampleState(3)
+    s1.add(7L, 10L); s1.add(7L, 4L); s1.add(7L, 9L)
+    assert(s1.mins.get(7L) == 4L, "hash collision must keep the min payload")
+    val xs = Seq(5L -> 50L, 1L -> 10L, 9L -> 90L, 3L -> 30L, 2L -> 20L)
+    def fold(order: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val st = new graft.plans.KmvSampleState(3)
+      order.foreach { case (h, v) => st.add(h, v) }
+      import scala.jdk.CollectionConverters._
+      st.mins.entrySet().iterator().asScala
+        .map(e => (e.getKey: Long, e.getValue: Long)).toSeq
+    }
+    assert(fold(xs) == Seq(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    assert(fold(xs.reverse) == fold(xs))
+    // plan shape: the sample aggregation must be ObjectHashAggregate
+    // (map-side-combined bounded state), never the SortAggregate fallback
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Curation.sampleQuantiles(docs).queryExecution.executedPlan
+      assert(plan.collect { case a: ObjectHashAggregateExec => a }.nonEmpty, plan.toString)
+      assert(plan.collect { case a: SortAggregateExec => a }.isEmpty, plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("stratified sampling is deterministic, stratum-rate-driven and re-runnable") {
     import spark.implicits._
     val docs = (0 until 2000)
