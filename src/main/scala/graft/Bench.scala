@@ -55,7 +55,7 @@ object Bench {
     "e6_lineage", "r1_replay_skip", "dedup_exact", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_simhash",
     "dedup_embedding_cos", "ann_topk", "ann_ivf_label", "ann_ivf_trained",
-    "ann_lsh_bucketed", "f5b_type_matrix", "f5c_binary_modes", "text_quality", "text_langid",
+    "ann_lsh_bucketed", "emb_diversity", "f5b_type_matrix", "f5c_binary_modes", "text_quality", "text_langid",
     "text_fingerprint", "mm_binary_features", "mm_media_features",
     "pack_offsets", "decontaminate", "decontaminate_bloom", "sample_strat_stats",
     "source_caps", "mix_weights",

@@ -380,6 +380,10 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // per-label diversity: mean pairwise dot in ONE linear pass
+    // (sum-of-vectors identity; no pair join)
+    "emb_diversity" -> ((s, d) =>
+      Similarity.diversityProfile(t(s, d, "embeddings")).orderBy(col("label"))),
     "dedup_apply" -> ((s, d) =>
       Dedup.applyExact(t(s, d, "documents"))
         .select(col("doc_id"), col("n_chars"), col("source"))
@@ -888,6 +892,18 @@ object SparkEntry {
         |sc AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos FROM embeddings e JOIN q ON q.cell = e.label AND q.query_id <> e.vec_id),
         |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // the pairwise-dot identity replayed over the same quantization
+    "emb_diversity" ->
+      """WITH q AS (SELECT label, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT label, unnest(range(1, len(qv)+1)) AS pos, unnest(qv) AS v FROM q),
+        |s AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM d GROUP BY 1,2),
+        |ss AS (SELECT label, CAST(sum(s*s) AS BIGINT) AS ss FROM s GROUP BY 1),
+        |qq AS (SELECT label, CAST(sum(v*v) AS BIGINT) AS qq FROM d GROUP BY 1),
+        |nn AS (SELECT label, count(*) AS n_vecs FROM q GROUP BY 1)
+        |SELECT nn.label, nn.n_vecs,
+        |  round(qq.qq*1.0/nn.n_vecs, 4) AS mean_sq_norm,
+        |  CASE WHEN nn.n_vecs > 1 THEN round((ss.ss - qq.qq)*1.0/(nn.n_vecs*(nn.n_vecs-1)), 4) END AS mean_pair_dot
+        |FROM nn JOIN ss USING(label) JOIN qq USING(label) ORDER BY label""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_cents, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents, CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS disc_price_cents, count(*) AS n FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q3_top_revenue_orders" ->

@@ -79,6 +79,46 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  /** Per-label embedding diversity profile: vector count, mean squared
+    * quantized norm, and the MEAN PAIRWISE DOT PRODUCT over all
+    * distinct vector pairs — computed in ONE linear pass via the
+    * sum-of-vectors identity
+    *   sum_{i != j} <v_i, v_j>  =  ||sum_i v_i||^2 - sum_i ||v_i||^2,
+    * never a pair join (the naive form is |label|^2 rows — exactly the
+    * shape the bucketed operators exist to avoid). A tight cluster
+    * scores a high mean pairwise dot (redundant vectors); a diverse one
+    * scores low — the data-selection signal diversity-aware sampling
+    * uses.
+    *
+    * All sums are INTEGER over the shared [[quantized]] representation
+    * (order-insensitive, partitioning-proof), so the statistic is
+    * bit-reproducible and the SQL oracle replays it; the only divisions
+    * happen once per label row at the end. Values are in quantized
+    * units (raw * 1e4, so dots scale by 1e8). Three map-side-combined
+    * aggregations, shuffle volume O(labels * dims). The per-dimension
+    * component sums stay within Long while |label| * 1e4 < 2^63 — widen
+    * to decimal beyond ~10^14 rows per label.
+    */
+  def diversityProfile(emb: DataFrame, labelCol: String = "label"): DataFrame = {
+    val q = emb.select(col(labelCol), quantized(col("embedding")).as("qv"))
+    val dims = q.select(col(labelCol), posexplode(col("qv")).as(Seq("pos", "v")))
+    val perDim = dims.groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("v")).as("s"))
+    val sumSq = perDim.groupBy(col(labelCol))
+      .agg(sum(col("s") * col("s")).as("ss"))
+    val qq = dims.groupBy(col(labelCol))
+      .agg(sum(col("v") * col("v")).as("qq"))
+    val nn = q.groupBy(col(labelCol)).agg(count(lit(1)).as("n_vecs"))
+    nn.join(sumSq, Seq(labelCol)).join(qq, Seq(labelCol))
+      .withColumn("mean_sq_norm",
+        round(col("qq").cast("double") / col("n_vecs"), 4))
+      .withColumn("mean_pair_dot",
+        when(col("n_vecs") > 1,
+          round((col("ss") - col("qq")).cast("double") /
+            (col("n_vecs") * (col("n_vecs") - 1)), 4)))
+      .select(col(labelCol), col("n_vecs"), col("mean_sq_norm"), col("mean_pair_dot"))
+  }
+
   // Integer quantization — the shared basis of every bucketing decision
   // ---------------------------------------------------------------------
 

@@ -234,6 +234,24 @@ class OpsSpec extends SparkSpec {
     assert(top.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
   }
 
+  test("diversity profile: linear-pass mean pairwise dot equals the brute pair average") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.8f, 0.6f), 0), (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(0.5f, 0.5f), 1)  // singleton label: mean_pair_dot must be null
+    ).toDF("vec_id", "embedding", "label")
+    val prof = Similarity.diversityProfile(vecs).orderBy("label").collect()
+    // quantized: (10000,0), (8000,6000), (0,10000); pair dots:
+    // 1·2=8e7, 1·3=0, 2·3=6e7 -> ordered-pair mean = 2*(8+0+6)e7/6
+    // the operator rounds to 4 decimals, so compare at that precision
+    val expected = BigDecimal(2.0 * (80000000L + 0L + 60000000L) / 6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(prof(0).getInt(0) == 0 && prof(0).getLong(1) == 3L)
+    assert(math.abs(prof(0).getDouble(3) - expected) < 1e-9, prof(0).toString)
+    assert(prof(1).getLong(1) == 1L && prof(1).isNullAt(3),
+      "singleton label must have null mean_pair_dot")
+  }
+
   test("banded embedding near-dup: no cartesian in the plan; recall vs brute measured") {
     val banded = Dedup.embeddingNearDups(embs)
     val plan = banded.queryExecution.executedPlan.toString
