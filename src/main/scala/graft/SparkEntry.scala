@@ -16,6 +16,21 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic URL derived from (source, lang, doc_id) — the
+    * testdata has no URL column; mirrored bit-for-bit by the URL SQL
+    * fragment. Shapes exercised: www-prefixed hosts, per-source host
+    * spread, variable path depth, query strings.
+    */
+  private def withUrl(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), (col("doc_id") % 7).cast("string"), lit(".org/"),
+      col("lang"), lit("/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/x")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit("?ref="), col("source")))
+        .otherwise(lit(""))))
+
   /** Flagship: LWW-deduped CDC merge of the derived change stream onto
     * `documents` — the observable form of the engine's MERGE apply.
     */
@@ -36,6 +51,17 @@ object SparkEntry {
 
   // portable 56-bit hash (matches TextOps.portableHash)
   private def H(x: String) = s"(('0x' || substr(md5($x),1,14))::BIGINT)"
+
+  // derived-URL fragment (mirrors SparkEntry.withUrl bit-for-bit)
+  private val URL =
+    """WITH u AS (
+      |  SELECT doc_id, 'https://' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |    source || CAST(doc_id % 7 AS VARCHAR) || '.org/' ||
+      |    lang || '/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '/x' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '?ref=' || source ELSE '' END AS url
+      |  FROM documents)""".stripMargin
 
   // ---- generated SQL fragments that mirror graft.ops constants ----
 
@@ -353,6 +379,24 @@ object SparkEntry {
           col("op"), col("topic"), col("key"))
         .orderBy(col("commit_lsn"), col("emit_seq"))
     }),
+    // ExtractNewRecordState SMT: the envelope stream flattened to plain
+    // rows — deletes rewritten from the before image with __deleted,
+    // envelope metadata carried under the __ prefix
+    "e_unwrap" -> ((s, d) => {
+      val log = CdcRelational.changeLog(t(s, d, "events"))
+        .where(col("lsn") < 2000)
+      val tbl = concat(lit("tab"), (col("tx_id") % 3 + 1).cast("string"))
+      val img = struct(col("key_id").cast("string").as("k1"),
+        col("event_type").as("k2"))
+      val input = log.select(
+        col("op"), tbl.as("table"),
+        when(col("op") === "d", img).as("before"),
+        when(col("op") =!= "d", img).as("after"),
+        col("lsn").as("commit_lsn"))
+      Unwrap.flatten(input,
+          addFields = Seq("op" -> "op", "table" -> "table", "commit_lsn" -> "lsn"))
+        .orderBy(col("__lsn"))
+    }),
     // ---- training-data ops: similarity search ----
     "ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -439,6 +483,25 @@ object SparkEntry {
     // shuffle-free keep discipline (the crawl-curation op)
     "source_caps" -> ((s, d) =>
       Curation.sourceCapStats(t(s, d, "documents")).orderBy(col("source"))),
+    // ---- URL/domain curation (URL derived; testdata has no URL col) ----
+    "url_features" -> ((s, d) =>
+      UrlOps.urlFeatures(withUrl(t(s, d, "documents"))).orderBy(col("doc_id"))),
+    "url_domain_stats" -> ((s, d) =>
+      UrlOps.domainStats(withUrl(t(s, d, "documents"))).orderBy(col("domain"))),
+    // domain-share caps: the crawl-balancing form of source_caps, keyed
+    // on the extracted registrable domain
+    "url_domain_caps" -> ((s, d) =>
+      Curation.sourceCapStats(
+        withUrl(t(s, d, "documents"))
+          .withColumn("domain", UrlOps.domain(col("url"))),
+        sourceCol = "domain").orderBy(col("domain"))),
+    // ---- training-export sharding: deterministic global shuffle ----
+    "corpus_shard" -> ((s, d) =>
+      Curation.shardAssign(t(s, d, "documents"), nShards = 8)
+        .orderBy(col("shard"), col("pos"))),
+    "shard_stats" -> ((s, d) =>
+      Curation.shardStats(t(s, d, "documents"), nShards = 8)
+        .orderBy(col("shard"))),
     "sketch_distinct" -> ((s, d) =>
       Sketches.distinctProfile(t(s, d, "documents")).orderBy(col("lang"))),
     // N-way shared-content profile from ONE union KMV sketch (no 2^L
@@ -749,6 +812,17 @@ object SparkEntry {
         |  UNION ALL SELECT commit_lsn, 1, 'tombstone', topic, key FROM k WHERE op = 'd')
         |SELECT commit_lsn, CAST(emit_seq AS BIGINT) AS emit_seq, op, topic, key
         |FROM u ORDER BY commit_lsn, emit_seq""".stripMargin,
+    "e_unwrap" ->
+      s"""$LOG
+        |-- deletes carry a NULL after image on the Spark side: non-null
+        |-- k1/k2 here prove flatten resurrected the before image
+        |SELECT CAST(key_id AS VARCHAR) AS k1,
+        |  event_type AS k2,
+        |  CASE WHEN op='d' THEN 'true' ELSE 'false' END AS __deleted,
+        |  op AS __op,
+        |  'tab' || CAST(tx_id % 3 + 1 AS VARCHAR) AS __table,
+        |  lsn AS __lsn
+        |FROM log WHERE lsn < 2000 ORDER BY __lsn""".stripMargin,
     "n2_chunk_boundaries" ->
       "SELECT CAST(floor(doc_id/100) AS BIGINT) AS chunk, min(doc_id) AS key_lo, max(doc_id) AS key_hi, count(*) AS n_rows FROM documents GROUP BY 1 ORDER BY 1",
     "cdc_merge_apply" ->
@@ -989,6 +1063,55 @@ object SparkEntry {
         |SELECT r.source, r.n_docs, CAST(share_bp AS BIGINT) AS share_bp, rate_bp, n_kept
         |FROM r JOIN k USING(source) ORDER BY source""".stripMargin
     },
+    "url_features" ->
+      s"""$URL, f AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p
+        |  FROM u)
+        |SELECT doc_id, host,
+        |  regexp_replace(host, '^www\\.', '') AS domain,
+        |  CAST(len(list_filter(string_split(p, '/'), s -> len(s) > 0)) AS BIGINT) AS path_depth,
+        |  'https://' || regexp_replace(host, '^www\\.', '') || regexp_replace(p, '/$$', '') AS canonical_url
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "url_domain_stats" ->
+      s"""$URL, f AS (SELECT
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+        |  len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/'), s -> len(s) > 0)) AS pd
+        |  FROM u),
+        |g AS (SELECT regexp_replace(host, '^www\\.', '') AS domain, count(*) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts, sum(pd) AS ds FROM f GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM g)
+        |SELECT domain, n_docs, CAST((n_docs*10000)//tot AS BIGINT) AS share_bp,
+        |  CAST(n_hosts AS BIGINT) AS n_hosts,
+        |  round(CAST(ds AS DOUBLE)/n_docs, 4) AS mean_depth
+        |FROM g, t ORDER BY domain""".stripMargin,
+    "url_domain_caps" -> {
+      val bp = Curation.SourceCapBp
+      s"""$URL, dd AS (SELECT doc_id,
+        |  regexp_replace(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS domain FROM u),
+        |c AS (SELECT domain, count(*) AS n_docs FROM dd GROUP BY domain),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT domain, n_docs, (n_docs*10000)//tot AS share_bp,
+        |  CAST(CASE WHEN n_docs <= (tot*$bp)//10000 THEN 10000 ELSE (((tot*$bp)//10000)*10000)//n_docs END AS BIGINT) AS rate_bp
+        |  FROM c, t),
+        |k AS (SELECT dd.domain, CAST(sum(CASE WHEN ${H("CAST(doc_id AS VARCHAR) || ':srccap'")} % 10000 < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM dd JOIN r USING(domain) GROUP BY dd.domain)
+        |SELECT r.domain, r.n_docs, CAST(share_bp AS BIGINT) AS share_bp, rate_bp, n_kept
+        |FROM r JOIN k USING(domain) ORDER BY domain""".stripMargin
+    },
+    "corpus_shard" ->
+      s"""WITH a AS (SELECT doc_id, source, ${H("CAST(doc_id AS VARCHAR) || ':shard'")} AS h FROM documents)
+        |SELECT doc_id, source, CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM a ORDER BY shard, pos""".stripMargin,
+    "shard_stats" ->
+      s"""WITH a AS (SELECT doc_id, source, ${H("CAST(doc_id AS VARCHAR) || ':shard'")} AS h FROM documents),
+        |b AS (SELECT source, h % 8 AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos FROM a)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(max(pos) AS BIGINT) AS max_pos
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "sample_strat_stats" ->
       s"""SELECT lang, count(*) AS n_total,
         |CAST(sum(CASE WHEN $SAMPLE_KEEP THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

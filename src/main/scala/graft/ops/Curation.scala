@@ -309,6 +309,45 @@ object Curation {
       .agg(max(col("n")).as("n_sample"), aggs: _*)
   }
 
+  /** Deterministic corpus shuffle + sharding — the training-export step
+    * that turns a curated corpus into `nShards` shard files whose
+    * within-shard order is a reproducible global shuffle (dataloaders
+    * read shards sequentially; sources must be well interleaved, and a
+    * re-run must produce byte-identical shards).
+    *
+    * Scale shape: shard id is a pure per-row expression over the salted
+    * portable hash (no RNG state, no global sort — a corpus-wide
+    * `orderBy(rand())` is a full-data range shuffle AND unreproducible).
+    * The within-shard position is a rank over the SAME hash, so the one
+    * exchange is `hashpartitioning(shard, nShards)` and each shard sorts
+    * locally in its own task — which is exactly the layout the shard
+    * writer needs (one sorted file per task, no second shuffle). The
+    * contract is the standard sharded-export one: pick `nShards` so a
+    * shard fits a task (10^4–10^5 shards at 100 TB), exactly how the
+    * shard count of a webdataset/tfrecord export is chosen.
+    */
+  def shardAssign(df: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = portableHash(concat(col("doc_id").cast("string"), lit(":shard")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    df.select(col("doc_id"), col("source"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Shard-balance / interleaving report: per-shard sizes and distinct
+    * source counts — the observable that shards are even and sources are
+    * mixed (a shard holding one source would starve a dataloader's
+    * mixture). One map-side-combined aggregation over the assignment.
+    */
+  def shardStats(df: DataFrame, nShards: Int): DataFrame =
+    shardAssign(df, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        max(col("pos")).as("max_pos"))
+
   /** Token-budget mixture weights: per-stratum document/token totals,
     * the stratum's share of the corpus tokens, and the resampling weight
     * that would equalize the mixture (target = uniform across strata).

@@ -186,4 +186,29 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(weight * share * k - 1.0) < 0.01, s"$lang: w=$weight s=$share")
     }
   }
+
+  test("sharding: a partition of the corpus, contiguous positions, reproducible") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"w$i", "en", s"src${i % 4}", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Curation.shardAssign(docs, nShards = 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    assert(a.map(_._3).toSet.subsetOf((0L until 5L).toSet))
+    // per-shard positions are exactly 1..n (the rank is gap-free)
+    a.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq, s"shard $shard")
+    }
+    // bit-reproducible under a different input partitioning
+    val b = Curation.shardAssign(docs.repartition(13), nShards = 5)
+      .as[(Long, String, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // stats agree with the assignment
+    val st = Curation.shardStats(docs, nShards = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(st.map(_._2).sum == 200L)
+    st.foreach { case (_, n, nSrc, maxPos) =>
+      assert(maxPos == n); assert(nSrc >= 1L && nSrc <= 4L)
+    }
+  }
 }
