@@ -57,6 +57,11 @@ object Main {
       // Filter-SMT analog: SQL predicate over the after image, e.g.
       // --row-filter "after.n_tok >= 32" (ingest-time quality gate)
       rowFilter = a.get("row-filter").map(org.apache.spark.sql.functions.expr),
+      // snapshot.select.statement.overrides analog: WHERE clause applied
+      // to the snapshot source only, e.g. --snapshot-where "n_tok >= 8"
+      snapshotOverride = a.get("snapshot-where").map(sql =>
+        (df: org.apache.spark.sql.DataFrame) =>
+          df.where(org.apache.spark.sql.functions.expr(sql))),
       // --skipped-operations "d,t" (skipped.operations analog)
       skippedOperations = a.get("skipped-operations")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

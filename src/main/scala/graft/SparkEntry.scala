@@ -63,6 +63,27 @@ object SparkEntry {
       |    CASE WHEN doc_id % 4 = 0 THEN '?ref=' || source ELSE '' END AS url
       |  FROM documents)""".stripMargin
 
+  /** Quality-filter verdict CTE chain (mirrors TextOps.qualityFilter;
+    * thresholds GENERATED from the active constants, all comparisons
+    * integer).
+    */
+  private val QUALITY_VERDICTS = {
+    val lo = TextOps.QualityMinWords
+    val hi = TextOps.QualityMaxWords
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws, regexp_replace(trim(text),'\\s+','','g') AS compact FROM documents),
+      |u AS (SELECT doc_id, unnest(ws) AS tkn FROM w),
+      |mwc AS (SELECT doc_id, max(cnt) AS mw FROM (SELECT doc_id, tkn, count(*) AS cnt FROM u GROUP BY 1,2) GROUP BY 1),
+      |b AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,
+      |  len(list_filter(ws, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='in' OR x='to')) AS sh,
+      |  length(compact) AS nns FROM w),
+      |v0 AS (SELECT b.doc_id, CAST(n AS BIGINT) AS n_words,
+      |  n < $lo AS too_short, n > $hi AS too_long, sh*50 < n AS low_stop,
+      |  mw*5 >= n AS rep_top_word, (n-nd)*10 >= n*7 AS dup_words,
+      |  (nns < n*2 OR nns > n*8) AS word_shape
+      |  FROM b JOIN mwc USING(doc_id)),
+      |v AS (SELECT *, NOT (too_short OR too_long OR low_stop OR rep_top_word OR dup_words OR word_shape) AS kept FROM v0)""".stripMargin
+  }
+
   // ---- generated SQL fragments that mirror graft.ops constants ----
 
   /** DF-capped distinct word-trigram shingles (mirrors
@@ -355,6 +376,10 @@ object SparkEntry {
     // all-pairs form: the small-scale recall oracle for the bucketed path
     "dedup_embedding_brute" -> ((s, d) =>
       Dedup.embeddingNearDupsBrute(t(s, d, "embeddings")).orderBy(col("id_a"), col("id_b"))),
+    // SemDeDup apply: embedding near-dup clusters collapse to min id
+    "dedup_apply_embedding" -> ((s, d) =>
+      Dedup.applyEmbeddingNearDups(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("label")).orderBy(col("vec_id"))),
     // emission SMT chain (message.key.columns override + topic router +
     // delete tombstones) over a derived committed-event stream: tables
     // tab1/tab2 rewrite their record key to k1:k2, every table reroutes
@@ -540,6 +565,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_lm_score" -> ((s, d) =>
       TextOps.unigramLogProb(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // C4/Gopher rule filter: per-doc keep/reject verdicts + attribution
+    "quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "quality_filter_stats" -> ((s, d) =>
+      TextOps.qualityFilterStats(t(s, d, "documents")).orderBy(col("rule"))),
     "text_langid_eval" -> ((s, d) =>
       TextOps.langIdEval(t(s, d, "documents"))
         .orderBy(col("lang"), col("pred_lang"))),
@@ -921,6 +951,19 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_apply_embedding" ->
+      s"""WITH RECURSIVE ${LSH_PLANES(24)},
+        |bb AS (SELECT vec_id, CAST(p // 3 AS INTEGER) AS band, CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 3 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket FROM s GROUP BY 1,2),
+        |${BUCKET_CAP("bbc", "bb", "vec_id")},
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bbc a JOIN bbc b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |p AS (SELECT c.id_a, c.id_b FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id JOIN embeddings eb ON c.id_b = eb.vec_id
+        |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (SELECT u, v FROM e UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        |comp AS (SELECT u AS vec_id, least(u, min(v)) AS component_id FROM reach GROUP BY u)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component_id)
+        |ORDER BY vec_id""".stripMargin,
     "ann_lsh_bucketed" ->
       s"""WITH ${LSH_PLANES(8)},
         |bk AS (SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket FROM s GROUP BY 1),
@@ -1228,6 +1271,13 @@ object SparkEntry {
         |FROM b LEFT JOIN cw USING(doc_id) LEFT JOIN cb USING(doc_id) ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split_regex(trim(text),'\s+')) AS ws_tokens, len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens, CAST(length(text) AS BIGINT) AS n_chars FROM documents ORDER BY doc_id""",
+    "quality_filter" -> (QUALITY_VERDICTS +
+      "\nSELECT * FROM v ORDER BY doc_id"),
+    "quality_filter_stats" -> (QUALITY_VERDICTS + "\n" +
+      Seq("too_short", "too_long", "low_stop", "rep_top_word",
+          "dup_words", "word_shape", "kept")
+        .map(r => s"SELECT '$r' AS rule, CAST(sum(CASE WHEN $r THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM v")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule")),
     "text_quality" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws, regexp_replace(trim(text),'\s+','','g') AS compact FROM documents),
         |q AS (SELECT doc_id, len(ws) AS n_words, len(list_filter(ws, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='in' OR x='to')) AS stop_hits, length(compact) AS n_nonspace FROM w)

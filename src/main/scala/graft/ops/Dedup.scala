@@ -377,6 +377,28 @@ object Dedup {
     df.join(broadcast(victims), Seq("doc_id"), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup apply: embedding near-dup pairs
+    * ([[embeddingNearDups]] — banded sign-LSH candidates, exact-cosine
+    * verified) → connected components → keep only each cluster's min-id
+    * member. Same victim-broadcast discipline as [[applyNearDups]]: the
+    * victim set is O(duplicates) and broadcasts; the embedding table is
+    * never shuffled.
+    */
+  def applyEmbeddingNearDups(emb: DataFrame, threshold: Double = 0.4,
+      bands: Int = 8, planesPerBand: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cc = connectedComponents(
+      embeddingNearDups(emb, threshold, bands, planesPerBand, maxBucket)
+        .select(col("id_a"), col("id_b")),
+      aCol = "id_a", bCol = "id_b")
+    val victims = cc.where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("vec_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    victims.count()
+    cc.unpersist()
+    emb.join(broadcast(victims), Seq("vec_id"), "left_anti")
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel

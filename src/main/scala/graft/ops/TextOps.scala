@@ -165,16 +165,18 @@ object TextOps {
     * frequency (`aggregate` over the sorted array). The whole operator
     * is a projection — it pipelines with the scan at any scale.
     */
+  // longest run of equal adjacent elements of a (sorted) string array =
+  // the max element frequency, computed inside the row
+  private def maxRun(arrSql: String): String =
+    s"""aggregate(sort_array($arrSql),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+       |  acc -> acc.best)""".stripMargin
+
   def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
-    // longest run of equal adjacent elements of a (sorted) string array
-    def maxRun(arrSql: String): String =
-      s"""aggregate(sort_array($arrSql),
-         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-         |  (acc, x) -> named_struct(
-         |    'prev', x,
-         |    'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
-         |    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
-         |  acc -> acc.best)""".stripMargin
     val bigrams =
       "zip_with(slice(__ws, 1, size(__ws) - 1), slice(__ws, 2, size(__ws) - 1)," +
         " (a, b) -> concat(a, ' ', b))"
@@ -193,6 +195,72 @@ object TextOps {
         when(col("n_words") < 2, lit(0.0)).otherwise(round(
           col("__mb").cast("double") / (col("n_words") - 1), 4))
           .as("top_bigram_frac"))
+  }
+
+  /** Gopher/C4-family rule thresholds for [[qualityFilter]] — all
+    * integer-arithmetic comparisons (never a float threshold), so the
+    * SQL oracles replay every verdict bit-for-bit. A rule fires =
+    * the document is REJECTED by it.
+    *
+    *   - too_short / too_long: word-count bounds;
+    *   - low_stop: stopword ratio under 2% (stop_hits * 50 < n) — the
+    *     Gopher "no function words" signal;
+    *   - rep_top_word: most frequent word >= 20% of the doc (mw*5 >= n);
+    *   - dup_words: >= 70% of tokens are repeats ((n-nd)*10 >= 7n);
+    *   - word_shape: mean non-space word length outside [2, 8] chars
+    *     (nns < 2n or nns > 8n) — the symbol-soup / no-spaces signal.
+    */
+  val QualityMinWords = 15
+  val QualityMaxWords = 90
+
+  /** Rule-based quality filter — the C4/Gopher curation step that turns
+    * the [[qualityScore]] / [[repetition]] SIGNALS into per-document
+    * keep/reject VERDICTS with per-rule attribution (a production
+    * pipeline tunes thresholds off exactly this breakdown).
+    *
+    * Scale shape: every signal and every verdict is computed inside the
+    * row (array expressions over the token array — no explode, no
+    * shuffle, no UDF); the operator is a pure projection that pipelines
+    * with the scan, so filtering 100 TB costs one pass.
+    */
+  def qualityFilter(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val sig = df
+      .select(col("doc_id"), words(col(textCol)).as("__ws"),
+        length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("long").as("__nns"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(array_distinct(col("__ws"))).cast("long").as("__nd"),
+        size(filter(col("__ws"),
+          x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("long").as("__sh"),
+        expr(maxRun("__ws")).as("__mw"),
+        col("__nns"))
+    sig.select(col("doc_id"), col("n_words"),
+        (col("n_words") < QualityMinWords).as("too_short"),
+        (col("n_words") > QualityMaxWords).as("too_long"),
+        (col("__sh") * 50 < col("n_words")).as("low_stop"),
+        (col("__mw") * 5 >= col("n_words")).as("rep_top_word"),
+        ((col("n_words") - col("__nd")) * 10 >= col("n_words") * 7).as("dup_words"),
+        (col("__nns") < col("n_words") * 2 || col("__nns") > col("n_words") * 8)
+          .as("word_shape"))
+      .withColumn("kept",
+        !col("too_short") && !col("too_long") && !col("low_stop") &&
+          !col("rep_top_word") && !col("dup_words") && !col("word_shape"))
+  }
+
+  /** Per-rule rejection report: one row per rule with its reject count,
+    * plus the kept total — one map-side-combined aggregation over the
+    * verdict projection (rules overlap, so the counts need not sum to
+    * the rejected total).
+    */
+  def qualityFilterStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val v = qualityFilter(df, textCol)
+    val rules = Seq("too_short", "too_long", "low_stop", "rep_top_word",
+      "dup_words", "word_shape", "kept")
+    val agg = v.agg(
+      sum(col(rules.head).cast("long")).as(rules.head),
+      rules.tail.map(r => sum(col(r).cast("long")).as(r)): _*)
+    agg.select(explode(map(
+      rules.flatMap(r => Seq(lit(r), col(r))): _*)).as(Seq("rule", "n_docs")))
   }
 
   /** Corpus-fit unigram language-model scoring — the CCNet-style LM

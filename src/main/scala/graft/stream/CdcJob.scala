@@ -99,6 +99,16 @@ final case class CdcConfig(
       * `length(col("after.text")) >= 32` keeps junk documents from ever
       * entering the corpus sink. */
     rowFilter: Option[Column] = None,
+    /** Snapshot statement override — the reference's
+      * `snapshot.select.statement.overrides` (Debezium's per-table
+      * custom snapshot SELECT: snapshot only a subset of rows/columns,
+      * e.g. `WHERE delete_flag = 0`). The engine form is a relational
+      * transform applied to the snapshot SOURCE only: the streaming
+      * phase is deliberately NOT restricted (exactly the reference's
+      * semantics — a row excluded from the snapshot still materializes
+      * on its first streamed change event). Runs BEFORE the
+      * [[rowFilter]] gate; must preserve the merge key column. */
+    snapshotOverride: Option[DataFrame => DataFrame] = None,
     /** Operations to skip on every ingest path — the reference's
       * `skipped.operations` config (values c/u/d/t; Debezium's 'none'
       * = the empty set here). Skipped data events are dropped BEFORE
@@ -224,9 +234,18 @@ object CdcJob {
       cfg: CdcConfig,
       snapshotLsn: Long
   ): IceLiteTable = {
+    // snapshot.select.statement.overrides analog: the per-table custom
+    // snapshot SELECT, applied to the snapshot source only (streaming is
+    // never restricted by it)
+    val overridden = cfg.snapshotOverride.fold(sourceRaw) { f =>
+      val out = f(sourceRaw)
+      require(out.columns.contains(cfg.keyCol),
+        s"snapshotOverride must preserve the merge key column '${cfg.keyCol}'")
+      out
+    }
     // one configured gate covers every ingest path: READ rows the
     // stream lane would drop never enter via the snapshot lane either
-    val source = gateSource(sourceRaw, cfg.rowFilter)
+    val source = gateSource(overridden, cfg.rowFilter)
     val table = IceLite.create(spark, cfg.tableRoot,
       MergeApply.asNullable(source.schema).asInstanceOf[org.apache.spark.sql.types.StructType],
       cfg.keyCol, cfg.numBuckets)

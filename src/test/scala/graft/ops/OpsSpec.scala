@@ -269,6 +269,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding dedup apply: exactly the non-min cluster members are dropped") {
+    val pairs = Dedup.embeddingNearDups(embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // expected survivors via a driver-side union-find over the SAME pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val victims = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(x => find(x) != x).toSet
+    val kept = Dedup.applyEmbeddingNearDups(embs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- victims)
+    assert(victims.nonEmpty, "fixture should contain embedding near-dups")
+  }
+
   test("trained IVF: deterministic training, no cartesian over the corpus, recall vs brute") {
     val q = embs.where(col("vec_id") < 10)
     val res1 = Similarity.ivfTrainedTopK(embs, q, k = 3).collect()
@@ -304,6 +327,38 @@ class OpsSpec extends SparkSpec {
     val mangled = docs.select(col("doc_id"), concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
     val fp2 = TextOps.fingerprint(mangled).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp1 == fp2)
+  }
+
+  test("quality filter: each rule fires on its designed doc, clean doc kept") {
+    import spark.implicits._
+    val stops = "the a of and" // distinct stopwords to clear low_stop
+    val cases = Seq(
+      // clean: 20 distinct words, stopwords present, sane lengths
+      (0L, stops + " " + (1 to 16).map(i => s"word$i").mkString(" ")),
+      (1L, "the a of tiny"), // too_short
+      (2L, stops + " " + (1 to 95).map(i => s"w$i").mkString(" ")), // too_long
+      (3L, (1 to 30).map(i => s"nostop$i").mkString(" ")), // low_stop
+      (4L, stops + " " + Seq.fill(8)("spam").mkString(" ") + " " +
+        (1 to 8).map(i => s"x$i").mkString(" ")), // rep_top_word (8/20=40%)
+      (5L, stops + " " + Seq.fill(16)("the").mkString(" ")), // dup_words (16/20 repeats)
+      (6L, stops + " " + (1 to 16).map(i => "q" * 20 + i).mkString(" ")) // word_shape
+    ).toDF("doc_id", "text")
+    val v = TextOps.qualityFilter(cases).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(v(0L).getBoolean(8), "clean doc must be kept")
+    val ruleIdx = Map("too_short" -> 2, "too_long" -> 3, "low_stop" -> 4,
+      "rep_top_word" -> 5, "dup_words" -> 6, "word_shape" -> 7)
+    Seq(1L -> "too_short", 2L -> "too_long", 3L -> "low_stop",
+      4L -> "rep_top_word", 5L -> "dup_words", 6L -> "word_shape")
+      .foreach { case (id, rule) =>
+        assert(v(id).getBoolean(ruleIdx(rule)), s"doc $id should fail $rule")
+        assert(!v(id).getBoolean(8), s"doc $id must be rejected")
+      }
+    // stats reconcile with the verdicts
+    val st = TextOps.qualityFilterStats(cases).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("kept") == 1L)
+    assert(ruleIdx.keys.forall(r => st(r) >= 1L), s"got $st")
   }
 
   test("segment dup stats: a shared 16-token window flags in BOTH docs; short docs excluded") {

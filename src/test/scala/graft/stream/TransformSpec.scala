@@ -68,6 +68,50 @@ class TransformSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("snapshot statement override: partial snapshot; streaming is not restricted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 97)
+    val base = Fs.tempDir("graft-snapovr")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 4,
+      // the per-table custom snapshot SELECT: only long docs snapshot
+      snapshotOverride = Some(_.where(col("n_tok") >= 8)))
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    // snapshot phase holds only the overridden subset
+    val snapIds = table.read().as[graft.model.TokenDoc].collect()
+    assert(snapIds.forall(_.n_tok >= 8))
+    assert(snapIds.length < cfg.nDocs, "override must actually bite")
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    // oracle: replay the FULL log over the REDUCED initial state — a key
+    // excluded from the snapshot reappears on its first streamed event
+    val initial = (0L until cfg.nDocs.toLong).map { k =>
+      val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+      ChangeLogGen.docId(k) -> graft.model.TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+    }.toMap.filter { case (_, d) => d.n_tok >= 8 }
+    val log = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
+    val want = ReplayOracle.replay(initial, log, ChangeLogGen.snapshotLsn)
+    val got = graft.icelite.IceLite.load(spark, cdc.tableRoot).read()
+      .as[graft.model.TokenDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(got.keySet == want.keySet,
+      s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens $k") }
+    // a key dropped at snapshot must have come back via the stream
+    val dropped = ((0L until cfg.nDocs.toLong).map(ChangeLogGen.docId).toSet
+      -- initial.keySet)
+    assert(dropped.exists(got.contains), "a snapshot-excluded key should rematerialize")
+    // the override must not touch the merge key
+    intercept[IllegalArgumentException] {
+      CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc.copy(tableRoot = s"$base/t2",
+          snapshotOverride = Some(_.drop("doc_id"))),
+        ChangeLogGen.snapshotLsn)
+    }
+    Fs.deleteRecursively(base)
+  }
+
   test("sha256 transform is salted and deterministic") {
     import spark.implicits._
     val df = Seq(("k1", "hello")).toDF("k", "v")
