@@ -61,7 +61,9 @@ object Bench {
     "source_caps", "mix_weights",
     "sketch_distinct", "sketch_overlap", "sketch_kway", "text_repetition",
     "text_seg_dup", "text_lm_score", "text_tfidf", "length_quantiles",
-    "quantile_sample", "dedup_components", "stream_neardup")
+    "quantile_sample", "dedup_components", "stream_neardup",
+    "quality_filter_stats", "url_domain_caps", "shard_stats",
+    "dedup_apply_embedding")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

@@ -89,6 +89,9 @@ object Main {
       // emitted-record sink + its parity switches (E1/E2/E5)
       emitDir = a.get("emit-dir"),
       tombstonesOnDelete = a.getOrElse("tombstones-on-delete", "true").toBoolean,
+      // ExtractNewRecordState in the sink chain: emitted records as flat
+      // rows (delete rewrite + __deleted, tombstones dropped)
+      emitFlatten = a.getOrElse("emit-flatten", "false").toBoolean,
       returnEmptyTransactions =
         a.getOrElse("return-empty-transactions", "false").toBoolean,
       // concurrent compaction (recommended on): folds run on the

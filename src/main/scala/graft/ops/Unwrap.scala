@@ -47,15 +47,24 @@ object Unwrap {
     require(Seq(DeleteDrop, DeleteRewrite, DeleteNone).contains(deleteMode),
       s"unknown delete.handling.mode: $deleteMode")
     val afterType = records.schema("after").dataType.asInstanceOf[StructType]
-    val hasBefore = records.columns.contains("before")
+    val beforeFields: Set[String] =
+      if (!records.columns.contains("before")) Set.empty
+      else records.schema("before").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
     val isDelete = col("op") === "d"
-    // rewrite mode resurrects the before image for deletes; the other
-    // modes only ever read the after image
-    val img: Column =
-      if (deleteMode == DeleteRewrite && hasBefore)
-        when(isDelete, col("before")).otherwise(col("after"))
-      else col("after")
-    val flat = afterType.fieldNames.toSeq.map(f => img.getField(f).as(f))
+    // rewrite mode resurrects the before image for deletes, PER FIELD:
+    // upstream capture may prune the before image to a subset (this
+    // engine ships before.<key> + kept override fields only), so a
+    // field absent there flattens to null on a delete — exactly the
+    // SMT's behavior for fields the connector did not capture
+    def imgField(f: String): Column =
+      if (deleteMode == DeleteRewrite && beforeFields.contains(f))
+        when(isDelete, col("before").getField(f))
+          .otherwise(col("after").getField(f))
+      else if (deleteMode == DeleteRewrite && beforeFields.nonEmpty)
+        when(isDelete, lit(null)).otherwise(col("after").getField(f))
+      else col("after").getField(f)
+    val flat = afterType.fieldNames.toSeq.map(f => imgField(f).as(f))
     val rewrite =
       if (deleteMode == DeleteRewrite)
         Seq(when(isDelete, "true").otherwise("false").as("__deleted"))

@@ -150,6 +150,13 @@ final case class CdcConfig(
       */
     tombstonesOnDelete: Boolean = true,
     returnEmptyTransactions: Boolean = false,
+    /** Flatten the emitted record stream — ExtractNewRecordState in the
+      * sink chain ([[graft.ops.Unwrap]]): emitted records are plain
+      * rows (delete rewrite mode, before image resurrected, `__deleted`
+      * marker, `__op`/`__topic`/`__key`/`__lsn` metadata); tombstones
+      * are dropped (the SMT's `drop.tombstones` default — a flattened
+      * stream has no use for them). Envelope emission is the default. */
+    emitFlatten: Boolean = false,
     /** Cross-batch open-transaction carryover (the distributed analog of
       * the reference's tx buffering, `DbzTransactionEngine.java:88-156`):
       * records of transactions not yet closed in a batch are staged under
@@ -554,6 +561,7 @@ object CdcJob {
       emitDir: Option[String] = None,
       tombstonesOnDelete: Boolean = true,
       returnEmptyTransactions: Boolean = false,
+      emitFlatten: Boolean = false,
       filters: CaptureFilters = CaptureFilters.none,
       inlineCompact: Boolean = true,
       rowFilter: Option[Column] = None,
@@ -614,9 +622,14 @@ object CdcJob {
       val full =
         if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
         else events
-      TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol,
-          messageKeyColumns, topicRouting)
-        .write.mode("overwrite").parquet(f"$dir/batch-$batchId%08d")
+      val recs = TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol,
+        messageKeyColumns, topicRouting, keepBefore = emitFlatten)
+      val outRecs =
+        if (!emitFlatten) recs
+        else graft.ops.Unwrap.flatten(recs, addFields = Seq(
+          "op" -> "op", "topic" -> "topic", "key" -> "key",
+          "commit_lsn" -> "lsn"))
+      outRecs.write.mode("overwrite").parquet(f"$dir/batch-$batchId%08d")
       TxAssembler.transactionMetadataAll(input, returnEmptyTransactions)
         .write.mode("overwrite").parquet(f"$dir/tx-batch-$batchId%08d")
     }
@@ -667,7 +680,8 @@ object CdcJob {
         cfg.heartbeatActionSql.foreach(sql => spark.sql(sql).collect())
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
-          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
+          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions,
+          emitFlatten = cfg.emitFlatten, filters = cfg.filters,
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,
@@ -754,7 +768,8 @@ object CdcJob {
         val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
-          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions, cfg.filters,
+          cfg.tombstonesOnDelete, cfg.returnEmptyTransactions,
+          emitFlatten = cfg.emitFlatten, filters = cfg.filters,
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,

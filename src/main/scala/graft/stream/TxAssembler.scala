@@ -193,7 +193,8 @@ object TxAssembler {
   def emitRecords(events: DataFrame, tombstonesOnDelete: Boolean,
       keyCol: String = "doc_id",
       messageKeyColumns: Seq[(String, Seq[String])] = Nil,
-      topicRouting: Option[(String, String)] = None): DataFrame = {
+      topicRouting: Option[(String, String)] = None,
+      keepBefore: Boolean = false): DataFrame = {
     val afterType = events.schema("after").dataType
     // message.key.columns: first matching table regex overrides the
     // record key with the listed fields joined by ':' (the structural
@@ -238,7 +239,14 @@ object TxAssembler {
         .withColumn("op", when(col("emit_seq") === 1, "tombstone").otherwise(col("op")))
         .withColumn("after", when(col("emit_seq") === 1, lit(null).cast(afterType))
           .otherwise(col("after")))
-    base.select(col("commit_lsn"), col("change_lsn"), col("emit_seq"),
+    // keepBefore: ship the before image too (the downstream unwrap
+    // SMT's rewrite mode resurrects it for deletes); a tombstone record
+    // carries NO envelope at all, so both images null there
+    val cols = Seq(col("commit_lsn"), col("change_lsn"), col("emit_seq"),
       col("op"), col("topic"), col("key"), col("after"), col("ts_ms"))
+    if (!keepBefore) base.select(cols: _*)
+    else base.select(cols :+
+      when(col("op") === "tombstone", lit(null).cast(events.schema("before").dataType))
+        .otherwise(col("before")).as("before"): _*)
   }
 }

@@ -45,6 +45,33 @@ class EmissionSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("emitFlatten: the sink chain's ExtractNewRecordState — flat rows, before-image deletes, no tombstones") {
+    import graft.changelog.{ChangeLogConfig => CLC}
+    val cfg = CLC(nTx = 100, nDocs = 60, seed = 89)
+    val base = Fs.tempDir("graft-emitflat")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4,
+      emitDir = Some(s"$base/emit"), tombstonesOnDelete = true, emitFlatten = true)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 2)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val flat = spark.read.parquet(s"$base/emit/batch-*")
+    // plain rows: after-image fields at top level, no envelope columns
+    assert(flat.columns.contains("doc_id") && flat.columns.contains("tokens"))
+    assert(!flat.columns.contains("after") && !flat.columns.contains("before"))
+    // tombstones dropped even though tombstones.on.delete is on
+    assert(flat.where(col("__op") === "tombstone").count() == 0)
+    val dels = flat.where(col("__op") === "d")
+    assert(dels.count() > 0, "fixture must contain deletes")
+    // rewrite mode: deletes flatten their BEFORE image, flagged __deleted
+    assert(dels.where(col("doc_id").isNull).count() == 0)
+    assert(dels.where(col("__deleted") =!= "true").count() == 0)
+    assert(flat.where(col("__op") =!= "d" && col("__deleted") =!= "false").count() == 0)
+    // envelope metadata carried under the __ prefix
+    Seq("__topic", "__key", "__lsn").foreach(c => assert(flat.columns.contains(c), c))
+    Fs.deleteRecursively(base)
+  }
+
   test("emitDir wires the config switches into the streaming path (E1/E2/E5 sink)") {
     import graft.changelog.{ChangeLogConfig => CLC}
     val cfg = CLC(nTx = 100, nDocs = 60, seed = 85)
