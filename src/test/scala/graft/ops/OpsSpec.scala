@@ -329,6 +329,27 @@ class OpsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("plan shapes: filter/parse/unwrap are shuffle-free projections; sharding shuffles once") {
+    import spark.implicits._
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    def exchanges(p: String) = p.sliding("Exchange".length).count(_ == "Exchange")
+    // quality verdicts: pure projection — pipelines with the scan
+    assert(exchanges(plan(TextOps.qualityFilter(docs))) == 0)
+    // URL parse surface: pure projection
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://www.x.org/a/"), col("doc_id")).as("url"))
+    assert(exchanges(plan(UrlOps.urlFeatures(urls))) == 0)
+    // unwrap SMT: projection + filter only
+    val env = Seq(("c", 1L)).toDF("op", "commit_lsn")
+      .withColumn("after", struct(lit("k").as("k")))
+      .withColumn("before", struct(lit("k").as("k")))
+    assert(exchanges(plan(Unwrap.flatten(env))) == 0)
+    // shard assignment: exactly ONE exchange (the shard-id hash feeding
+    // the per-shard rank) — the same layout the shard writer consumes
+    assert(exchanges(plan(Curation.shardAssign(docs, 8))) == 1)
+  }
+
   test("quality filter: each rule fires on its designed doc, clean doc kept") {
     import spark.implicits._
     val stops = "the a of and" // distinct stopwords to clear low_stop
