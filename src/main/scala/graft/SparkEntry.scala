@@ -31,6 +31,26 @@ object SparkEntry {
       when(col("doc_id") % 4 === 0, concat(lit("?ref="), col("source")))
         .otherwise(lit(""))))
 
+  /** Deterministic PII injection — the testdata text carries no PII,
+    * so the PII-scrub queries append one synthetic artifact per doc
+    * (round-robin: email, IPv4, E.164 phone, 9-digit account number);
+    * mirrored bit-for-bit by the PII SQL fragment.
+    */
+  private def withPii(df: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    df.withColumn("text", concat(col("text"),
+      when(id % 4 === 0,
+        concat(lit(" mail user"), id.cast("string"), lit("@example.com ok")))
+      .when(id % 4 === 1,
+        concat(lit(" host 10."), (id % 256).cast("string"), lit(".0."),
+          (id % 100).cast("string"), lit(" up")))
+      .when(id % 4 === 2,
+        concat(lit(" call +1415555"),
+          lpad((id % 10000).cast("string"), 4, "0"), lit(" soon")))
+      .otherwise(
+        concat(lit(" acct 12345678"), (id % 10).cast("string"), lit(" end")))))
+  }
+
   /** Flagship: LWW-deduped CDC merge of the derived change stream onto
     * `documents` — the observable form of the engine's MERGE apply.
     */
@@ -51,6 +71,16 @@ object SparkEntry {
 
   // portable 56-bit hash (matches TextOps.portableHash)
   private def H(x: String) = s"(('0x' || substr(md5($x),1,14))::BIGINT)"
+
+  // PII-injected-text fragment (mirrors SparkEntry.withPii bit-for-bit)
+  private val PII =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com ok'
+      |         WHEN doc_id % 4 = 1 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+      |         WHEN doc_id % 4 = 2 THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon'
+      |         ELSE ' acct 12345678' || CAST(doc_id % 10 AS VARCHAR) || ' end' END AS text
+      |  FROM documents)""".stripMargin
 
   // derived-URL fragment (mirrors SparkEntry.withUrl bit-for-bit)
   private val URL =
@@ -540,6 +570,15 @@ object SparkEntry {
     // 16-token windows, dup iff the window hash occurs in >= 2 docs
     "text_seg_dup" -> ((s, d) =>
       TextOps.segmentDupStats(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // segment-dedup APPLY (boilerplate removal): only (hash, doc, idx)
+    // triples shuffle; doc text rebuilt in-row from surviving windows
+    "text_seg_dedup_apply" -> ((s, d) =>
+      TextOps.segmentDedupApply(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // ---- PII scrub (PII injected deterministically; testdata has none) ----
+    "pii_stats" -> ((s, d) =>
+      Pii.piiStats(withPii(t(s, d, "documents"))).orderBy(col("doc_id"))),
+    "pii_redact" -> ((s, d) =>
+      Pii.redact(withPii(t(s, d, "documents"))).orderBy(col("doc_id"))),
     // pairwise stratum-overlap matrix by KMV sketch merge +
     // inclusion-exclusion (exact union/inter columns = the small-scale
     // comparison; estimates are the bounded-state scale path)
@@ -1258,6 +1297,37 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f.dfq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
         |  round(sum(CASE WHEN f.dfq >= 2 THEN 1 ELSE 0 END)*1.0/count(*), 4) AS dup_ratio
         |FROM sg JOIN f USING(sh) GROUP BY sg.doc_id ORDER BY doc_id""".stripMargin,
+    "text_seg_dedup_apply" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\\s+')) > 0),
+        |sg AS (SELECT doc_id, i, ${H("array_to_string(ws[i*16+1 : i*16+16], ' ')")} AS h FROM w, unnest(range(0, (len(ws)+15)//16)) t(i)),
+        |k AS (SELECT doc_id, i, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) = 1 AS keep FROM sg),
+        |o AS (SELECT k.doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segs,
+        |  coalesce(string_agg(array_to_string(w.ws[k.i*16+1 : k.i*16+16], ' '), ' ' ORDER BY k.i) FILTER (WHERE k.keep), '') AS out
+        |  FROM k JOIN w USING(doc_id) GROUP BY k.doc_id)
+        |SELECT doc_id, n_segs, n_kept_segs,
+        |  CAST(CASE WHEN length(out) = 0 THEN 0 ELSE len(string_split(out, ' ')) END AS BIGINT) AS out_words,
+        |  CASE WHEN length(out) = 0 THEN 0 ELSE ${H("out")} END AS out_fp
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "pii_stats" ->
+      s"""$PII, c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '${Pii.LongNumRe}')) AS BIGINT) AS n_longnums
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_ips, n_phones, n_longnums,
+        |  (n_emails + n_ips + n_phones + n_longnums > 0) AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pii_redact" -> {
+      // the sequential redaction chain, generated from the Scala constants
+      val red = Pii.Chain.foldLeft("text") { case (e, (re, tok)) =>
+        s"regexp_replace($e, '$re', '$tok', 'g')"
+      }
+      s"""$PII, r AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS in_chars, $red AS red FROM p)
+        |SELECT doc_id, in_chars, CAST(length(red) AS BIGINT) AS out_chars, ${H("red")} AS red_fp
+        |FROM r ORDER BY doc_id""".stripMargin
+    },
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents),
         |b AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd, ws,

@@ -333,4 +333,64 @@ object TextOps {
       .withColumn("dup_ratio",
         round(col("n_dup_segs").cast("double") / col("n_segs"), 4))
   }
+
+  /** SEGMENT-level dedup APPLY — the boilerplate REMOVAL op
+    * ([[segmentDupStats]] is the readout; this is the CCNet-style
+    * paragraph-dedup rewrite itself, over non-overlapping
+    * `segTokens`-token windows since the corpus text is a single token
+    * stream): every occurrence of a segment except the globally first
+    * one (smallest (doc_id, segment index)) is cut from its document,
+    * and each document is re-assembled from its surviving segments in
+    * order. The trailing partial window is a segment like any other —
+    * it dedups by its own content hash.
+    *
+    * Scale shape: the dedup DECISION moves only one (hash, doc_id,
+    * idx) triple per segment — the first-occurrence choice is a
+    * map-side-combined `min(struct(doc_id, idx))` per hash, and the
+    * verdict join is hash-co-partitioned; the document text never
+    * enters that pipeline. What joins back to the corpus is the
+    * REMOVED-index set per affected doc — empty for every document
+    * with no duplicated window, so after upstream exact dedup it is
+    * usually small enough to broadcast (AQE picks that up), and in the
+    * worst case it is one doc_id-keyed join that plans exchange-free
+    * over the engine's doc_id-bucketed layout (DSv2 storage-partitioned
+    * join). Re-assembly is an in-row array expression over the doc's
+    * own token array — the corpus is never re-sorted or re-written
+    * through a shuffle.
+    */
+  def segmentDedupApply(df: DataFrame, segTokens: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    val st = segTokens
+    val base = df.select(col("doc_id"), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) > 0)
+    val segs = base.select(col("doc_id"),
+        explode(sequence(lit(0),
+          ((size(col("__ws")) + (st - 1)) / st).cast("int") - 1)).as("__i"),
+        col("__ws"))
+      .select(col("doc_id"), col("__i"),
+        portableHash(concat_ws(" ",
+          slice(col("__ws"), col("__i") * st + 1, lit(st)))).as("__h"))
+    val first = segs.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("__i"))).as("__f"))
+    val removed = segs.join(first, Seq("__h"))
+      .where(struct(col("doc_id"), col("__i")) =!= col("__f"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("__i")).as("__rm"))
+    base
+      .withColumn("n_segs",
+        ((size(col("__ws")) + (st - 1)) / st).cast("long"))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("__keep",
+        filter(sequence(lit(0), col("n_segs").cast("int") - 1),
+          i => coalesce(!array_contains(col("__rm"), i), lit(true))))
+      .select(col("doc_id"), col("n_segs"),
+        size(col("__keep")).cast("long").as("n_kept_segs"),
+        concat_ws(" ", flatten(transform(col("__keep"),
+          i => slice(col("__ws"), i * st + 1, lit(st))))).as("__out"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept_segs"),
+        when(length(col("__out")) === 0, lit(0L))
+          .otherwise(size(split(col("__out"), " ")).cast("long")).as("out_words"),
+        when(length(col("__out")) === 0, lit(0L))
+          .otherwise(portableHash(col("__out"))).as("out_fp"))
+  }
 }

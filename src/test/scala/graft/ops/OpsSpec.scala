@@ -340,6 +340,9 @@ class OpsSpec extends SparkSpec {
     val urls = docs.select(col("doc_id"),
       concat(lit("https://www.x.org/a/"), col("doc_id")).as("url"))
     assert(exchanges(plan(UrlOps.urlFeatures(urls))) == 0)
+    // PII scrub: detection + redaction are pure projections
+    assert(exchanges(plan(Pii.piiStats(docs))) == 0)
+    assert(exchanges(plan(Pii.redact(docs))) == 0)
     // unwrap SMT: projection + filter only
     val env = Seq(("c", 1L)).toDF("op", "commit_lsn")
       .withColumn("after", struct(lit("k").as("k")))
@@ -348,6 +351,67 @@ class OpsSpec extends SparkSpec {
     // shard assignment: exactly ONE exchange (the shard-id hash feeding
     // the per-shard rank) — the same layout the shard writer consumes
     assert(exchanges(plan(Curation.shardAssign(docs, 8))) == 1)
+  }
+
+  test("pii: each detector counts its artifact; redaction is sequential and byte-exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach me at bob.smith+x@mail.example.org or alice@ex.io thanks"),
+      (2L, "server 10.0.0.7 talked to 192.168.12.34 on port 443"),
+      (3L, "call +4915112345678 now"),
+      (4L, "account 123456789012 charged"),
+      (5L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val s = Pii.piiStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(s(1L) == ((2L, 0L, 0L, 0L, true)))
+    assert(s(2L) == ((0L, 2L, 0L, 0L, true)))
+    // an E.164 phone is ALSO a long digit run — detectors are independent
+    assert(s(3L) == ((0L, 0L, 1L, 1L, true)))
+    assert(s(4L) == ((0L, 0L, 0L, 1L, true)))
+    assert(s(5L) == ((0L, 0L, 0L, 0L, false)))
+    // redaction: sequential chain; phone wins over number on overlap
+    val red = d.select(col("doc_id"), Pii.redacted(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(red(2L) == "server <IP> talked to <IP> on port 443")
+    assert(red(3L) == "call <PHONE> now")
+    assert(red(4L) == "account <NUM> charged")
+    assert(red(5L) == "nothing sensitive here at all")
+    // clean text passes through fingerprint-identical
+    val fp = Pii.redact(d.where(col("doc_id") === 5L)).select("red_fp").as[Long].head()
+    val orig = d.where(col("doc_id") === 5L)
+      .select(TextOps.portableHash(col("text"))).as[Long].head()
+    assert(fp == orig)
+  }
+
+  test("segment dedup apply: later copies of a window are cut, text rebuilt in order") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ") // one full window
+    val u1 = (1 to 16).map(i => s"u$i").mkString(" ")
+    val u2 = (1 to 16).map(i => s"v$i").mkString(" ")
+    val tail = "t1 t2 t3" // partial window
+    val d = Seq(
+      (1L, s"$boiler $u1 $tail"),        // first owner of boiler + tail
+      (2L, s"$u2 $boiler"),              // loses its boiler copy
+      (3L, s"$boiler $tail"),            // loses everything
+      (4L, "w1 w2")                      // short doc: single partial segment
+    ).toDF("doc_id", "text")
+    val out = TextOps.segmentDedupApply(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1 keeps all 3 segments (35 words)
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L && out(1L)._3 == 35L)
+    // doc 2: 2 segments, keeps only its unique one (16 words)
+    assert(out(2L) == ((2L, 1L, 16L, d.sparkSession.range(1).select(
+      TextOps.portableHash(lit(u2))).head().getLong(0))))
+    // doc 3 loses both segments -> empty output, sentinel fp 0
+    assert(out(3L) == ((2L, 0L, 0L, 0L)))
+    // doc 4's partial window is untouched
+    assert(out(4L)._2 == 1L && out(4L)._3 == 2L)
+    // within-doc duplicate windows also collapse to the first occurrence
+    val rep = Seq((9L, s"$boiler $boiler $u1")).toDF("doc_id", "text")
+    val r9 = TextOps.segmentDedupApply(rep).collect().head
+    assert(r9.getLong(1) == 3L && r9.getLong(2) == 2L && r9.getLong(3) == 32L)
   }
 
   test("quality filter: each rule fires on its designed doc, clean doc kept") {
