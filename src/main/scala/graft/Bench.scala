@@ -63,7 +63,8 @@ object Bench {
     "text_seg_dup", "text_lm_score", "text_tfidf", "length_quantiles",
     "quantile_sample", "dedup_components", "stream_neardup",
     "quality_filter_stats", "url_domain_caps", "shard_stats",
-    "dedup_apply_embedding")
+    "dedup_apply_embedding", "pii_redact", "text_seg_dedup_apply",
+    "asof_join", "range_join")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

@@ -574,6 +574,47 @@ object SparkEntry {
     // triples shuffle; doc text rebuilt in-row from surviving windows
     "text_seg_dedup_apply" -> ((s, d) =>
       TextOps.segmentDedupApply(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // ---- temporal joins (as-of / range) over the events table ----
+    // backward AS-OF join: each purchase attributed to the same user's
+    // latest click at or before it (union-window shape, ONE shuffle)
+    "asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("click_id").desc)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          col("value").as("click_value"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .drop("__rn") // unique per (user, ts) -> deterministic as-of
+      Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+          Seq("click_id", "click_value", "ts"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"),
+          col("asof_click_id").as("click_id"),
+          round(col("asof_click_value"), 2).as("click_value"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")))
+            .as("lag_sec"))
+        .orderBy(col("event_id"))
+    }),
+    // keyless RANGE join, bucketed: events joined into 10-minute
+    // incident windows opened by high-value errors (no BNLJ)
+    "range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val incidents = ev
+        .where(col("event_type") === "error" && col("value") > 35)
+        .select(col("event_id").as("incident_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL '10' MINUTE")).as("hi"))
+      Temporal.rangeJoin(
+          ev.select(col("event_id"), col("ts"), col("user_id"), col("value")),
+          incidents, "ts", "lo", "hi")
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("incident_id"))
+    }),
     // ---- PII scrub (PII injected deterministically; testdata has none) ----
     "pii_stats" -> ((s, d) =>
       Pii.piiStats(withPii(t(s, d, "documents"))).orderBy(col("doc_id"))),
@@ -1309,6 +1350,25 @@ object SparkEntry {
         |  CAST(CASE WHEN length(out) = 0 THEN 0 ELSE len(string_split(out, ' ')) END AS BIGINT) AS out_words,
         |  CASE WHEN length(out) = 0 THEN 0 ELSE ${H("out")} END AS out_fp
         |FROM o ORDER BY doc_id""".stripMargin,
+    "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, ts, event_id AS click_id, value AS click_value,
+        |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, click_id, click_value FROM c0 WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+        |  c.click_id, round(c.click_value, 2) AS click_value,
+        |  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_sec
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "range_join" ->
+      """WITH i AS (SELECT event_id AS incident_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+        |  FROM events WHERE event_type = 'error' AND value > 35)
+        |SELECT i.incident_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN i ON e.ts >= i.lo AND e.ts <= i.hi
+        |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin,
     "pii_stats" ->
       s"""$PII, c AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,

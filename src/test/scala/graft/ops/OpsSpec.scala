@@ -353,6 +353,51 @@ class OpsSpec extends SparkSpec {
     assert(exchanges(plan(Curation.shardAssign(docs, 8))) == 1)
   }
 
+  test("asof join: latest at-or-before match per key, ties inclusive, no-match null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, 10L, ts(100)), // u10: right rows at 50, 100 -> picks 100 (tie)
+      (2L, 10L, ts(99)),  // -> picks 50
+      (3L, 10L, ts(10)),  // before all -> null
+      (4L, 20L, ts(500))  // key with no right rows -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts(50), 1.5), (102L, 10L, ts(100), 2.5)
+    ).toDF("click_id", "user_id", "ts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("click_id", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)))).toMap
+    assert(out(1L) == ((Some(102L), Some(2.5))))
+    assert(out(2L) == ((Some(101L), Some(1.5))))
+    assert(out(3L) == ((None, None)))
+    assert(out(4L) == ((None, None)))
+    // plan: exactly ONE exchange (the window's key partition) — the
+    // union-window as-of never plans a non-equi join
+    val plan = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("click_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") == 1)
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
+  test("range join: boundaries inclusive, multi-bucket spans, overlapping intervals, no BNLJ") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val pts = Seq((1L, ts(100)), (2L, ts(160)), (3L, ts(220)), (4L, ts(221)), (5L, ts(99)))
+      .toDF("pt_id", "ts")
+    val ivs = Seq((10L, ts(100), ts(220)), (11L, ts(150), ts(170))).toDF("iv_id", "lo", "hi")
+    val got = Temporal.rangeJoin(pts, ivs, "ts", "lo", "hi", bucketSec = 60L)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // iv 10 spans 3 buckets and catches 1,2,3 (both boundaries inclusive);
+    // iv 11 overlaps it and catches 2 — the pair appears exactly once each
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (2L, 11L)))
+    val plan = Temporal.rangeJoin(pts, ivs, "ts", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   test("pii: each detector counts its artifact; redaction is sequential and byte-exact") {
     import spark.implicits._
     val d = Seq(
