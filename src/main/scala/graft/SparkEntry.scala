@@ -574,6 +574,11 @@ object SparkEntry {
     // triples shuffle; doc text rebuilt in-row from surviving windows
     "text_seg_dedup_apply" -> ((s, d) =>
       TextOps.segmentDedupApply(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // CCNet-style LM-quality tiers: head/middle/tail by integer-exact
+    // score threshold over the bounded (lang, score) histogram
+    "lm_buckets" -> ((s, d) =>
+      TextOps.lmBuckets(t(s, d, "documents"))
+        .orderBy(col("lang"), col("bucket"))),
     // ---- temporal joins (as-of / range) over the events table ----
     // backward AS-OF join: each purchase attributed to the same user's
     // latest click at or before it (union-window shape, ONE shuffle)
@@ -1350,6 +1355,20 @@ object SparkEntry {
         |  CAST(CASE WHEN length(out) = 0 THEN 0 ELSE len(string_split(out, ' ')) END AS BIGINT) AS out_words,
         |  CASE WHEN length(out) = 0 THEN 0 ELSE ${H("out")} END AS out_fp
         |FROM o ORDER BY doc_id""".stripMargin,
+    "lm_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents),
+        |dc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1,2),
+        |freq AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |s AS (SELECT doc_id, round(sum(c * (ln(n * 1.0) - ln(t * 1.0))) / CAST(sum(c) AS DOUBLE), 4) AS score
+        |  FROM dc JOIN freq USING (word) CROSS JOIN tot GROUP BY doc_id),
+        |h AS (SELECT d.lang, s.score, count(*) AS c FROM s JOIN documents d USING(doc_id) GROUP BY 1,2),
+        |cum AS (SELECT lang, score, c,
+        |  sum(c) OVER (PARTITION BY lang ORDER BY score DESC) AS cm,
+        |  sum(c) OVER (PARTITION BY lang) AS n FROM h)
+        |SELECT lang, CAST((cm * 3 + n - 1) // n AS BIGINT) AS bucket,
+        |  CAST(sum(c) AS BIGINT) AS n_docs, min(score) AS lo, max(score) AS hi
+        |FROM cum GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |c0 AS (SELECT user_id, ts, event_id AS click_id, value AS click_value,

@@ -296,6 +296,40 @@ object TextOps {
           / sum(col("c")).cast("double"), 4).as("mean_logprob"))
   }
 
+  /** CCNet-style LM-quality BUCKETING: the head/middle/tail split over
+    * the [[unigramLogProb]] score, per language — the step that routes
+    * a corpus into quality tiers for sampling weights. Buckets are
+    * assigned by THRESHOLD, not per-doc ntile: bucket(s) =
+    * ceil(nBuckets × |{docs with score ≥ s}| / n), so ties share a
+    * bucket, the rule is integer-exact, and the SQL oracle replays it
+    * bit-for-bit (CCNet's own cutoffs are score thresholds too).
+    *
+    * Scale shape: scoring is [[unigramLogProb]]'s two map-side-combined
+    * passes; bucketing then runs entirely on the (lang, rounded-score)
+    * HISTOGRAM — ≤ O(10^5) rows per language at ANY corpus size, so
+    * the rank window never sorts the corpus (the same bounded-domain
+    * discipline as `Curation.lengthQuantiles`). Output is one row per
+    * (lang, bucket).
+    */
+  def lmBuckets(df: DataFrame, nBuckets: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(df, textCol)
+      .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("mean_logprob").as("score"))
+    val hist = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc)
+    val tot = hist.groupBy(col("lang")).agg(sum(col("__c")).as("__n"))
+    hist.withColumn("__cum", sum(col("__c")).over(w))
+      .join(tot, Seq("lang"))
+      .withColumn("bucket",
+        expr(s"(__cum * $nBuckets + __n - 1) div __n").cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("__c")).as("n_docs"),
+        min(col("score")).as("lo"), max(col("score")).as("hi"))
+  }
+
   /** SEGMENT-level duplication profile — the boilerplate detector
     * (CCNet-style paragraph dedup re-expressed over token windows,
     * since the corpus's text is a single token stream): each doc is

@@ -353,6 +353,21 @@ class OpsSpec extends SparkSpec {
     assert(exchanges(plan(Curation.shardAssign(docs, 8))) == 1)
   }
 
+  test("lm buckets: terciles partition each lang into ordered disjoint score ranges") {
+    val b = TextOps.lmBuckets(docs).collect()
+    assert(b.map(_.getLong(2)).sum == docs.count()) // every doc lands in one bucket
+    b.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // buckets are 1..k contiguous, and ranges are disjoint and ordered:
+      // head's worst score is strictly above the next bucket's best
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.size).toSeq)
+      sorted.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+      sorted.sliding(2).filter(_.size == 2).foreach { w =>
+        assert(w(0).getDouble(3) > w(1).getDouble(4))
+      }
+    }
+  }
+
   test("asof join: latest at-or-before match per key, ties inclusive, no-match null") {
     import spark.implicits._
     import java.sql.Timestamp
