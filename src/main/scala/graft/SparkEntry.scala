@@ -574,6 +574,16 @@ object SparkEntry {
     // triples shuffle; doc text rebuilt in-row from surviving windows
     "text_seg_dedup_apply" -> ((s, d) =>
       TextOps.segmentDedupApply(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // heavy hitters: Misra-Gries candidates + exact verify; skew derived
+    // deterministically (hot_<lang> x60/doc) — testdata tokens are uniform
+    "heavy_hitters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val stream = docs
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .unionAll(docs.select(
+          explode(array_repeat(concat(lit("hot_"), col("lang")), 60)).as("word")))
+      Sketches.heavyHitters(stream, k = 16).orderBy(col("word"))
+    }),
     // CCNet-style LM-quality tiers: head/middle/tail by integer-exact
     // score threshold over the bounded (lang, score) histogram
     "lm_buckets" -> ((s, d) =>
@@ -1355,6 +1365,12 @@ object SparkEntry {
         |  CAST(CASE WHEN length(out) = 0 THEN 0 ELSE len(string_split(out, ' ')) END AS BIGINT) AS out_words,
         |  CASE WHEN length(out) = 0 THEN 0 ELSE ${H("out")} END AS out_fp
         |FROM o ORDER BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents
+        |  UNION ALL SELECT 'hot_' || lang AS word FROM documents, unnest(range(0, 60))),
+        |tot AS (SELECT count(*) AS t FROM tok)
+        |SELECT word, count(*) AS n, CAST(count(*) * 10000 // t AS BIGINT) AS share_bp
+        |FROM tok, tot GROUP BY word, t HAVING count(*) * 17 > t ORDER BY word""".stripMargin,
     "lm_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents),
         |dc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1,2),

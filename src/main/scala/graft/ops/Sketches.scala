@@ -155,4 +155,38 @@ object Sketches {
         greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
           .as("est_inter"))
   }
+
+  /** Heavy hitters over a token stream — candidates from a bounded-state
+    * Misra-Gries sketch ([[graft.plans.MisraGries]]), then ONE exact
+    * filtered count to verify. Output: exactly the tokens with true
+    * frequency > N/(k+1), with their exact counts and integer share in
+    * basis points — deterministic regardless of row order, partitioning
+    * or merge tree (the MG guarantee is that no such token can be
+    * evicted; sub-threshold extras the sketch may carry are removed by
+    * the exact verify, so the output never depends on merge-order-
+    * sensitive sketch counts).
+    *
+    * Scale shape: the candidate pass aggregates the ENTIRE stream into
+    * ≤ k counters per map task (ObjectHashAggregate, map-side combined
+    * — the stream is never shuffled, unlike `groupBy(token)` whose
+    * shuffle carries one row per distinct token per map task); the
+    * verify pass semi-joins the broadcast ≤ k candidates and counts
+    * only them, so its shuffle is ≤ k rows per map task. Two stream
+    * scans total — candidates-then-verify, the same discipline as
+    * LSH-then-exact-Jaccard.
+    */
+  def heavyHitters(tokens: DataFrame, k: Int = 16,
+      tokenCol: String = "word"): DataFrame = {
+    graft.plans.MisraGries.register(tokens.sparkSession)
+    val tok = tokens.select(col(tokenCol).as("word"))
+    val cand = tok.agg(expr(s"misra_gries(word, $k)").as("__c"))
+      .select(explode(col("__c")).as("word"))
+    val tot = tok.agg(count(lit(1)).as("__t"))
+    tok.join(broadcast(cand), Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .where(col("n") * (k + 1) > col("__t"))
+      .select(col("word"), col("n"),
+        expr("n * 10000L div __t").as("share_bp"))
+  }
 }

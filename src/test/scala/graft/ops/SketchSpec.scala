@@ -152,6 +152,43 @@ class SketchSpec extends SparkSpec {
     assert(got(3) == ((4L, 1L, 0.0, 1.0, 0.0)))
   }
 
+  test("misra-gries: guarantee holds under any partitioning; heavyHitters output exact") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // skewed stream: 3 hot tokens ~10% each, 200 cold tokens share the rest
+    val stream = (0 until 20000).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 10) "hotA" else if (r < 20) "hotB" else if (r < 30) "hotC"
+      else s"cold${rnd.nextInt(200)}"
+    }
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val k = 16
+    val qualifying = truth.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(qualifying == Set("hotA", "hotB", "hotC")) // fixture sanity
+    graft.plans.MisraGries.register(spark)
+    // candidates must be a superset of the qualifying set under ANY
+    // partitioning (the mergeable-summaries guarantee)
+    Seq(1, 7, 32).foreach { parts =>
+      val df = stream.toDF("word").repartition(parts)
+      val cands = df.agg(expr(s"misra_gries(word, $k)")).head
+        .getSeq[String](0).toSet
+      assert(cands.size <= k)
+      assert(qualifying.subsetOf(cands), s"parts=$parts")
+    }
+    // end-to-end: exact qualifying set with exact counts, sketch extras gone
+    val hh = Sketches.heavyHitters(stream.toDF("word"), k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hh.keySet == qualifying)
+    qualifying.foreach { w =>
+      assert(hh(w) == ((truth(w), truth(w) * 10000L / n)))
+    }
+    // plan: the sketch aggregation is ObjectHashAggregate (never Sort)
+    val plan = stream.toDF("word").agg(expr(s"misra_gries(word, $k)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
   test("repetition signals match a brute Scala replay on random docs") {
     val rnd = new scala.util.Random(99)
     val texts = (0 until 300).map { i =>
