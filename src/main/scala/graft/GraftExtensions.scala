@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.CosineSim].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.CosineSim(exprs(0), exprs(1))))
+    // point-in-interval joins: rewrite the BNLJ shape to the bucketed
+    // equi-join (see graft.plans.RangeJoinRule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -36,4 +36,50 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(orig)
     }
   }
+
+  test("RangeJoinRule rewrites point-in-interval BNLJ joins to the bucketed equi-join") {
+    val orig = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions).getOrCreate()
+      import java.sql.Timestamp
+      import s2.implicits._
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      val pts = Seq((1L, ts(100)), (2L, ts(160)), (3L, ts(220)), (4L, ts(221)), (5L, ts(99)))
+        .toDF("pt_id", "ts")
+      val ivs = Seq((10L, ts(100), ts(220)), (11L, ts(150), ts(170)))
+        .toDF("iv_id", "lo", "hi")
+      val expected = Set((1L, 10L), (2L, 10L), (3L, 10L), (2L, 11L))
+      def pairsOf(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+        df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // point side left AND right; both written operand orders
+      val j1 = pts.join(ivs, pts("ts") >= ivs("lo") && pts("ts") <= ivs("hi"))
+      val j2 = ivs.join(pts, ivs("lo") <= pts("ts") && ivs("hi") >= pts("ts"))
+      Seq(j1 -> "j1", j2 -> "j2").foreach { case (j, tag) =>
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+          s"$tag planned a nested loop:\n$plan")
+        assert(plan.contains("__graft_rb"), s"$tag missed the rewrite")
+        assert(pairsOf(j, "pt_id", "iv_id") == expected, tag)
+      }
+      // column set and order preserved by the rewrite
+      assert(j1.columns.toSeq == Seq("pt_id", "ts", "iv_id", "lo", "hi"))
+      assert(j2.columns.toSeq == Seq("iv_id", "lo", "hi", "pt_id", "ts"))
+      // an equi conjunct disables the rewrite (conservative matching)
+      val j3 = pts.join(ivs,
+        pts("pt_id") === ivs("iv_id") && pts("ts") >= ivs("lo") && pts("ts") <= ivs("hi"))
+      assert(!j3.queryExecution.executedPlan.toString.contains("__graft_rb"))
+      // bucketSec=0 disables the rule entirely
+      s2.conf.set("spark.graft.rangeJoin.bucketSec", "0")
+      val j4 = pts.join(ivs, pts("ts") >= ivs("lo") && pts("ts") <= ivs("hi"))
+      assert(!j4.queryExecution.executedPlan.toString.contains("__graft_rb"))
+      assert(pairsOf(j4, "pt_id", "iv_id") == expected)
+      s2.conf.unset("spark.graft.rangeJoin.bucketSec")
+    } finally {
+      SparkSession.setActiveSession(orig)
+      SparkSession.setDefaultSession(orig)
+    }
+  }
 }
