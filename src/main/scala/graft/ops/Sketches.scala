@@ -169,22 +169,23 @@ object Sketches {
     * Scale shape: the candidate pass aggregates the ENTIRE stream into
     * ≤ k counters per map task (ObjectHashAggregate, map-side combined
     * — the stream is never shuffled, unlike `groupBy(token)` whose
-    * shuffle carries one row per distinct token per map task); the
-    * verify pass semi-joins the broadcast ≤ k candidates and counts
-    * only them, so its shuffle is ≤ k rows per map task. Two stream
-    * scans total — candidates-then-verify, the same discipline as
-    * LSH-then-exact-Jaccard.
+    * shuffle carries one row per distinct token per map task), and the
+    * stream total N rides the SAME pass as a second aggregate; the
+    * verify pass joins the broadcast ≤ k candidates (which carry N)
+    * and counts only them, so its shuffle is ≤ k rows per map task.
+    * Two stream scans total — candidates-then-verify, the same
+    * discipline as LSH-then-exact-Jaccard.
     */
   def heavyHitters(tokens: DataFrame, k: Int = 16,
       tokenCol: String = "word"): DataFrame = {
     graft.plans.MisraGries.register(tokens.sparkSession)
     val tok = tokens.select(col(tokenCol).as("word"))
-    val cand = tok.agg(expr(s"misra_gries(word, $k)").as("__c"))
-      .select(explode(col("__c")).as("word"))
-    val tot = tok.agg(count(lit(1)).as("__t"))
-    tok.join(broadcast(cand), Seq("word"), "left_semi")
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(tot))
+    val cand = tok
+      .agg(expr(s"misra_gries(word, $k)").as("__c"), count(lit(1)).as("__t"))
+      .select(explode(col("__c")).as("word"), col("__t"))
+    tok.join(broadcast(cand), Seq("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), max(col("__t")).as("__t"))
       .where(col("n") * (k + 1) > col("__t"))
       .select(col("word"), col("n"),
         expr("n * 10000L div __t").as("share_bp"))

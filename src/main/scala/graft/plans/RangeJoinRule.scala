@@ -99,8 +99,12 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val pSide = Project(points.output :+ pbAlias, points)
     val rbAttr = AttributeReference("__graft_rb", LongType, nullable = false)()
     // Sequence is TimeZoneAwareExpression: the analyzer's ResolveTimeZone
-    // has already run, so the rule must set the zone itself to resolve
-    val seq = new Sequence(bucketOf(lo), bucketOf(hi), Some(Literal(1L)),
+    // has already run, so the rule must set the zone itself to resolve.
+    // Step stays INFERRED (not literal 1): an inverted interval (hi < lo
+    // — dirty data the original nested-loop join answers with no rows)
+    // must yield a descending sequence the containment filter discards,
+    // not a runtime "illegal sequence boundaries" error.
+    val seq = new Sequence(bucketOf(lo), bucketOf(hi), None,
       Some(conf.sessionLocalTimeZone))
     val iSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(rbAttr), intervals)

@@ -67,6 +67,11 @@ class ExtensionsSpec extends AnyFunSuite {
       // column set and order preserved by the rewrite
       assert(j1.columns.toSeq == Seq("pt_id", "ts", "iv_id", "lo", "hi"))
       assert(j2.columns.toSeq == Seq("iv_id", "lo", "hi", "pt_id", "ts"))
+      // inverted interval (dirty data): no rows, no runtime error
+      val bad = Seq((12L, ts(500), ts(300))).toDF("iv_id", "lo", "hi")
+      val jBad = pts.join(bad, pts("ts") >= bad("lo") && pts("ts") <= bad("hi"))
+      assert(jBad.queryExecution.executedPlan.toString.contains("__graft_rb"))
+      assert(jBad.count() == 0)
       // an equi conjunct disables the rewrite (conservative matching)
       val j3 = pts.join(ivs,
         pts("pt_id") === ivs("iv_id") && pts("ts") >= ivs("lo") && pts("ts") <= ivs("hi"))
