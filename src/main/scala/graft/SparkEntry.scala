@@ -72,6 +72,42 @@ object SparkEntry {
   // portable 56-bit hash (matches TextOps.portableHash)
   private def H(x: String) = s"(('0x' || substr(md5($x),1,14))::BIGINT)"
 
+  /** PQ oracle: replays the per-subspace integer k-means trainer
+    * (m=4 subspaces, ksub=16, 2 iterations, vec_id%4 sample — the
+    * [[graft.ops.Similarity.trainPqCodebooks]] defaults), the corpus
+    * encoding (argmin integer L2 with (d, cid) tie-break), and — for
+    * the top-k form — the ADC scoring join, entirely in DuckDB.
+    * Integer-exact at every step, so the hashes must match bit-for-bit.
+    */
+  private def pqOracleSql(hist: Boolean): String = {
+    def dist(vecs: String, cents: String): String =
+      s"SELECT s.vec_id, s.sub, s.q, c.cid, CAST(list_sum(list_transform(range(1, len(s.q)+1), i -> (s.q[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)])*(s.q[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)]))) AS BIGINT) AS d FROM $vecs s JOIN $cents c USING (sub)"
+    def iter(i: Int, prev: String): String =
+      s"""d$i AS (${dist("samp", prev)}),
+        |a$i AS (SELECT vec_id, sub, q, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM d$i) WHERE rn = 1),
+        |u$i AS (SELECT sub, cid, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n FROM (SELECT sub, cid, unnest(range(1, len(q)+1)) AS pos, unnest(q) AS v FROM a$i) GROUP BY 1,2,3),
+        |n$i AS (SELECT sub, cid, list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT) ORDER BY pos) AS c FROM u$i GROUP BY 1,2),
+        |c$i AS (SELECT $prev.sub, $prev.cid, COALESCE(n$i.c, $prev.c) AS c FROM $prev LEFT JOIN n$i USING (sub, cid))""".stripMargin
+    val common =
+      s"""WITH qv AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q FROM embeddings),
+        |sv AS (SELECT vec_id, sub, list_slice(q, sub*(len(q)//4)+1, (sub+1)*(len(q)//4)) AS q FROM qv, (SELECT unnest(range(4)) AS sub) subs),
+        |samp AS (SELECT * FROM sv WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, q AS c FROM (SELECT sub, q, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn FROM samp) WHERE rn <= 16),
+        |${iter(1, "c0")},
+        |${iter(2, "c1")},
+        |de AS (${dist("sv", "c2")}),
+        |code AS (SELECT vec_id, sub, cid AS code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM de) WHERE rn = 1)""".stripMargin
+    if (hist)
+      s"""$common
+        |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, CAST(count(*) AS BIGINT) AS n_vecs FROM code GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    else
+      s"""$common,
+        |dt AS (SELECT vec_id AS query_id, sub, cid, d FROM (${dist("(SELECT * FROM sv WHERE vec_id < 5)", "c2")})),
+        |adc AS (SELECT t.query_id, co.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_d FROM code co JOIN dt t ON co.sub = t.sub AND co.code = t.cid AND co.vec_id <> t.query_id GROUP BY 1, 2),
+        |rk AS (SELECT query_id, vec_id, adc_d, row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id) AS rank FROM adc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   // PII-injected-text fragment (mirrors SparkEntry.withPii bit-for-bit)
   private val PII =
     """WITH p AS (
@@ -479,6 +515,19 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // PQ-compressed ANN (FAISS IndexPQ shape): per-subspace integer
+    // k-means codebooks, corpus encoded to m small ints by a compiled
+    // projection, ADC scoring in m table lookups — the 10^10-vector
+    // compressed-scan path
+    "ann_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // PQ quantizer balance: per-subspace code-usage histogram
+    "pq_code_hist" -> ((s, d) =>
+      Similarity.pqCodeHist(t(s, d, "embeddings"))
+        .orderBy(col("sub"), col("code"))),
     // per-label diversity: mean pairwise dot in ONE linear pass
     // (sum-of-vectors identity; no pair join)
     "emb_diversity" -> ((s, d) =>
@@ -1092,6 +1141,8 @@ object SparkEntry {
         |rk AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM sc)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos,4) AS cos_sim FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+    "ann_pq_adc" -> pqOracleSql(hist = false),
+    "pq_code_hist" -> pqOracleSql(hist = true),
     "s3_schema_discovery" ->
       "SELECT * FROM (VALUES ('doc_id','bigint'),('lang','string'),('n_chars','bigint'),('source','string'),('text','string')) AS t(column_name, data_type) ORDER BY column_name",
     "ann_topk" ->

@@ -304,4 +304,154 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ)
+  // ---------------------------------------------------------------------
+
+  /** Explode a vector frame into its `m` contiguous quantized
+    * subvectors: (vec_id, sub, q) with `q` the integer-quantized slice
+    * `[sub*d/m, (sub+1)*d/m)`. Pure projection + bounded explode (m
+    * rows per vector) — no shuffle.
+    */
+  private def subvectors(df: DataFrame, m: Int): DataFrame = {
+    val dsub = (size(col("q")) / lit(m)).cast("int")
+    df.select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("q"), col("sub") * dsub + 1, dsub).as("q"))
+  }
+
+  /** Deterministic product-quantization codebook training: the
+    * [[trainIvfCentroids]] integer-exact Lloyd's k-means, run
+    * independently per contiguous subspace (`m` subvectors of d/m dims
+    * each) over the same deterministic sample. Init per subspace = the
+    * `ksub` lowest-vec_id samples' subvectors; updates are integer sums
+    * + floor division with lowest-cid tie-breaks, so codebooks are
+    * bit-reproducible across engines and partitionings (the SQL oracle
+    * replays the full trainer). Returns (sub, cid, c: array<long>) —
+    * m*ksub rows of model state.
+    *
+    * At 10^10 scale the sample bounds training cost and the codebooks
+    * are O(m*ksub*d/m) = O(ksub*d) longs — always driver/broadcast
+    * sized; encoding the corpus is a shuffle-free compiled projection
+    * (see [[pqCodes]]).
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2, sampleMod: Int = 4): DataFrame = {
+    val sample = subvectors(
+      corpus.where(pmod(col("vec_id"), lit(sampleMod)) === 0), m)
+    val wInit = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+    var centroids = sample
+      .withColumn("rn", row_number().over(wInit))
+      .where(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("cid"), col("q").as("c"))
+    for (_ <- 0 until iters) {
+      val assigned = sample.join(broadcast(centroids), Seq("sub"))
+        .withColumn("__d", l2(col("q"), col("c")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"),
+          first(col("q")).as("q"))
+      val updated = assigned
+        .select(col("sub"), col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          x => fdiv(x.getField("s"), x.getField("n"))).as("cNew"))
+      // a code cell that lost all members keeps its previous centroid
+      centroids = centroids.join(updated, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("cNew"), col("c")).as("c"))
+    }
+    centroids
+  }
+
+  /** Collect trained codebooks into the nested model shape
+    * [[graft.plans.PqEncode]] bakes in: books(sub)(cid) = centroid.
+    */
+  private def collectBooks(cb: DataFrame, m: Int): Seq[Seq[Seq[Long]]] = {
+    val rows = cb.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2)))
+    (0 until m).map(s =>
+      rows.filter(_._1._1 == s).sortBy(_._1._2).map(_._2).toIndexedSeq)
+  }
+
+  /** PQ-encode the corpus: (vec_id, codes: array<int>) via the compiled
+    * [[graft.plans.PqEncode]] projection with the trained codebooks
+    * baked in — m small ints per vector instead of d floats (16x+
+    * compression at the defaults), zero shuffle. The representation a
+    * 10^10-vector ANN scan actually reads.
+    */
+  def pqCodes(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2, sampleMod: Int = 4): DataFrame = {
+    val books = collectBooks(trainPqCodebooks(corpus, m, ksub, iters, sampleMod), m)
+    val fname = s"pq_encode_m${m}_" +
+      (scala.util.hashing.MurmurHash3.seqHash(books.flatten.flatten) & Int.MaxValue)
+    graft.plans.VecMath.registerPqEncode(corpus.sparkSession, fname, books)
+    corpus.select(col("vec_id"), expr(s"$fname(embedding)").as("codes"))
+  }
+
+  /** Per-subspace code-usage histogram — the quantizer-balance
+    * diagnostic (a dead or overloaded code cell means the subspace's
+    * codebook is wasting bits). One map-side-combined groupBy over
+    * m*ksub distinct keys.
+    */
+  def pqCodeHist(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2, sampleMod: Int = 4): DataFrame =
+    pqCodes(corpus, m, ksub, iters, sampleMod)
+      .select(posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy(col("sub").cast("long").as("sub"), col("code").cast("long").as("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** PQ asymmetric-distance (ADC) top-k: train codebooks on a sample,
+    * encode the corpus with the compiled projection, precompute each
+    * query's per-subspace distance table against the m*ksub codebook
+    * entries (tiny: queries x m x ksub integer L2s), then score every
+    * (vector, query) pair in m TABLE LOOKUPS via the compiled
+    * [[graft.plans.PqAdc]] — never touching the original floats. The
+    * corpus-side plan is one compiled projection + one broadcast join +
+    * one top-k window; the corpus never shuffles on the scoring path.
+    *
+    * This is the FAISS IndexPQ shape (Jegou et al., "Product
+    * Quantization for Nearest Neighbor Search"): at 10^10 vectors the
+    * scan reads m bytes-ish per vector instead of 4d, and the distance
+    * loop is m integer adds. Integer-exact end to end, so ranking is
+    * bit-reproducible and the SQL oracle replays training + encode +
+    * ADC exactly. Approximate by construction (quantization error) —
+    * recall vs [[bruteForceTopK]] is the quality metric, pinned by
+    * PqSpec on clustered synthetic data.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, m: Int = 4,
+      ksub: Int = 16, iters: Int = 2, sampleMod: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = collectBooks(trainPqCodebooks(corpus, m, ksub, iters, sampleMod), m)
+    val ksubEff = books.head.size // == ksub unless the sample is smaller
+    val encName = s"pq_encode_m${m}_" +
+      (scala.util.hashing.MurmurHash3.seqHash(books.flatten.flatten) & Int.MaxValue)
+    graft.plans.VecMath.registerPqEncode(spark, encName, books)
+    val adcName = s"pq_adc_k$ksubEff"
+    graft.plans.VecMath.registerPqAdc(spark, adcName, ksubEff)
+    val codes = corpus.select(col("vec_id"), expr(s"$encName(embedding)").as("codes"))
+    // the collected model as a LOCAL relation: the dt plan must not
+    // re-embed (and so re-run) the whole training job
+    import spark.implicits._
+    val cbLocal = books.zipWithIndex.flatMap { case (cents, sub) =>
+      cents.zipWithIndex.map { case (c, cid) => (sub, cid, c) }
+    }.toDF("sub", "cid", "c")
+    // flattened per-query distance table: dt[sub*ksubEff + cid] =
+    // intL2(query subvector, codebook entry) — (sub, cid) struct-sorted
+    // so the flat index matches PqAdc's layout
+    val dt = subvectors(queries, m).join(broadcast(cbLocal), Seq("sub"))
+      .withColumn("d", l2(col("q"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid"), col("d")))),
+        x => x.getField("d")).as("dt"))
+      .select(col("vec_id").as("query_id"), col("dt"))
+    val scored = codes.join(broadcast(dt), col("query_id") =!= col("vec_id"))
+      .withColumn("adc_d", expr(s"$adcName(codes, dt)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d"))
+  }
 }

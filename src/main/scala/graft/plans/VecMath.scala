@@ -267,6 +267,121 @@ case class IvfProbeOrder(child: Expression, centroids: Seq[Seq[Long]])
     copy(child = newChild)
 }
 
+/** `<name>(emb)` -> array<int> of product-quantization codes, one per
+  * subspace, computed in ONE compiled pass: quantize each float once
+  * (Spark-exact HALF_UP, bit-identical to `round(v*10000)`), then for
+  * each of the `m = books.size` contiguous subvectors take the argmin
+  * integer-squared-L2 codebook entry with the (distance, cid)
+  * lexicographic tie-break — the same decision rule as
+  * [[IvfProbeOrder]], applied per subspace.
+  *
+  * This is the 10^10-vector scan representation: m small ints per
+  * vector instead of d floats (64 dims -> 4 codes here), produced by a
+  * shuffle-free projection with the trained codebooks baked in (model
+  * state, broadcast-dict pattern). CodegenFallback for the same reason
+  * as [[SignLshBuckets]]: one virtual call per row around tight
+  * JIT-compiled loops.
+  */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<float>, got ${dt.simpleString}")
+    }
+
+  @transient private lazy val bookArr: Array[Array[Array[Long]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = VecMath.roundHalfUp(arr.getFloat(i).toDouble * 10000.0)
+      i += 1
+    }
+    val m = bookArr.length
+    val dsub = n / m
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cents = bookArr(sub)
+      val off = sub * dsub
+      var best = 0
+      var bestD = Long.MaxValue
+      var cid = 0
+      while (cid < cents.length) {
+        val c = cents(cid)
+        var s = 0L
+        var j = 0
+        val lim = math.min(dsub, c.length)
+        while (j < lim) { val diff = q(off + j) - c(j); s += diff * diff; j += 1 }
+        if (s < bestD) { bestD = s; best = cid }
+        cid += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `<name>(codes, dt)` -> asymmetric-distance (ADC) score: with `dt` a
+  * query's flattened per-subspace distance table (entry `sub*ksub+cid` =
+  * integer squared L2 between the query's subvector and codebook entry
+  * `cid` of subspace `sub`), returns `sum_sub dt[sub*ksub + codes[sub]]`
+  * — the PQ-approximate squared distance, in m table lookups per
+  * (vector, query) pair instead of d multiply-adds. Integer-exact, so
+  * SQL oracles replay it with a join + sum. CodegenFallback: one
+  * virtual call per row around a tight loop.
+  */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires (array<int>, array<bigint>), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val dt = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val dn = dt.numElements()
+    var s = 0L
+    var sub = 0
+    while (sub < m) {
+      val idx = sub * ksub + codes.getInt(sub)
+      if (idx < dn) s += dt.getLong(idx)
+      sub += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecMath {
   /** Spark-exact HALF_UP rounding of a double to a long — the same
     * BigDecimal path `round()` takes, so quantization never drifts from
@@ -305,5 +420,24 @@ object VecMath {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => IvfProbeOrder(exprs(0), centroids),
+      "built-in")
+
+  /** Register a PQ encoder with its codebooks baked in (name must
+    * encode the model — the registry closure captures it).
+    */
+  def registerPqEncode(spark: SparkSession, name: String,
+      books: Seq[Seq[Seq[Long]]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => PqEncode(exprs(0), books),
+      "built-in")
+
+  /** Register a PQ ADC scorer for a given per-subspace codebook size
+    * (name must encode `ksub` — the registry closure captures it).
+    */
+  def registerPqAdc(spark: SparkSession, name: String, ksub: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => PqAdc(exprs(0), exprs(1), ksub),
       "built-in")
 }
