@@ -64,7 +64,8 @@ object Bench {
     "quantile_sample", "dedup_components", "stream_neardup",
     "quality_filter_stats", "url_domain_caps", "shard_stats",
     "dedup_apply_embedding", "pii_redact", "text_seg_dedup_apply",
-    "asof_join", "range_join", "lm_buckets", "heavy_hitters", "ann_pq_adc")
+    "asof_join", "range_join", "lm_buckets", "heavy_hitters", "ann_pq_adc",
+    "dsir_sample")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

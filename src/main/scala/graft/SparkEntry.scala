@@ -572,6 +572,15 @@ object SparkEntry {
     // token-budget mixture weights toward a uniform per-language target
     "mix_weights" -> ((s, d) =>
       Curation.mixtureWeights(t(s, d, "documents")).orderBy(col("lang"))),
+    // DSIR importance resampling: target-vs-corpus unigram-LM
+    // log-ratio weights, threshold cut over the rounded-weight
+    // histogram (target distribution = the corpus's 'en' stratum)
+    "dsir_weights" -> ((s, d) =>
+      Curation.dsirWeights(t(s, d, "documents"), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+    "dsir_sample" -> ((s, d) =>
+      Curation.dsirSample(t(s, d, "documents"), col("lang") === "en")
+        .orderBy(col("doc_id"))),
     // exact token-length quantiles per stratum via the bounded-domain
     // histogram (no corpus sort; the window runs over the histogram)
     "length_quantiles" -> ((s, d) =>
@@ -1315,6 +1324,31 @@ object SparkEntry {
         |  round(total_tokens*1.0/tot, 4) AS actual_share,
         |  round(tot*1.0/(k*total_tokens), 4) AS weight
         |FROM t ORDER BY lang""".stripMargin,
+    // DSIR: both LMs from ONE vocabulary pass; add-one smoothing over
+    // the shared vocab; weight rounded to 4dp (the text_lm_score
+    // portability discipline)
+    "dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents),
+        |dc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1,2),
+        |freq AS (SELECT word, count(*) AS ns, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(ns) AS ts, sum(nt) AS tt, count(*) AS v FROM freq)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  round(sum(c * ((ln((nt+1)*1.0) - ln((tt+v)*1.0)) - (ln((ns+1)*1.0) - ln((ts+v)*1.0)))) / CAST(sum(c) AS DOUBLE), 4) + 0.0 AS logratio
+        |FROM dc JOIN freq USING (word) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dsir_sample" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split_regex(trim(text),'\\s+')) AS word FROM documents),
+        |dc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1,2),
+        |freq AS (SELECT word, count(*) AS ns, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(ns) AS ts, sum(nt) AS tt, count(*) AS v FROM freq),
+        |wts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  round(sum(c * ((ln((nt+1)*1.0) - ln((tt+v)*1.0)) - (ln((ns+1)*1.0) - ln((ts+v)*1.0)))) / CAST(sum(c) AS DOUBLE), 4) + 0.0 AS logratio
+        |  FROM dc JOIN freq USING (word) CROSS JOIN tot GROUP BY doc_id),
+        |hist AS (SELECT logratio, count(*) AS c FROM wts GROUP BY 1),
+        |cum AS (SELECT logratio, sum(c) OVER (ORDER BY logratio DESC) AS cum, sum(c) OVER () AS n FROM hist),
+        |thr AS (SELECT max(logratio) AS thr FROM cum WHERE cum >= (n * ${graft.ops.Curation.DsirKeepBp} + 9999) // 10000)
+        |SELECT w.doc_id, d.lang, w.n_words, w.logratio
+        |FROM wts w CROSS JOIN thr JOIN documents d USING (doc_id)
+        |WHERE w.logratio >= thr ORDER BY w.doc_id""".stripMargin,
     "length_quantiles" ->
       """WITH d AS (SELECT lang, CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n FROM documents),
         |h AS (SELECT lang, n, count(*) AS c FROM d GROUP BY 1,2),

@@ -57,6 +57,7 @@ object Maintenance {
         spark.sparkContext.defaultParallelism)), col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(table.dataPath(commitRel))
+    ZoneMaps.writeSidecar(spark, table.root, commitRel)
     val written = IceLite.listCommittedFiles(table.root, commitRel)
     // optimistic commit: per-bucket validity, retry only on version races
     var attempts = 0

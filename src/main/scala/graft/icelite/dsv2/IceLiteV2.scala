@@ -1,6 +1,6 @@
 package graft.icelite.dsv2
 
-import graft.icelite.{IceLite, IceSnapshot}
+import graft.icelite.{IceLite, IceSnapshot, ZoneMaps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -238,22 +238,104 @@ class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
     fullSchema: StructType, readSchema_ : StructType,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     prunedBuckets: Option[Set[Int]] = None)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{NamedReference,
+    Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Effective bucket pruning: the compile-time key filters, further
+    * intersected by RUNTIME filters (dynamic partition pruning — the
+    * join-key values a selective build side produced at execution
+    * time). `@volatile` because Spark calls [[filter]] from the exec
+    * node after planning, then replans input partitions.
+    */
+  @volatile private var pruned: Option[Set[Int]] = prunedBuckets
 
   override def readSchema(): StructType = readSchema_
   override def toBatch: Batch = this
-  override def description(): String =
+  override def description(): String = {
+    val zs = zoneSkipped
     s"IceLiteScan(root=$root, snapshot=${snap.snapshotId}, " +
       s"buckets=${nonEmpty.size}/${snap.numBuckets}" +
-      prunedBuckets.map(b => s", prunedToBuckets=${b.toSeq.sorted.mkString("[", ",", "]")}")
+      pruned.map(b => s", prunedToBuckets=${b.toSeq.sorted.mkString("[", ",", "]")}")
         .getOrElse("") +
+      (if (zs > 0) s", zoneSkippedFiles=$zs" else "") +
       s", bucket(${snap.numBuckets}, ${snap.keyCol}))"
+  }
 
-  private def bucketFiles(b: Int): Seq[String] =
-    snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil)
+  // ---- runtime (DPP) filtering: a probe join against a selective
+  // build side scans ONLY the buckets the build side's key values hash
+  // to — on a 100 TB fact table a point-ish join touches a handful of
+  // buckets' files instead of the whole layout. Conservative contract:
+  // predicates we can't reduce to a finite key set are ignored (the
+  // join re-filters rows; partition skipping is best-effort), and the
+  // filtered partitions keep their HasPartitionKey grouping, which is
+  // exactly what BatchScanExec requires of a key-grouped scan under
+  // runtime filtering.
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(snap.keyCol).asInstanceOf[NamedReference])
 
-  private lazy val nonEmpty: Seq[Int] = snap.buckets
-    .filter(b => prunedBuckets.forall(_.contains(b)))
+  override def filter(filters: Array[Predicate]): Unit = {
+    val keySets = filters.flatMap(finiteKeysV2)
+    if (keySets.nonEmpty) {
+      val buckets = keySets.reduce(_ intersect _)
+        .map(k => IceLite.bucketOf(k, snap.numBuckets))
+      pruned = Some(pruned.fold(buckets)(_ intersect buckets))
+    }
+  }
+
+  /** Finite key set implied by a V2 predicate on the key column
+    * (runtime filters arrive as `IN(key, v1..vn)`; `=` handled for
+    * completeness). None = unconstrained.
+    */
+  private def finiteKeysV2(p: Predicate): Option[Set[String]] = {
+    def refIsKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames().sameElements(Array(snap.keyCol))
+        case _ => false
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: V2Literal[_] if l.value() != null => Some(l.value().toString)
+        case _ => None
+      }
+    p.name() match {
+      case "IN" if p.children().length >= 2 && refIsKey(p.children()(0)) =>
+        val vals = p.children().drop(1).flatMap(lit)
+        if (vals.length == p.children().length - 1) Some(vals.toSet) else None
+      case "=" if p.children().length == 2 && refIsKey(p.children()(0)) =>
+        lit(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  /** A bucket's files AFTER zone-map skipping: the pushed filters cut
+    * by VALUE what bucket pruning cuts by KEY — a file whose per-column
+    * min/max provably excludes every pushed conjunct is dropped at
+    * PLANNING time, before any task is scheduled or footer fetched
+    * (files without stats are never skipped; Spark re-applies all
+    * filters to the surviving rows, so this is pure work elision).
+    */
+  private def bucketFiles(b: Int): Seq[String] = {
+    val all = snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil)
+    if (pushedFilters.isEmpty) all
+    else all.filter { rel =>
+      ZoneMaps.statsFor(root, rel)
+        .forall(st => ZoneMaps.mayMatch(pushedFilters, st, fullSchema))
+    }
+  }
+
+  /** Files excluded by zone maps across the surviving buckets. */
+  private def zoneSkipped: Int =
+    if (pushedFilters.isEmpty) 0
+    else snap.buckets.filter(b => pruned.forall(_.contains(b))).map { b =>
+      val all = snap.base.getOrElse(b, Nil).size + snap.deltas.getOrElse(b, Nil).size
+      all - bucketFiles(b).size
+    }.sum
+
+  private def nonEmpty: Seq[Int] = snap.buckets
+    .filter(b => pruned.forall(_.contains(b)))
     .filter(bucketFiles(_).nonEmpty).sorted
 
   override def outputPartitioning(): Partitioning =

@@ -126,6 +126,9 @@ class IceLiteBatchWrite(root: String, commitRel: String, dataSchema: StructType,
     val dels = msgs.map(_.deletes).sum
     val minVc = msgs.map(_.minVc).min
     val maxVc = msgs.map(_.maxVc).max
+    // stats sidecar before publishing (commit() runs on the driver)
+    graft.icelite.ZoneMaps.writeSidecar(
+      org.apache.spark.sql.SparkSession.active, root, commitRel)
     var attempts = 0
     while (attempts < 20) {
       val cur = IceLite.readLatest(root).get

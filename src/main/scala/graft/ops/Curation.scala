@@ -371,4 +371,82 @@ object Curation {
           (col("__k") * col("total_tokens")), 4))
       .drop("__tot", "__k")
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): per-doc mean
+    * log-ratio of a TARGET unigram LM over the SOURCE (whole-corpus)
+    * unigram LM, both add-one smoothed over the shared corpus
+    * vocabulary so every corpus word has a defined target probability.
+    * High weight = "looks like the target distribution" — the signal
+    * importance resampling thresholds to tilt a crawl toward a
+    * high-quality seed domain.
+    *
+    *   w(d) = (1/|d|) Σ_w c_d(w) · [ ln((n_t(w)+1)/(T_t+V))
+    *                                − ln((n_s(w)+1)/(T_s+V)) ]
+    *
+    * Scale shape (same discipline as [[TextOps.unigramLogProb]]): two
+    * corpus passes, each a map-side-combined aggregation — (doc, word)
+    * counts shuffle distinct pairs, the two vocabularies reduce by
+    * word (target counts piggyback on the same pass via a conditional
+    * sum, NOT a second explode). The scalar totals (T_t, T_s, V) are a
+    * 1-row broadcast; scoring is one hash equi-join on word.
+    */
+  def dsirWeights(df: DataFrame, targetPred: Column,
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col("doc_id"), targetPred.as("__tgt"),
+      explode(TextOps.words(col(textCol))).as("word"))
+    val dc = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    // one vocabulary pass carries BOTH LMs: corpus count + target count
+    val freq = tok.groupBy(col("word")).agg(
+      count(lit(1)).as("ns"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("nt"))
+    val tot = freq.agg(sum(col("ns")).as("ts"), sum(col("nt")).as("tt"),
+      count(lit(1)).as("v"))
+    dc.join(freq, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        (round(sum(col("c").cast("double") *
+            ((log((col("nt") + 1).cast("double")) -
+              log((col("tt") + col("v")).cast("double"))) -
+             (log((col("ns") + 1).cast("double")) -
+              log((col("ts") + col("v")).cast("double")))))
+          / sum(col("c")).cast("double"), 4) + lit(0.0)).as("logratio"))
+  }
+
+  /** DSIR resampling by threshold: keep the top `keepBp`/10000 of the
+    * corpus by importance weight. The cut is a THRESHOLD over the
+    * rounded-weight histogram — w* = max{w : |{docs with weight ≥ w}| ≥
+    * k}, ties at w* all kept — so the rule is integer-exact, the SQL
+    * oracle replays it bit-for-bit, and (the scale point) the rank
+    * window runs over the bounded histogram of distinct rounded
+    * weights, never a corpus sort. The kept-set decision itself is a
+    * broadcast 1-row threshold + a map-side filter.
+    */
+  /** Default DSIR keep share (basis points). Oracles are generated
+    * from this constant — change it only here.
+    */
+  val DsirKeepBp: Int = 2500
+
+  def dsirSample(df: DataFrame, targetPred: Column, keepBp: Int = DsirKeepBp,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // weights feed BOTH the threshold histogram and the final filter:
+    // cache the (doc_id, n_words, logratio) frame — tiny next to the
+    // corpus — so the two tokenize passes behind it run once. Ownership:
+    // the returned plan holds the cache; callers materializing both this
+    // result and a re-derived weights frame may unpersist via catalog.
+    val weights = dsirWeights(df, targetPred, textCol).cache()
+    val hist = weights.groupBy(col("logratio")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy().orderBy(col("logratio").desc)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      .where(col("__cum") >= expr(s"(__n * $keepBp + 9999) div 10000"))
+      .agg(max(col("logratio")).as("__thr"))
+    weights.crossJoin(broadcast(thr))
+      .where(col("logratio") >= col("__thr"))
+      .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("logratio"))
+  }
 }

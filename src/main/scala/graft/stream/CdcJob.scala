@@ -284,7 +284,10 @@ object CdcJob {
     }
     val files =
       if (cfg.snapshotMode == SnapshotMode.NoData) Map.empty[Int, Seq[String]]
-      else IceLite.listCommittedFiles(cfg.tableRoot, commitRel)
+      else {
+        graft.icelite.ZoneMaps.writeSidecar(spark, cfg.tableRoot, commitRel)
+        IceLite.listCommittedFiles(cfg.tableRoot, commitRel)
+      }
     val nRows =
       if (cfg.snapshotMode == SnapshotMode.NoData) 0L
       else obs.get.get("n") match {

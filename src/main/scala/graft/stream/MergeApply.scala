@@ -265,6 +265,9 @@ object MergeApply {
       observed.write.mode("overwrite").partitionBy("__bucket")
         .parquet(table.dataPath(commitRel)))
     val written = phase(t0, "list-files")(IceLite.listCommittedFiles(table.root, commitRel))
+    // zone-map sidecar rides the daemon, not the measured batch; a
+    // losing attempt's sidecar is unreferenced garbage like its files
+    graft.icelite.ZoneMaps.writeSidecarAsync(spark, table.root, commitRel)
 
     val m = phase(t0, "obs-get")(obs.get)
     def mLong(k: String, dflt: Long): Long = m.get(k) match {
@@ -334,6 +337,7 @@ object MergeApply {
           spark.sparkContext.defaultParallelism)), col("__bucket"))
           .write.mode("overwrite").partitionBy("__bucket")
           .parquet(table.dataPath(compactRel))
+        graft.icelite.ZoneMaps.writeSidecarAsync(spark, table.root, compactRel)
         IceLite.listCommittedFiles(table.root, compactRel)
       }
 

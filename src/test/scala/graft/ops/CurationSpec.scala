@@ -211,4 +211,75 @@ class CurationSpec extends SparkSpec {
       assert(maxPos == n); assert(nSrc >= 1L && nSrc <= 4L)
     }
   }
+
+  test("DSIR weights: target-like docs score high, brute-force LM replay matches") {
+    import spark.implicits._
+    // target stratum = 'en'. Docs 10/11 use the en vocabulary; 20/21 a
+    // disjoint one; 30 mixes. The non-target doc written in the target's
+    // vocabulary (12) must still score HIGH - DSIR scores text, not labels.
+    val docs = Seq(
+      (10L, "cat dog cat bird", "en"),
+      (11L, "dog bird dog cat cat", "en"),
+      (12L, "cat cat dog bird bird", "xx"),
+      (20L, "wug zorp wug blick", "de"),
+      (21L, "zorp blick zorp wug wug", "de"),
+      (30L, "cat wug dog zorp", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val w = Curation.dsirWeights(docs, col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+
+    // brute-force replay of the add-one-smoothed log-ratio
+    val toks = Seq(10L -> "cat dog cat bird", 11L -> "dog bird dog cat cat",
+      12L -> "cat cat dog bird bird", 20L -> "wug zorp wug blick",
+      21L -> "zorp blick zorp wug wug", 30L -> "cat wug dog zorp")
+      .map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val tgtIds = Set(10L, 11L)
+    val all = toks.flatMap(_._2)
+    val tgt = toks.filter(t => tgtIds(t._1)).flatMap(_._2)
+    val vocab = all.distinct
+    val (ts, tt, v) = (all.size.toDouble, tgt.size.toDouble, vocab.size.toDouble)
+    def lm(word: String) =
+      (math.log(tgt.count(_ == word) + 1) - math.log(tt + v)) -
+        (math.log(all.count(_ == word) + 1) - math.log(ts + v))
+    toks.foreach { case (id, words) =>
+      val brute = BigDecimal(words.map(lm).sum / words.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(w(id) - brute) < 1e-9, s"doc $id: got ${w(id)}, brute $brute")
+    }
+    // ordering: en-vocabulary docs (whatever their label) above disjoint ones
+    assert(Seq(10L, 11L, 12L).map(w).min > Seq(20L, 21L).map(w).max)
+    assert(w(30L) > Seq(20L, 21L).map(w).max) // mixed doc sits between
+    assert(w(30L) < Seq(10L, 11L, 12L).map(w).min)
+  }
+
+  test("DSIR sample: top-share threshold with ties kept; window only over the histogram") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val txt = if (i < 8) "cat dog bird cat" // the target-looking octet
+                else if (i < 20) "cat wug dog zorp"
+                else "wug zorp blick wug"
+      (i.toLong, txt, if (i < 4) "en" else "other")
+    }.toDF("doc_id", "text", "lang")
+    val kept = Curation.dsirSample(docs, col("lang") === "en", keepBp = 2500)
+      .select("doc_id").as[Long].collect().toSet
+    // 25% of 40 = 10 docs; the 8-doc top weight class is strictly inside,
+    // and the threshold lands ON the middle class - ALL of its 12 tied
+    // docs are kept (ties at the cut are never split)
+    assert((0L until 8L).toSet.subsetOf(kept), s"top class must be kept: $kept")
+    assert(kept == (0L until 20L).toSet, s"tied middle class must be kept whole: $kept")
+
+    // plan shape: every window in the plan runs AFTER an aggregation over
+    // the bounded histogram, never over the corpus - the sort a window
+    // needs appears only above the histogram's tiny frame
+    val plan = Curation.dsirSample(docs, col("lang") === "en")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.exists(_.name == "doc_id"),
+        s"window must run over the (logratio, count) histogram — a doc_id " +
+          s"in its input means it sorts per-document rows:\n$w")
+    }
+  }
 }
