@@ -219,7 +219,12 @@ object ZoneMaps {
     var all = cache.get(commitDirAbs)
     if (all == null) {
       all = loadSidecar(commitDirAbs)
-      if (all.nonEmpty) cache.put(commitDirAbs, all)
+      if (all.nonEmpty) {
+        // crude bound for very-long-running streams: commit dirs are
+        // compacted away over time, so a full reset (not LRU) suffices
+        if (cache.size() > 4096) cache.clear()
+        cache.put(commitDirAbs, all)
+      }
     }
     all.get(s"${segs(0)}/${segs(1)}/" + segs.drop(2).mkString("/"))
   }
@@ -266,14 +271,24 @@ object ZoneMaps {
     case EqualNullSafe(c, v) if v != null => inRange(c, v, stats, schema)
     case In(c, vs) =>
       vs == null || vs.isEmpty || vs.exists(v => inRange(c, v, stats, schema))
-    case GreaterThan(c, v) => cmpMax(c, v, stats, schema).forall(_ > 0)
-    case GreaterThanOrEqual(c, v) => cmpMax(c, v, stats, schema).forall(_ >= 0)
-    case LessThan(c, v) => cmpMin(c, v, stats, schema).forall(_ < 0)
-    case LessThanOrEqual(c, v) => cmpMin(c, v, stats, schema).forall(_ <= 0)
+    // inequalities: a file with NO non-null value for the column can
+    // never satisfy them (SQL comparison with null is never true)
+    case GreaterThan(c, v) =>
+      !provablyAllNull(c, stats) && cmpMax(c, v, stats, schema).forall(_ > 0)
+    case GreaterThanOrEqual(c, v) =>
+      !provablyAllNull(c, stats) && cmpMax(c, v, stats, schema).forall(_ >= 0)
+    case LessThan(c, v) =>
+      !provablyAllNull(c, stats) && cmpMin(c, v, stats, schema).forall(_ < 0)
+    case LessThanOrEqual(c, v) =>
+      !provablyAllNull(c, stats) && cmpMin(c, v, stats, schema).forall(_ <= 0)
     case IsNull(c) => stats.get(c).forall(_.nulls > 0)
     case IsNotNull(c) => stats.get(c).forall(s => s.min.nonEmpty || s.nulls < s.rows)
     case _ => true
   }
+
+  /** Stats exist and record zero non-null values for the column. */
+  private def provablyAllNull(c: String, stats: Map[String, ColStats]): Boolean =
+    stats.get(c).exists(s => s.min.isEmpty && s.max.isEmpty && s.nulls == s.rows)
 
   /** Some(sign of max(col) compared to v); None = can't prove. */
   private def cmpMax(c: String, v: Any, stats: Map[String, ColStats],
