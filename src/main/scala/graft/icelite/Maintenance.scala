@@ -26,7 +26,8 @@ object Maintenance {
     * ingest: the loser of any per-bucket race simply refolds later.
     */
   def compactBucketsOnce(table: IceLiteTable, todo: Seq[Int],
-      retentionFloorLsn: Long = -1L): Seq[Int] = {
+      retentionFloorLsn: Long = -1L, clusterBy: Seq[String] = Nil,
+      maxRowsPerFile: Long = 0L): Seq[Int] = {
     if (todo.isEmpty) return Nil
     val spark = table.spark
     val snap = table.refresh()
@@ -51,12 +52,26 @@ object Maintenance {
       else folded0.where(!col(IceLite.TOMB) || col(IceLite.VC) >= retentionFloorLsn)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val commitRel = f"data/compact-${snap.snapshotId}%08d-$attempt"
-    folded
+    val bucketed = folded
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(snap.numBuckets)))
       .repartition(math.max(1, math.min(todo.size,
         spark.sparkContext.defaultParallelism)), col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(table.dataPath(commitRel))
+    // clusterBy: sort each bucket's rows by the given columns and split
+    // files at maxRowsPerFile, so consecutive files carry DISJOINT value
+    // ranges — zone maps then prune range predicates on those columns to
+    // a few files per bucket (clustering is what makes min/max sharp;
+    // on unsorted data every file spans the whole domain). A bucket's
+    // rows all live in one task after the repartition, so the sorted
+    // runs never interleave across tasks.
+    val clustered =
+      if (clusterBy.isEmpty) bucketed
+      else bucketed.sortWithinPartitions(
+        (col("__bucket") +: clusterBy.map(col)): _*)
+    val writer0 = clustered.write.mode("overwrite").partitionBy("__bucket")
+    val writer =
+      if (maxRowsPerFile > 0) writer0.option("maxRecordsPerFile", maxRowsPerFile)
+      else writer0
+    writer.parquet(table.dataPath(commitRel))
     ZoneMaps.writeSidecar(spark, table.root, commitRel)
     val written = IceLite.listCommittedFiles(table.root, commitRel)
     // optimistic commit: per-bucket validity, retry only on version races
@@ -103,14 +118,19 @@ object Maintenance {
     * schedulable next to a live ingest). Returns the current snapshot id.
     */
   def compact(table: IceLiteTable, retentionFloorLsn: Long = -1L,
-      maxPasses: Int = 5): Long = {
+      maxPasses: Int = 5, clusterBy: Seq[String] = Nil,
+      maxRowsPerFile: Long = 0L): Long = {
     val snap0 = table.refresh()
+    // clustering must rewrite even a clean single-file bucket (the
+    // point is the new file layout), so it folds like a purge does
     var remaining = snap0.buckets
-      .filter(b => needsFold(snap0, b, retentionFloorLsn >= 0)).sorted
+      .filter(b => needsFold(snap0, b, retentionFloorLsn >= 0 || clusterBy.nonEmpty))
+      .sorted
     var pass = 0
     while (remaining.nonEmpty && pass < maxPasses) {
       pass += 1
-      val done = compactBucketsOnce(table, remaining, retentionFloorLsn).toSet
+      val done = compactBucketsOnce(table, remaining, retentionFloorLsn,
+        clusterBy, maxRowsPerFile).toSet
       // raced buckets refold against their NEW input set next pass
       remaining = remaining.filterNot(done)
     }

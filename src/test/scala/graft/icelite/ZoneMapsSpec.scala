@@ -183,4 +183,55 @@ class ZoneMapsSpec extends SparkSpec {
     assert(got == want, s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
     Fs.deleteRecursively(base)
   }
+
+  test("clustered compaction: per-bucket sorted file splits give disjoint zone ranges that prune range scans") {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 250, nDocs = 150, seed = 347, deletePct = 5)
+    val base = Fs.tempDir("graft-zmcluster")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 3)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val before = table.read().collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Int]("n_tok"))).sorted.toSeq
+
+    Maintenance.compact(table, clusterBy = Seq("n_tok"), maxRowsPerFile = 12L)
+    val snap = table.refresh()
+    assert(snap.deltas.values.forall(_.isEmpty), "compaction must fold all chains")
+
+    // compaction preserves the merged state exactly
+    val after = table.read().collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Int]("n_tok"))).sorted.toSeq
+    assert(after == before)
+
+    // at least one bucket split into several files, and within every
+    // bucket the files' n_tok ranges are pairwise disjoint (the sorted
+    // split is what makes zone maps sharp on the cluster column)
+    assert(snap.base.values.exists(_.size > 1),
+      s"expected multi-file buckets at maxRowsPerFile=12: ${snap.base.view.mapValues(_.size).toMap}")
+    snap.base.values.foreach { files =>
+      val ranges = files.flatMap(rel => ZoneMaps.statsFor(table.root, rel))
+        .flatMap(st => st.get("n_tok"))
+        .flatMap(s => for { mn <- s.min; mx <- s.max } yield (mn.toInt, mx.toInt))
+      assert(ranges.size == files.size, "every clustered file needs n_tok stats")
+      ranges.sorted.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"overlapping clustered ranges: $ranges")
+        case _ => ()
+      }
+    }
+
+    // a range predicate now reads a few files, not every file
+    val allN = before.map(_._2)
+    val hi = allN.sorted.apply(allN.size * 4 / 5)
+    val q = IceLiteV2.readRaw(spark, table.root).where(col("n_tok") > hi)
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("zoneSkippedFiles="),
+      s"expected zone-map skips on the clustered layout:\n$desc")
+    val got = q.select("doc_id", "n_tok").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(got == before.filter(_._2 > hi).sorted.toSeq)
+    Fs.deleteRecursively(base)
+  }
 }
