@@ -335,6 +335,17 @@ object SparkEntry {
     // same final state read back through the DataSourceV2 scan with
     // reported KeyGroupedPartitioning (zero-exchange merged read)
     "cdc_engine_replay_v2" -> ((s, d) => engineReplay(s, readV2 = true)),
+    // token-level view of the SAME replayed final state (the memoized
+    // pipeline run): corpus token histogram — occurrences + distinct
+    // docs per token id. Scale shape: explode feeds a two-phase hash
+    // aggregate (map-side combine on (token, doc) then token), the
+    // shuffled rows are count partials, never documents.
+    "replay_token_freq" -> ((s, d) =>
+      engineReplayTokens(s)
+        .select(col("doc_id"), explode(col("tokens")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("token"))),
     // DSv2 WRITE path: INSERT/append commits versioned delta files
     // through the snapshot protocol (bucket-clustered write, LWW
     // visibility, tombstone deletes) — verified against a pure-SQL
@@ -773,12 +784,23 @@ object SparkEntry {
   // the E2E mini-pipeline is the verify sweep's most expensive step, so
   // the second entry must not pay it again (memo per session — Verify
   // runs every query on one session)
-  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame)] = None
+  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame)] = None
 
-  private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame =
+  private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame = {
+    val (classic, v2, _) = engineReplayAll(spark)
+    if (readV2) v2 else classic
+  }
+
+  /** The replayed final state WITH the token arrays (doc_id, tokens) —
+    * the surface token-level queries aggregate over. Same memo run.
+    */
+  private def engineReplayTokens(spark: SparkSession): DataFrame =
+    engineReplayAll(spark)._3
+
+  private def engineReplayAll(spark: SparkSession): (DataFrame, DataFrame, DataFrame) =
     synchronized {
       replayMemo match {
-        case Some((s, classic, v2)) if s eq spark => if (readV2) v2 else classic
+        case Some((s, classic, v2, toks)) if s eq spark => (classic, v2, toks)
         case _ =>
           import graft.changelog._
           import graft.stream._
@@ -790,18 +812,21 @@ object SparkEntry {
             val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
               cdc, ChangeLogGen.snapshotLsn)
             CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
-            def shape(read: DataFrame): DataFrame = {
-              val out = read.select(col("doc_id"), col("n_tok"), col("source"),
-                  conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
-                    1, 14), 16, 10).cast("long").as("tok_fp"))
-                .orderBy(col("doc_id"))
+            def memoize(out0: DataFrame): DataFrame = {
+              val out = out0
               out.cache(); out.count() // materialize before temp dir cleanup
               out
             }
+            def shape(read: DataFrame): DataFrame = memoize(
+              read.select(col("doc_id"), col("n_tok"), col("source"),
+                  conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
+                    1, 14), 16, 10).cast("long").as("tok_fp"))
+                .orderBy(col("doc_id")))
             val classic = shape(table.read())
             val v2 = shape(graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root))
-            replayMemo = Some((spark, classic, v2))
-            if (readV2) v2 else classic
+            val toks = memoize(table.read().select(col("doc_id"), col("tokens")))
+            replayMemo = Some((spark, classic, v2, toks))
+            (classic, v2, toks)
           } finally graft.util.Fs.deleteRecursively(base)
       }
     }
@@ -892,6 +917,29 @@ object SparkEntry {
         |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
         |WHERE COALESCE(l.op,'') <> 'd'
         |ORDER BY doc_id""".stripMargin,
+    // token histogram over the same replayed final state: occurrences
+    // and distinct docs per token id
+    "replay_token_freq" ->
+      """WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1),
+        |fin AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |               COALESCE(l.after.tokens, s.tokens) AS tokens
+        |        FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |        WHERE COALESCE(l.op,'') <> 'd'),
+        |tok AS (SELECT doc_id, unnest(tokens) AS token FROM fin)
+        |SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token ORDER BY token""".stripMargin,
     // pure-SQL restatement of the four v2 appends: the vc=20 overwrite
     // wins for doc_id%3=0, the stale vc=5 write is invisible, the vc=30
     // tombstones remove doc_id%7=0

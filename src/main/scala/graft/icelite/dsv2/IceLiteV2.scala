@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.Collections
@@ -187,11 +187,13 @@ class IceLiteV2Table(spark: SparkSession, root: String) extends Table
 class IceLiteScanBuilder(spark: SparkSession, root: String, snap: IceSnapshot,
     fullSchema: StructType) extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var readSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep the table's field order (parquet reader contract)
@@ -227,10 +229,141 @@ class IceLiteScanBuilder(spark: SparkSession, root: String, snap: IceSnapshot,
     case _ => None
   }
 
-  override def build(): Scan = {
-    val prunedBuckets = pushed.flatMap(f => finiteKeys(f)).reduceOption(_ intersect _)
-      .map(_.map(k => IceLite.bucketOf(k, snap.numBuckets)))
-    new IceLiteScan(spark, root, snap, fullSchema, readSchema, pushed, prunedBuckets)
+  // ---- metadata-only aggregates: whole-table COUNT / MIN / MAX
+  // answered from the zone-map sidecars' exact per-file statistics —
+  // no task is ever scheduled (the Iceberg manifest-stats parity). Only
+  // when the answer is PROVABLY exact: no pushed filters (Spark only
+  // attempts the pushdown with no residual Filter anyway, but we guard),
+  // no group-by, every committed file covered by a sidecar, min/max
+  // restricted to fixed-width types (parquet may truncate BINARY stats
+  // into mere bounds, and float stats are unreliable around NaN).
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{
+    AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryComputeAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = tryComputeAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def tryComputeAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    val files = snap.buckets.flatMap(b =>
+      snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil))
+    // every file must carry stats, and per-file row counts must exist
+    val stats: Seq[Map[String, ZoneMaps.ColStats]] = files.map { rel =>
+      ZoneMaps.statsFor(root, rel) match {
+        case Some(st) if st.nonEmpty => st
+        case _ => return None
+      }
+    }
+    val rowsPerFile: Seq[Long] = stats.map(_.values.head.rows)
+
+    def minMax(f: AggregateFunc, wantMax: Boolean): Option[(StructField, Any)] = {
+      val name = colNameOf(f.children()(0)).getOrElse(return None)
+      val field = fullSchema.fields.find(_.name == name).getOrElse(return None)
+      val widen: String => Long = field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => _.toLong
+        case BooleanType => s => if (s.toBoolean) 1L else 0L
+        case _ => return None // strings may be truncated bounds; floats: NaN
+      }
+      val bounds = stats.map { st =>
+        st.get(name) match {
+          case None => return None // file predates the column: unknowable here
+          case Some(s) => (if (wantMax) s.max else s.min).map(widen)
+        }
+      }.flatten // all-null files contribute nothing
+      val v: Any = bounds.reduceOption(
+        if (wantMax) (a: Long, b: Long) => a max b
+        else (a: Long, b: Long) => a min b) match {
+        case None => null // the column is null in every row
+        case Some(l) => field.dataType match {
+          case ByteType => java.lang.Byte.valueOf(l.toByte)
+          case ShortType => java.lang.Short.valueOf(l.toShort)
+          case IntegerType => java.lang.Integer.valueOf(l.toInt)
+          case LongType => java.lang.Long.valueOf(l)
+          case BooleanType => java.lang.Boolean.valueOf(l == 1L)
+          case _ => return None
+        }
+      }
+      Some((StructField(s"${if (wantMax) "max" else "min"}($name)",
+        field.dataType, nullable = true), v))
+    }
+
+    val computed: Seq[(StructField, Any)] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          java.lang.Long.valueOf(rowsPerFile.sum))
+      case c: Count if !c.isDistinct =>
+        val name = colNameOf(c.column()).getOrElse(return None)
+        val nonNull = stats.map { st =>
+          st.get(name) match {
+            case None => return None
+            case Some(s) => s.rows - s.nulls
+          }
+        }.sum
+        (StructField(s"count($name)", LongType, nullable = false),
+          java.lang.Long.valueOf(nonNull))
+      case m: Min => minMax(m, wantMax = false).getOrElse(return None)
+      case m: Max => minMax(m, wantMax = true).getOrElse(return None)
+      case _ => return None
+    }
+    Some((StructType(computed.map(_._1)), computed.map(_._2)))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schemaOut, values)) =>
+      new IceLiteStatsScan(schemaOut, values,
+        s"IceLiteStatsScan(root=$root, snapshot=${snap.snapshotId}, metadata-only)")
+    case None =>
+      val prunedBuckets = pushed.flatMap(f => finiteKeys(f)).reduceOption(_ intersect _)
+        .map(_.map(k => IceLite.bucketOf(k, snap.numBuckets)))
+      new IceLiteScan(spark, root, snap, fullSchema, readSchema, pushed, prunedBuckets)
+  }
+}
+
+/** The result of a fully-pushed aggregate: one partition, one row,
+  * values computed on the driver from the zone-map sidecars.
+  */
+class IceLiteStatsScan(schemaOut: StructType, values: Seq[Any],
+    detail: String) extends Scan with Batch {
+  override def readSchema(): StructType = schemaOut
+  override def toBatch: Batch = this
+  override def description(): String = detail
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(new StatsRowPartition(values.toArray))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatsRowReaderFactory(schemaOut)
+}
+
+class StatsRowPartition(val values: Array[Any]) extends InputPartition
+
+class StatsRowReaderFactory(schemaOut: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val vals = p.asInstanceOf[StatsRowPartition].values
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        // strings would need UTF8String conversion; only fixed-width
+        // values are ever pushed, so the raw boxes bind directly
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 

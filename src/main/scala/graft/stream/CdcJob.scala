@@ -317,7 +317,13 @@ object CdcJob {
     val exists = IceLite.exists(cfg.tableRoot)
     cfg.snapshotMode match {
       case SnapshotMode.Always =>
-        if (exists) graft.util.Fs.deleteRecursively(cfg.tableRoot)
+        if (exists) {
+          // the zone-map daemon may still be writing a sidecar for a
+          // just-applied batch of this table — let it land before the
+          // recursive delete walks the tree (delete-vs-write race)
+          graft.icelite.ZoneMaps.flush()
+          graft.util.Fs.deleteRecursively(cfg.tableRoot)
+        }
         snapshot(spark, source, cfg, snapshotLsn)
       case SnapshotMode.Recovery =>
         // the reference's recovery mode rebuilds a lost schema history

@@ -10,9 +10,22 @@ import scala.jdk.CollectionConverters._
 object Fs {
   def deleteRecursively(root: String): Unit = {
     val p = Paths.get(root)
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
+    // a background writer (e.g. the zone-map sidecar daemon) can drop a
+    // file into a directory between the walk listing it and the delete
+    // reaching it — re-walk a few times instead of failing the caller
+    var attempts = 0
+    while (Files.exists(p)) {
+      attempts += 1
+      try {
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      } catch {
+        case e @ (_: java.nio.file.DirectoryNotEmptyException |
+                  _: java.nio.file.NoSuchFileException |
+                  _: java.io.UncheckedIOException) => // lazy-walk wrapper
+          if (attempts >= 5) throw e
+          Thread.sleep(50L * attempts)
+      }
     }
   }
 

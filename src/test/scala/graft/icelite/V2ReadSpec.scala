@@ -197,6 +197,52 @@ class V2ReadSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answered from zone-map stats, no file read") {
+    import spark.implicits._
+    val (base, table) = pipeline(seed = 181)
+    ZoneMaps.flush() // apply-path sidecars ride the daemon
+
+    val snap = table.refresh()
+    val allFiles = (snap.base.values.flatten ++ snap.deltas.values.flatten).toSeq
+    val raw = spark.read.parquet(allFiles.map(r => s"${table.root}/$r"): _*)
+    val expect = raw.agg(
+      count(lit(1)), min(col("n_tok")), max(col("n_tok")), count(col("n_tok")),
+      min(col(IceLite.VC)), max(col(IceLite.VC))).collect()(0)
+
+    val q = IceLiteV2.readRaw(spark, table.root).agg(
+      count(lit(1)).as("cnt"), min(col("n_tok")).as("mn"), max(col("n_tok")).as("mx"),
+      count(col("n_tok")).as("cnn"),
+      min(col(IceLite.VC)).as("vmin"), max(col(IceLite.VC)).as("vmax"))
+    assert(q.queryExecution.executedPlan.toString.contains("metadata-only"),
+      s"expected the stats scan:\n${q.queryExecution.executedPlan}")
+    val got = q.collect()(0)
+    (0 until 6).foreach { i =>
+      assert(got.get(i) == expect.get(i), s"agg $i: got ${got.get(i)}, want ${expect.get(i)}")
+    }
+
+    // a FILTERED aggregate must not push (stats can't apply predicates):
+    // plan falls back to the normal scan, result stays exact
+    val cut = raw.agg(avg(col("n_tok"))).collect()(0).getDouble(0).toInt
+    val fq = IceLiteV2.readRaw(spark, table.root)
+      .where(col("n_tok") > cut).agg(count(lit(1)))
+    assert(!fq.queryExecution.executedPlan.toString.contains("metadata-only"),
+      s"filtered aggregates must not be answered from stats:\n${fq.queryExecution.executedPlan}")
+    assert(fq.collect()(0).getLong(0) == raw.where(col("n_tok") > cut).count())
+
+    // string min/max must not push (parquet may truncate binary stats)
+    val sq = IceLiteV2.readRaw(spark, table.root).agg(min(col("doc_id")))
+    assert(!sq.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(sq.collect()(0).getString(0) ==
+      raw.agg(min(col("doc_id"))).collect()(0).getString(0))
+
+    // group-by aggregates keep the normal (exchange-free) path
+    val gq = IceLiteV2.readRaw(spark, table.root)
+      .groupBy(col("doc_id")).agg(count(lit(1)))
+    assert(!gq.queryExecution.executedPlan.toString.contains("metadata-only"))
+    assert(gq.count() == raw.select("doc_id").distinct().count())
+    Fs.deleteRecursively(base)
+  }
+
   test("storage-partitioned self-join on the key plans without a shuffle") {
     import spark.implicits._
     val (base, table) = pipeline(seed = 157)
