@@ -148,7 +148,8 @@ object Maintenance {
     * tests / shutdown).
     */
   final class CompactionDaemon(table: IceLiteTable,
-      chainThreshold: Int, retentionFloorLsn: () => Long = () => -1L)
+      chainThreshold: Int, retentionFloorLsn: () => Long = () => -1L,
+      clusterBy: Seq[String] = Nil, maxRowsPerFile: Long = 0L)
       extends AutoCloseable {
     private val exec = java.util.concurrent.Executors.newSingleThreadExecutor(
       (r: Runnable) => { val t = new Thread(r, "graft-compaction"); t.setDaemon(true); t })
@@ -162,7 +163,10 @@ object Maintenance {
         val snap = table.refresh()
         val hot = snap.buckets
           .filter(b => snap.deltas.getOrElse(b, Nil).size >= chainThreshold).sorted
-        if (hot.nonEmpty) { compactBucketsOnce(table, hot, retentionFloorLsn()); () }
+        if (hot.nonEmpty) {
+          compactBucketsOnce(table, hot, retentionFloorLsn(),
+            clusterBy, maxRowsPerFile); ()
+        }
       } catch {
         case t: Throwable =>
           // Surface, don't swallow: a persistently failing compaction

@@ -675,7 +675,9 @@ object CdcJob {
     val daemon =
       if (!cfg.asyncCompaction) None
       else Some(new graft.icelite.Maintenance.CompactionDaemon(
-        table, MergeApply.maxDeltaChain))
+        table, MergeApply.maxDeltaChain,
+        clusterBy = MergeApply.clusterBy,
+        maxRowsPerFile = MergeApply.clusterMaxRowsPerFile))
     spark.readStream
       .schema(LogRecord.schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
@@ -768,7 +770,9 @@ object CdcJob {
     val daemon =
       if (!cfg.asyncCompaction) None
       else Some(new graft.icelite.Maintenance.CompactionDaemon(
-        table, MergeApply.maxDeltaChain))
+        table, MergeApply.maxDeltaChain,
+        clusterBy = MergeApply.clusterBy,
+        maxRowsPerFile = MergeApply.clusterMaxRowsPerFile))
     val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
     todo.zipWithIndex.foreach { case (chunk, j) =>
       if (j < stopAfterBatches) {

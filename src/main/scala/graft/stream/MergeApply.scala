@@ -76,6 +76,17 @@ object MergeApply {
   /** Delta files per bucket before the chain is folded into base. */
   var maxDeltaChain: Int = 8
 
+  /** Cluster columns for folded bases: every compaction (inline fold
+    * and daemon) sorts each bucket's rows by these columns and splits
+    * files at [[clusterMaxRowsPerFile]], keeping per-file zone-map
+    * ranges disjoint so value predicates prune the folded layout (see
+    * `Maintenance.compactBucketsOnce`). Empty = unclustered (default).
+    */
+  var clusterBy: Seq[String] = Nil
+
+  /** File-split bound for clustered folds; 0 = single file per bucket. */
+  var clusterMaxRowsPerFile: Long = 0L
+
   /** Print per-phase wall times (diagnostics only). */
   var debugTiming: Boolean = sys.env.get("GRAFT_DEBUG_TIMING").exists(_.toBoolean)
   @inline private def phase[T](t0: Long, label: String)(f: => T): T = {
@@ -333,9 +344,14 @@ object MergeApply {
           .select(col("w.*"))
           .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
         val compactRel = f"data/base-$channelTag$batchId%08d-$attemptTag"
-        folded.repartition(math.max(1, math.min(toCompact.size,
+        val bucketed = folded.repartition(math.max(1, math.min(toCompact.size,
           spark.sparkContext.defaultParallelism)), col("__bucket"))
-          .write.mode("overwrite").partitionBy("__bucket")
+        val clustered =
+          if (clusterBy.isEmpty) bucketed
+          else bucketed.sortWithinPartitions((col("__bucket") +: clusterBy.map(col)): _*)
+        val w0 = clustered.write.mode("overwrite").partitionBy("__bucket")
+        (if (clusterMaxRowsPerFile > 0)
+          w0.option("maxRecordsPerFile", clusterMaxRowsPerFile) else w0)
           .parquet(table.dataPath(compactRel))
         graft.icelite.ZoneMaps.writeSidecarAsync(spark, table.root, compactRel)
         IceLite.listCommittedFiles(table.root, compactRel)

@@ -234,4 +234,53 @@ class ZoneMapsSpec extends SparkSpec {
     assert(got == before.filter(_._2 > hi).sorted.toSeq)
     Fs.deleteRecursively(base)
   }
+
+  test("production path: configured clusterBy makes the stream's inline folds clustered") {
+    import graft.stream.MergeApply
+    val (prevChain, prevCluster, prevRows) =
+      (MergeApply.maxDeltaChain, MergeApply.clusterBy, MergeApply.clusterMaxRowsPerFile)
+    MergeApply.maxDeltaChain = 2
+    MergeApply.clusterBy = Seq("n_tok")
+    MergeApply.clusterMaxRowsPerFile = 16L
+    try {
+      val cfg = ChangeLogConfig(nTx = 220, nDocs = 130, seed = 353, deletePct = 5)
+      val base = Fs.tempDir("graft-zmprod")
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 4)
+      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 4)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+      ZoneMaps.flush()
+
+      val snap = table.refresh()
+      // inline-folded buckets (not the unclustered initial base-snapshot)
+      val foldedBases = snap.base.filter(_._2.exists(f =>
+        f.contains("/base-") && !f.contains("base-snapshot")))
+      assert(foldedBases.nonEmpty, "fixture must trip the inline fold (chain=2)")
+      assert(foldedBases.values.exists(_.size > 1),
+        s"need a multi-file fold for the disjointness check: " +
+          s"${foldedBases.view.mapValues(_.size).toMap}")
+      // every inline-folded bucket's files carry pairwise-disjoint
+      // n_tok ranges (live rows; tombstones are all-null and stat-less)
+      foldedBases.foreach { case (_, files) =>
+        val ranges = files
+          .flatMap(rel => ZoneMaps.statsFor(table.root, rel))
+          .flatMap(_.get("n_tok"))
+          .flatMap(s => for { mn <- s.min; mx <- s.max } yield (mn.toInt, mx.toInt))
+        ranges.sorted.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax <= bMin, s"inline fold must cluster: $ranges")
+          case _ => ()
+        }
+      }
+      // and the merged read is unchanged by the layout
+      val live = table.read().collect().map(_.getAs[String]("doc_id")).sorted
+      assert(live.distinct.length == live.length && live.nonEmpty)
+      Fs.deleteRecursively(base)
+    } finally {
+      MergeApply.maxDeltaChain = prevChain
+      MergeApply.clusterBy = prevCluster
+      MergeApply.clusterMaxRowsPerFile = prevRows
+    }
+  }
 }
