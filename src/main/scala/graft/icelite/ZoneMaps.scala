@@ -206,7 +206,14 @@ object ZoneMaps {
     */
   private val cache = new ConcurrentHashMap[String, Map[String, Map[String, ColStats]]]()
 
-  private[icelite] def clearCache(): Unit = cache.clear()
+  /** Drop all cached sidecars. Call after DESTROYING a table in place
+    * (snapshot-mode=always re-snapshot): the fixed-name commit dir
+    * (`data/base-snapshot`) is recreated at the same path, and a stale
+    * cached sidecar would otherwise pin that path until JVM exit —
+    * never WRONG (part-file names are uuid-unique, so lookups miss and
+    * nothing skips), but it disables skipping for the new table.
+    */
+  def clearCache(): Unit = cache.clear()
 
   /** Stats for one data file (rel path under root), or None when the
     * commit has no sidecar / the file isn't in it.

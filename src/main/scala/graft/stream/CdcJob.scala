@@ -320,9 +320,12 @@ object CdcJob {
         if (exists) {
           // the zone-map daemon may still be writing a sidecar for a
           // just-applied batch of this table — let it land before the
-          // recursive delete walks the tree (delete-vs-write race)
+          // recursive delete walks the tree (delete-vs-write race);
+          // then drop cached sidecars so the recreated fixed-name
+          // snapshot dir isn't pinned to the dead table's stats
           graft.icelite.ZoneMaps.flush()
           graft.util.Fs.deleteRecursively(cfg.tableRoot)
+          graft.icelite.ZoneMaps.clearCache()
         }
         snapshot(spark, source, cfg, snapshotLsn)
       case SnapshotMode.Recovery =>
