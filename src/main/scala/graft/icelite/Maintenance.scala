@@ -251,6 +251,12 @@ object Maintenance {
       catch { case scala.util.control.NonFatal(_) => Nil }
     }
     val referenced = snap.allFiles.toSet ++ cdfProtected
+    // commit dirs (data/<commit>) that still hold referenced data keep
+    // their metadata files too: deleting a LIVE commit's _zonemaps.json
+    // would silently disable file skipping and metadata-only aggregates
+    // for that commit (never wrong — absence means "skip nothing" — but
+    // a maintenance op must not degrade the layout it maintains)
+    val liveCommitDirs = referenced.map(_.split('/').take(2).mkString("/"))
     val root = Paths.get(table.root)
     val dataDir = root.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0
@@ -259,8 +265,11 @@ object Maintenance {
       .filter(p => Files.isRegularFile(p))
       .foreach { p =>
         val rel = root.relativize(p).toString
-        // non-parquet commit markers (_SUCCESS etc.) ride with their dir
-        if (!referenced.contains(rel)) {
+        val inLiveDir = liveCommitDirs.contains(rel.split('/').take(2).mkString("/"))
+        // non-parquet commit markers (_SUCCESS, _zonemaps.json) ride with
+        // their dir: swept when the whole commit is orphaned, kept while
+        // any of its data files is referenced
+        if (!referenced.contains(rel) && (rel.endsWith(".parquet") || !inLiveDir)) {
           Files.deleteIfExists(p)
           if (rel.endsWith(".parquet")) deleted += 1
         }

@@ -194,7 +194,8 @@ object TxAssembler {
       keyCol: String = "doc_id",
       messageKeyColumns: Seq[(String, Seq[String])] = Nil,
       topicRouting: Option[(String, String)] = None,
-      keepBefore: Boolean = false): DataFrame = {
+      keepBefore: Boolean = false,
+      keepSource: Boolean = false): DataFrame = {
     val afterType = events.schema("after").dataType
     // message.key.columns: first matching table regex overrides the
     // record key with the listed fields joined by ':' (the structural
@@ -244,9 +245,18 @@ object TxAssembler {
     // carries NO envelope at all, so both images null there
     val cols = Seq(col("commit_lsn"), col("change_lsn"), col("emit_seq"),
       col("op"), col("topic"), col("key"), col("after"), col("ts_ms"))
-    if (!keepBefore) base.select(cols: _*)
-    else base.select(cols :+
-      when(col("op") === "tombstone", lit(null).cast(events.schema("before").dataType))
-        .otherwise(col("before")).as("before"): _*)
+    val withBefore =
+      if (!keepBefore) cols
+      else cols :+
+        when(col("op") === "tombstone", lit(null).cast(events.schema("before").dataType))
+          .otherwise(col("before")).as("before")
+    // keepSource: the wire serializer (ops.WireJson) needs the PHYSICAL
+    // table (source.table — topic is the ROUTED name) and the tx
+    // coordinates when the input carries them
+    val withSource =
+      if (!keepSource) withBefore
+      else withBefore ++ (Seq("table", "tx_id", "begin_lsn")
+        .filter(events.columns.contains).map(col))
+    base.select(withSource: _*)
   }
 }

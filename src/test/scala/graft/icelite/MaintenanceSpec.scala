@@ -48,6 +48,14 @@ class MaintenanceSpec extends SparkSpec {
     assert(removed > 0, "compaction inputs + zombie attempt should be orphans")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"${table.root}/data/delta-zombie-attempt")))
+    // the LIVE compaction commit keeps its zone-map sidecar (losing it
+    // would silently disable file skipping + metadata-only aggregates)
+    val liveSidecars = table.refresh().allFiles
+      .map(_.split('/').take(2).mkString("/")).distinct
+      .map(d => java.nio.file.Paths.get(s"${table.root}/$d/${ZoneMaps.SidecarName}"))
+      .filter(java.nio.file.Files.exists(_))
+    assert(liveSidecars.nonEmpty,
+      "live commit dirs lost their _zonemaps.json to gcOrphans")
     val cur = table.refresh()
     cur.allFiles.foreach { f =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${table.root}/$f")), f)
