@@ -92,6 +92,8 @@ object Main {
       // ExtractNewRecordState in the sink chain: emitted records as flat
       // rows (delete rewrite + __deleted, tombstones dropped)
       emitFlatten = a.getOrElse("emit-flatten", "false").toBoolean,
+      // Debezium Kafka wire format: (topic, key JSON, value JSON) records
+      emitWire = a.getOrElse("emit-wire", "false").toBoolean,
       returnEmptyTransactions =
         a.getOrElse("return-empty-transactions", "false").toBoolean,
       // concurrent compaction (recommended on): folds run on the

@@ -63,6 +63,22 @@ object WireJson {
       db: String = "graft"): DataFrame = {
     def opt(c: String, t: DataType): Column =
       if (emitted.columns.contains(c)) col(c).cast(t) else lit(null).cast(t)
+    // Rebuild `before` by FIELD NAME against the after schema: the
+    // engine may have pruned the before image to the key fields (the
+    // MERGE path's optimization) — present fields serialize, pruned
+    // ones become JSON nulls. Positional struct cast would misalign.
+    val payload = emitted.schema("after").dataType.asInstanceOf[StructType]
+    val beforeCol: Column =
+      if (!emitted.columns.contains("before")) lit(null).cast(payload)
+      else {
+        val bt = emitted.schema("before").dataType.asInstanceOf[StructType]
+        val rebuilt = struct(payload.fields.toSeq.map { f =>
+          (if (bt.fieldNames.contains(f.name))
+            col("before").getField(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        when(col("before").isNull, lit(null).cast(payload)).otherwise(rebuilt)
+      }
     val source = struct(
       lit("graft-spark").as("version"),
       lit("informix").as("connector"),
@@ -73,7 +89,7 @@ object WireJson {
       opt("begin_lsn", LongType).as("begin_lsn"),
       opt("tx_id", LongType).as("txId"))
     val envelope = struct(
-      opt("before", emitted.schema("after").dataType).as("before"),
+      beforeCol.as("before"),
       col("after").as("after"),
       source.as("source"),
       col("op").as("op"),

@@ -157,6 +157,15 @@ final case class CdcConfig(
       * are dropped (the SMT's `drop.tombstones` default — a flattened
       * stream has no use for them). Envelope emission is the default. */
     emitFlatten: Boolean = false,
+    /** Serialize the emitted record stream to the reference's Kafka
+      * wire format ([[graft.ops.WireJson]]): each record becomes
+      * (topic, key JSON, value JSON) with the Debezium envelope —
+      * before/after/source{commit_lsn, change_lsn, begin_lsn, txId}/op —
+      * and deletes are followed by null-value tombstone records. A
+      * consumer built for the reference's topics reads this sink
+      * unchanged; [[graft.ops.WireJson.fromWire]] ingests it back.
+      * Mutually exclusive with [[emitFlatten]]. */
+    emitWire: Boolean = false,
     /** Cross-batch open-transaction carryover (the distributed analog of
       * the reference's tx buffering, `DbzTransactionEngine.java:88-156`):
       * records of transactions not yet closed in a batch are staged under
@@ -574,6 +583,7 @@ object CdcJob {
       tombstonesOnDelete: Boolean = true,
       returnEmptyTransactions: Boolean = false,
       emitFlatten: Boolean = false,
+      emitWire: Boolean = false,
       filters: CaptureFilters = CaptureFilters.none,
       inlineCompact: Boolean = true,
       rowFilter: Option[Column] = None,
@@ -582,10 +592,20 @@ object CdcJob {
       topicRouting: Option[(String, String)] = None): MergeApply.MergeStats = {
     val spark = rawBatch.sparkSession
     val keyCol = table.current.keyCol
+    // Wire emission carries FULL before images (the reference runs
+    // cdc_set_fullrowlogging — its update/delete envelopes have every
+    // before field), so the before-image pruning keeps all payload
+    // fields when that sink is configured; otherwise just the merge key
+    // plus any message.key.columns override fields.
+    val wireBefore: Seq[String] =
+      if (!emitWire) Nil
+      else rawBatch.schema("after").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
     val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms,
       prune = true, filters = filters, rowFilter = rowFilter,
       skippedOperations = skippedOperations,
-      keepBeforeFields = messageKeyColumns.flatMap(_._2).distinct)
+      keepBeforeFields =
+        (messageKeyColumns.flatMap(_._2) ++ wireBefore).distinct)
 
     val input =
       if (!txCarryover) transformed
@@ -630,14 +650,18 @@ object CdcJob {
     // transaction-metadata stream, with the reference's switches applied.
     // Envelope-complete assembly (slim = false) so ts_ms/begin_lsn are
     // populated on the emitted records.
+    require(!(emitFlatten && emitWire),
+      "emitFlatten and emitWire are mutually exclusive emission formats")
     emitDir.foreach { dir =>
       val full =
         if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
         else events
       val recs = TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol,
-        messageKeyColumns, topicRouting, keepBefore = emitFlatten)
+        messageKeyColumns, topicRouting,
+        keepBefore = emitFlatten || emitWire, keepSource = emitWire)
       val outRecs =
-        if (!emitFlatten) recs
+        if (emitWire) graft.ops.WireJson.toWire(recs, keyCol)
+        else if (!emitFlatten) recs
         else graft.ops.Unwrap.flatten(recs, addFields = Seq(
           "op" -> "op", "topic" -> "topic", "key" -> "key",
           "commit_lsn" -> "lsn"))
@@ -695,7 +719,7 @@ object CdcJob {
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions,
-          emitFlatten = cfg.emitFlatten, filters = cfg.filters,
+          emitFlatten = cfg.emitFlatten, emitWire = cfg.emitWire, filters = cfg.filters,
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,
@@ -785,7 +809,7 @@ object CdcJob {
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions,
-          emitFlatten = cfg.emitFlatten, filters = cfg.filters,
+          emitFlatten = cfg.emitFlatten, emitWire = cfg.emitWire, filters = cfg.filters,
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,
