@@ -131,9 +131,16 @@ object Main {
     // --assembly stateful: flatMapGroupsWithState transaction assembly
     // for logs with no commit-boundary alignment (state survives in the
     // SS state store; poison txs fail fast or quarantine per --dlq-dir)
-    val q = a.getOrElse("assembly", "batch") match {
-      case "stateful" => StatefulAssembly.stream(spark, table, cfg, trigger)
-      case _ => CdcJob.stream(spark, table, cfg, trigger)
+    // --source-format wire: --log-dir points at a Debezium-JSON topic
+    // dump (reference wire format) instead of a native change log;
+    // optional --topic-include "re1,re2" scopes the subscription
+    val q = a.getOrElse("source-format", "log") match {
+      case "wire" => WireSource.stream(spark, table, cfg, trigger,
+        topicInclude = a.get("topic-include").map(_.split(",").toSeq))
+      case _ => a.getOrElse("assembly", "batch") match {
+        case "stateful" => StatefulAssembly.stream(spark, table, cfg, trigger)
+        case _ => CdcJob.stream(spark, table, cfg, trigger)
+      }
     }
     q.awaitTermination()
   }

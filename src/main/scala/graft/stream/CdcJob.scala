@@ -166,6 +166,12 @@ final case class CdcConfig(
       * unchanged; [[graft.ops.WireJson.fromWire]] ingests it back.
       * Mutually exclusive with [[emitFlatten]]. */
     emitWire: Boolean = false,
+    /** Wire-source schema evolution ([[WireSource]] consumers only):
+      * infer additive after-image fields from each micro-batch's JSON
+      * and propagate them to the sink schema (E4 over the wire). Costs
+      * ~one extra parse pass per batch; disable for fixed-schema
+      * topics and widen the sink out-of-band instead. */
+    wireInferEvolution: Boolean = true,
     /** Cross-batch open-transaction carryover (the distributed analog of
       * the reference's tx buffering, `DbzTransactionEngine.java:88-156`):
       * records of transactions not yet closed in a batch are staged under

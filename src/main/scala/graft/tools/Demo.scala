@@ -95,6 +95,26 @@ object Demo {
         s"(expect doc 100 -> owner 1, matches in (26,128); doc 101 clean)")
     }
 
+    // probe 6: wire interchange — re-run the pipeline with the Debezium
+    // wire emit sink on, then a THIRD engine instance consumes the topic
+    // dump through the wire source and must reconverge exactly
+    locally {
+      val cdcW = cdc.copy(tableRoot = s"$base/tableW", checkpointDir = s"$base/ckptW",
+        emitDir = Some(s"$base/emit"), emitWire = true)
+      val tw = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdcW, ChangeLogGen.snapshotLsn)
+      CdcJob.runBatchIncremental(spark, tw, cdcW, filesPerBatch = 2)
+      val cdcC = CdcConfig(s"$base/emit/batch-*", s"$base/tableC", s"$base/ckptC",
+        numBuckets = 16, maxFilesPerTrigger = 4)
+      val tc = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdcC, ChangeLogGen.snapshotLsn)
+      WireSource.stream(spark, tc, cdcC).awaitTermination()
+      val gotW = tc.read().as[graft.model.TokenDoc].collect().map(d => d.doc_id -> d).toMap
+      val equalW = gotW.keySet == want.keySet &&
+        want.forall { case (k, w) => gotW(k).tokens == w.tokens }
+      println(s"== PROBE wire interchange (engine -> Debezium JSON topic -> engine): $equalW")
+    }
+
     Fs.deleteRecursively(base)
     spark.stop()
     println("== DONE")
