@@ -335,6 +335,10 @@ object SparkEntry {
     // same final state read back through the DataSourceV2 scan with
     // reported KeyGroupedPartitioning (zero-exchange merged read)
     "cdc_engine_replay_v2" -> ((s, d) => engineReplay(s, readV2 = true)),
+    // engine -> Debezium-JSON wire -> engine: a second engine instance
+    // consumes the first one's topic dump (WireSource) and must land on
+    // the same oracle-replayed final state, token fingerprints included
+    "cdc_wire_replay" -> ((s, d) => engineReplayWire(s)),
     // token-level view of the SAME replayed final state (the memoized
     // pipeline run): corpus token histogram — occurrences + distinct
     // docs per token id. Scale shape: explode feeds a two-phase hash
@@ -819,10 +823,10 @@ object SparkEntry {
   // the E2E mini-pipeline is the verify sweep's most expensive step, so
   // the second entry must not pay it again (memo per session — Verify
   // runs every query on one session)
-  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame)] = None
+  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame, DataFrame)] = None
 
   private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame = {
-    val (classic, v2, _) = engineReplayAll(spark)
+    val (classic, v2, _, _) = engineReplayAll(spark)
     if (readV2) v2 else classic
   }
 
@@ -832,21 +836,36 @@ object SparkEntry {
   private def engineReplayTokens(spark: SparkSession): DataFrame =
     engineReplayAll(spark)._3
 
-  private def engineReplayAll(spark: SparkSession): (DataFrame, DataFrame, DataFrame) =
+  /** The wire-interchange final state: the SAME pipeline run serializes
+    * its emitted records to the Debezium JSON wire format, and a second
+    * engine instance consumes the topic dump through
+    * [[graft.stream.WireSource]] — its final table must replay to the
+    * identical oracle state (engine -> wire -> engine round trip under
+    * the full SQL oracle, token fingerprints included). */
+  private def engineReplayWire(spark: SparkSession): DataFrame =
+    engineReplayAll(spark)._4
+
+  private def engineReplayAll(spark: SparkSession): (DataFrame, DataFrame, DataFrame, DataFrame) =
     synchronized {
       replayMemo match {
-        case Some((s, classic, v2, toks)) if s eq spark => (classic, v2, toks)
+        case Some((s, classic, v2, toks, wire)) if s eq spark => (classic, v2, toks, wire)
         case _ =>
           import graft.changelog._
           import graft.stream._
           val base = graft.util.Fs.tempDir("graft-entry")
           try {
             val cfg = EngineReplayCfg
-            val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+            val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8,
+              emitDir = Some(s"$base/emit"), emitWire = true)
             ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
             val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
               cdc, ChangeLogGen.snapshotLsn)
             CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+            // wire consumer: a second engine instance over the topic dump
+            val cdcWire = CdcConfig(s"$base/emit", s"$base/tableW", s"$base/ckptW", numBuckets = 8)
+            val tableW = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+              cdcWire, ChangeLogGen.snapshotLsn)
+            WireSource.runIncremental(spark, tableW, cdcWire, filesPerBatch = 2)
             def memoize(out0: DataFrame): DataFrame = {
               val out = out0
               out.cache(); out.count() // materialize before temp dir cleanup
@@ -860,8 +879,9 @@ object SparkEntry {
             val classic = shape(table.read())
             val v2 = shape(graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root))
             val toks = memoize(table.read().select(col("doc_id"), col("tokens")))
-            replayMemo = Some((spark, classic, v2, toks))
-            (classic, v2, toks)
+            val wire = shape(tableW.read())
+            replayMemo = Some((spark, classic, v2, toks, wire))
+            (classic, v2, toks, wire)
           } finally graft.util.Fs.deleteRecursively(base)
       }
     }
@@ -932,6 +952,30 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // the v2 read path must produce the identical final state
     "cdc_engine_replay_v2" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
+    // the wire round trip must land on the SAME replayed state: the
+    // oracle is identical to cdc_engine_replay — serialization to the
+    // Debezium JSON envelope and back must be information-preserving
+    "cdc_wire_replay" ->
       s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
         |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
         |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
