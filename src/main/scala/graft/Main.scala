@@ -85,6 +85,10 @@ object Main {
       topicRouting = for {
         re <- a.get("topic-regex"); repl <- a.get("topic-replacement")
       } yield (re, repl),
+      // ContentBasedRouter analog: SQL expression over the emitted
+      // record; non-null result reroutes, e.g.
+      // --content-route "CASE WHEN after.n_tok > 4096 THEN 'cdc.long' END"
+      contentRouting = a.get("content-route").map(org.apache.spark.sql.functions.expr),
       signalDir = a.get("signal-dir"),
       // emitted-record sink + its parity switches (E1/E2/E5)
       emitDir = a.get("emit-dir"),

@@ -462,9 +462,14 @@ object SparkEntry {
       Dedup.applyEmbeddingNearDups(t(s, d, "embeddings"))
         .select(col("vec_id"), col("label")).orderBy(col("vec_id"))),
     // emission SMT chain (message.key.columns override + topic router +
-    // delete tombstones) over a derived committed-event stream: tables
-    // tab1/tab2 rewrite their record key to k1:k2, every table reroutes
-    // topic via regex, every delete emits a trailing tombstone record
+    // content-based router + delete tombstones) over a derived
+    // committed-event stream: tables tab1/tab2 rewrite their record key
+    // to k1:k2, every table reroutes topic via regex, records whose
+    // after-image event type is 'error' reroute again by CONTENT
+    // (ContentBasedRouter semantics: non-null expression wins, null
+    // falls through to the regex-routed topic — deletes carry no after
+    // image, so they and their tombstones keep the regex topic), and
+    // every delete emits a trailing tombstone record
     "e_emit_smt" -> ((s, d) => {
       val log = CdcRelational.changeLog(t(s, d, "events"))
         .where(col("lsn") < 2000)
@@ -480,7 +485,8 @@ object SparkEntry {
       graft.stream.TxAssembler.emitRecords(input, tombstonesOnDelete = true,
           keyCol = "k1",
           messageKeyColumns = Seq(("tab[12]", Seq("k1", "k2"))),
-          topicRouting = Some(("tab(.*)", "cdc.t$1")))
+          topicRouting = Some(("tab(.*)", "cdc.t$1")),
+          contentRouting = Some(when(col("after.k2") === "error", lit("cdc.errors"))))
         .select(col("commit_lsn"), col("emit_seq").cast("long").as("emit_seq"),
           col("op"), col("topic"), col("key"))
         .orderBy(col("commit_lsn"), col("emit_seq"))
@@ -1117,7 +1123,8 @@ object SparkEntry {
         |  CASE WHEN tbl IN ('tab1','tab2')
         |       THEN CAST(key_id AS VARCHAR) || ':' || event_type
         |       ELSE CAST(key_id AS VARCHAR) END AS key,
-        |  regexp_replace(tbl, '^(?:tab(.*))$$', 'cdc.t\\1') AS topic FROM x),
+        |  CASE WHEN op <> 'd' AND event_type = 'error' THEN 'cdc.errors'
+        |       ELSE regexp_replace(tbl, '^(?:tab(.*))$$', 'cdc.t\\1') END AS topic FROM x),
         |u AS (SELECT commit_lsn, 0 AS emit_seq, op, topic, key FROM k
         |  UNION ALL SELECT commit_lsn, 1, 'tombstone', topic, key FROM k WHERE op = 'd')
         |SELECT commit_lsn, CAST(emit_seq AS BIGINT) AS emit_seq, op, topic, key

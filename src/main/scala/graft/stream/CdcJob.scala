@@ -129,6 +129,17 @@ final case class CdcConfig(
       * record's topic = the replacement when the table matches, else
       * the table name itself. */
     topicRouting: Option[(String, String)] = None,
+    /** Content-based topic routing on the emission surface — the
+      * reference ecosystem's ContentBasedRouter SMT (Debezium
+      * scripting: an expression over the record computes the topic).
+      * The engine form is a Catalyst [[Column]] over the emitted
+      * record (`topic`, `op`, `key`, `table`, `commit_lsn`,
+      * `after.*`, `before.*`): a non-null string result reroutes the
+      * record, null keeps the [[topicRouting]] (or table-name) topic —
+      * the SMT-chain contract. Codegen'd expression, zero extra
+      * passes; a delete's tombstone inherits its delete's routed
+      * topic. */
+    contentRouting: Option[Column] = None,
     /** Signal directory (E7): polled between micro-batches for
       * incremental/blocking snapshot requests — see [[Signals]]. */
     signalDir: Option[String] = None,
@@ -595,7 +606,8 @@ object CdcJob {
       rowFilter: Option[Column] = None,
       skippedOperations: Set[String] = Set.empty,
       messageKeyColumns: Seq[(String, Seq[String])] = Nil,
-      topicRouting: Option[(String, String)] = None): MergeApply.MergeStats = {
+      topicRouting: Option[(String, String)] = None,
+      contentRouting: Option[Column] = None): MergeApply.MergeStats = {
     val spark = rawBatch.sparkSession
     val keyCol = table.current.keyCol
     // Wire emission carries FULL before images (the reference runs
@@ -663,7 +675,7 @@ object CdcJob {
         if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
         else events
       val recs = TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol,
-        messageKeyColumns, topicRouting,
+        messageKeyColumns, topicRouting, contentRouting,
         keepBefore = emitFlatten || emitWire, keepSource = emitWire)
       val outRecs =
         if (emitWire) graft.ops.WireJson.toWire(recs, keyCol)
@@ -729,7 +741,7 @@ object CdcJob {
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,
-          topicRouting = cfg.topicRouting)
+          topicRouting = cfg.topicRouting, contentRouting = cfg.contentRouting)
         daemon.foreach(_.poke()); ()
       }
       .start()
@@ -819,7 +831,7 @@ object CdcJob {
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,
-          topicRouting = cfg.topicRouting)
+          topicRouting = cfg.topicRouting, contentRouting = cfg.contentRouting)
         daemon.foreach(_.poke())
       }
     }

@@ -194,6 +194,7 @@ object TxAssembler {
       keyCol: String = "doc_id",
       messageKeyColumns: Seq[(String, Seq[String])] = Nil,
       topicRouting: Option[(String, String)] = None,
+      contentRouting: Option[Column] = None,
       keepBefore: Boolean = false,
       keepSource: Boolean = false): DataFrame = {
     val afterType = events.schema("after").dataType
@@ -227,11 +228,24 @@ object TxAssembler {
       case None => col("table")
       case Some((re, repl)) => regexp_replace(col("table"), "^(?:" + re + ")$", repl)
     }
+    // ContentBasedRouter: an expression over the record decides the
+    // topic — a non-null string result reroutes, null keeps the topic
+    // the regex router (or the table name) produced, so the two SMTs
+    // chain exactly like the reference's transform list. The expression
+    // sees the record columns (`topic`, `op`, `key`, `table`,
+    // `commit_lsn`, `after.*`, `before.*`). Applied BEFORE the
+    // tombstone explode, so a delete's tombstone lands on the same
+    // routed topic — compaction on the target topic stays sound.
     // position markers are engine-internal (watermark advance), never
     // emitted records
-    val keyed = events.where(col("op") =!= MarkerOp)
+    val keyed0 = events.where(col("op") =!= MarkerOp)
       .withColumn("key", keyExpr)
       .withColumn("topic", topicExpr)
+    val keyed = contentRouting match {
+      case None => keyed0
+      case Some(e) =>
+        keyed0.withColumn("topic", coalesce(e.cast("string"), col("topic")))
+    }
     val base =
       if (!tombstonesOnDelete) keyed.withColumn("emit_seq", lit(0))
       else keyed

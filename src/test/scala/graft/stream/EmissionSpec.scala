@@ -183,6 +183,38 @@ class EmissionSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("ContentBasedRouter analog: expression reroutes; null keeps the regex-routed topic") {
+    val (base, raw) = fixture()
+    val events = TxAssembler.assemble(raw)
+    // chain: regex router first (token_docs -> cdc.docs), then content
+    // routing on the record — deletes go to a dedicated topic, creates
+    // and updates fall through (null) to the regex-routed name
+    val out = TxAssembler.emitRecords(events, tombstonesOnDelete = true,
+      topicRouting = Some(("token_(.*)", "cdc.$1")),
+      contentRouting = Some(when(col("op") === "d", lit("cdc.deletes")))).cache()
+    val d = out.where(col("op") === "d")
+    assert(d.count() > 0, "fixture must contain deletes")
+    assert(d.where(col("topic") =!= "cdc.deletes").count() == 0,
+      "matched records must take the content-computed topic")
+    // a delete's tombstone inherits the delete's routed topic (the
+    // compacted target topic must see the null record)
+    val ts = out.where(col("op") === "tombstone")
+    assert(ts.count() == d.count())
+    assert(ts.where(col("topic") =!= "cdc.deletes").count() == 0,
+      "tombstones must land on their delete's routed topic")
+    assert(out.where(col("op").isin("c", "u") && col("topic") =!= "cdc.docs").count() == 0,
+      "null expression result must keep the regex-routed topic (SMT chain)")
+    // expression over the payload, not just op: route by after-image size
+    val bySize = TxAssembler.emitRecords(events, tombstonesOnDelete = false,
+      contentRouting = Some(
+        when(col("after").isNotNull && col("after.n_tok") > 8, lit("cdc.long"))))
+    val cu = bySize.where(col("op").isin("c", "u")).cache()
+    val long = cu.where(col("after.n_tok") > 8)
+    assert(long.count() > 0 && long.where(col("topic") =!= "cdc.long").count() == 0)
+    assert(cu.where(col("after.n_tok") <= 8 && col("topic") =!= "token_docs").count() == 0)
+    Fs.deleteRecursively(base)
+  }
+
   test("skipped.operations: configured ops are dropped on the ingest path (tx still closes)") {
     import spark.implicits._
     import graft.model.TokenDoc
