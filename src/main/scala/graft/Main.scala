@@ -137,10 +137,18 @@ object Main {
     // SS state store; poison txs fail fast or quarantine per --dlq-dir)
     // --source-format wire: --log-dir points at a Debezium-JSON topic
     // dump (reference wire format) instead of a native change log;
-    // optional --topic-include "re1,re2" scopes the subscription
+    // optional --topic-include "re1;re2" scopes the subscription
+    // (';'-separated — a comma is a legal regex char, e.g. {1,3})
     val q = a.getOrElse("source-format", "log") match {
-      case "wire" => WireSource.stream(spark, table, cfg, trigger,
-        topicInclude = a.get("topic-include").map(_.split(",").toSeq))
+      case "wire" =>
+        // signals drive the NATIVE snapshot machinery; a wire consumer
+        // has no snapshot source to chunk — fail fast, not silently
+        require(cfg.signalDir.isEmpty,
+          "--signal-dir is not supported with --source-format wire " +
+            "(signals drive native snapshot chunks; a wire consumer has none)")
+        WireSource.stream(spark, table, cfg, trigger,
+          topicInclude = a.get("topic-include")
+            .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq))
       case _ => a.getOrElse("assembly", "batch") match {
         case "stateful" => StatefulAssembly.stream(spark, table, cfg, trigger)
         case _ => CdcJob.stream(spark, table, cfg, trigger)

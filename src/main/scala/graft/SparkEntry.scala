@@ -868,7 +868,9 @@ object SparkEntry {
               cdc, ChangeLogGen.snapshotLsn)
             CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
             // wire consumer: a second engine instance over the topic dump
-            val cdcWire = CdcConfig(s"$base/emit", s"$base/tableW", s"$base/ckptW", numBuckets = 8)
+            // (glob the record batches — the emit root also holds the
+            // tx-batch-N metadata dumps, which are not wire records)
+            val cdcWire = CdcConfig(s"$base/emit/batch-*", s"$base/tableW", s"$base/ckptW", numBuckets = 8)
             val tableW = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
               cdcWire, ChangeLogGen.snapshotLsn)
             WireSource.runIncremental(spark, tableW, cdcWire, filesPerBatch = 2)

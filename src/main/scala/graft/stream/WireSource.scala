@@ -48,8 +48,10 @@ import org.apache.spark.sql.types._
   * Garbage tolerance: a crawl-scale topic always carries malformed
   * records. Null values (delete tombstones — a log-compaction
   * artifact, not a change) are dropped by contract; unparseable values
-  * are dropped and optionally quarantined to `<dlqDir>/wire-batch-N`
-  * (overwrite-per-batch: idempotent under re-delivery).
+  * are dropped and optionally quarantined to `<dlqDir>/wire-records`,
+  * partitioned per source file with dynamic partition overwrite
+  * (idempotent under any re-delivery or re-chunking — dump files are
+  * immutable).
   */
 object WireSource {
 
@@ -109,9 +111,20 @@ object WireSource {
     val wire = if (multiPass) scoped.persist(StorageLevel.MEMORY_AND_DISK) else scoped
     try {
       val payload = payloadSchema(wire, table.refresh().schema, inferEvolution)
+      // Quarantine layout: ONE dataset partitioned per SOURCE FILE with
+      // dynamic partition overwrite — dump files are immutable, so
+      // re-delivery of a file (SS re-trigger, resume-renumbered batch,
+      // a different chunking) rewrites exactly its own partition with
+      // identical content: idempotent at file granularity on both
+      // consumption paths, never duplicated, never clobbering other
+      // files' quarantined records. `src_path` rides inside the rows
+      // for humans; the partition key is its hash (path-safe).
       dlqDir.foreach { d =>
-        WireJson.badRecords(wire, payload).write.mode("overwrite")
-          .parquet(s"$d/wire-batch-$batchId")
+        WireJson.badRecords(wire, payload)
+          .withColumn("src_path", input_file_name())
+          .withColumn("src_part", abs(xxhash64(input_file_name())).cast("string"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("src_part").parquet(s"$d/wire-records")
       }
       val events = WireJson.fromWire(wire, payload)
       MergeApply.applyBatch(table, events, batchId, inlineCompact = inlineCompact)
@@ -130,6 +143,10 @@ object WireSource {
       topicInclude: Option[Seq[String]] = None
   ): StreamingQuery = {
     graft.plans.LwwMaxBy.register(spark)
+    // R4 analog on restart: a resumed consumer over a truncated dump
+    // must fail fast, not silently skip history (no-op for fresh
+    // consumers — appliedPredicate is None until a batch has applied)
+    validateDumpContinuity(spark, table, cfg)
     val daemon =
       if (!cfg.asyncCompaction) None
       else Some(new graft.icelite.Maintenance.CompactionDaemon(
@@ -145,6 +162,7 @@ object WireSource {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        cfg.heartbeatActionSql.foreach(sql => spark.sql(sql).collect())
         applyWireBatch(table, df, batchId,
           inferEvolution = cfg.wireInferEvolution, dlqDir = cfg.dlqDir,
           topicInclude = topicInclude, inlineCompact = daemon.isEmpty)
@@ -153,13 +171,158 @@ object WireSource {
       .start()
   }
 
+  /** One consumption group: all part files under one producer batch
+    * dir (a bare file directly under the dump root is its own group).
+    * Groups are the ATOMIC unit of consumption and resume alignment —
+    * see [[runIncremental]]. */
+  private final case class Group(name: String, files: Seq[String])
+
+  /** Group the sorted dump file list by parent dir. */
+  private def groupsOf(logDir: String, files: Seq[String]): Seq[Group] = {
+    val root = java.nio.file.Paths.get(logDir).toAbsolutePath.normalize
+    files.groupBy { f =>
+      val parent = java.nio.file.Paths.get(f).toAbsolutePath.normalize.getParent
+      if (parent == root) f else parent.toString
+    }.toSeq.map { case (key, fs) =>
+      Group(java.nio.file.Paths.get(key).getFileName.toString, fs.sorted)
+    }.sortBy(_.name)
+  }
+
+  /** Max (commit_lsn, change_lsn) present in each file of the dump —
+    * one position-only parse, no payload schema needed. Files with no
+    * parseable positions (garbage-only, metadata dumps) are absent. */
+  private def positionScan(spark: SparkSession, files: Seq[String])
+      : Map[String, (Long, Long)] =
+    spark.read
+      .schema(wireSchema).parquet(files: _*)
+      .select(input_file_name().as("f"),
+        from_json(col("value"), posSchema).as("p"))
+      .where(col("p.source.commit_lsn").isNotNull)
+      .groupBy(col("f"))
+      .agg(max(struct(col("p.source.commit_lsn").as("c"),
+        col("p.source.change_lsn").as("l"))).as("m"))
+      .collect()
+      .map { r =>
+        val raw = r.getString(0)
+        val p =
+          if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+        val m = r.getStruct(1)
+        p -> (m.getLong(0), m.getLong(1))
+      }.toMap
+
+  private val BatchDirName = "^batch-(\\d+)$".r
+
+  /** Fail fast on a MID-DUMP truncation (the wire analog of the native
+    * path's R4 restart-offset validation): for engine-layout dumps
+    * (`batch-<n>` group names — producers emit them contiguously), the
+    * still-to-apply groups must continue the applied prefix without an
+    * index hole. A hole means retention deleted UNCONSUMED producer
+    * batches — applying what survives would silently skip history, the
+    * exact corruption the native path refuses. Deletion of an
+    * already-consumed prefix is fine (normal dump retention).
+    * Non-engine layouts (no batch-N names) carry no index to check;
+    * the guard is best-effort there, as documented on [[stream]]. */
+  private def continuityGuard(groups: Seq[Group], applied: Group => Boolean): Unit = {
+    val indexed = groups.flatMap(g => g.name match {
+      case BatchDirName(n) => Some((BigInt(n), g))
+      case _ => None
+    }).sortBy(_._1)
+    val lastApplied = indexed.filter { case (_, g) => applied(g) }
+      .map(_._1).maxOption
+    val todoIdx = indexed.filter { case (_, g) => !applied(g) }.map(_._1)
+    val expectedStart = lastApplied.map(_ + 1)
+    todoIdx.headOption.foreach { first =>
+      expectedStart.filter(_ < first).foreach { exp =>
+        throw new IllegalStateException(
+          s"wire dump truncated mid-stream: producer batches $exp..${first - 1} " +
+            s"are missing but were never applied (sink resume point is inside " +
+            s"batch ${exp - 1}). Re-snapshot the consumer or restore the dump.")
+      }
+    }
+    todoIdx.sliding(2).foreach {
+      case Seq(a, b) if b != a + 1 =>
+        throw new IllegalStateException(
+          s"wire dump truncated mid-stream: producer batches ${a + 1}..${b - 1} " +
+            "are missing between surviving unapplied batches. Re-snapshot the " +
+            "consumer or restore the dump.")
+      case _ => ()
+    }
+  }
+
+  /** The group-level "already fully applied" predicate against the
+    * sink's resume point, or None when the sink has no applied batches
+    * (fresh consumer — everything needs apply, nothing to validate). */
+  private def appliedPredicate(spark: SparkSession, table: IceLiteTable,
+      files: Seq[String]): Option[Group => Boolean] = {
+    val from = table.refresh().summary.lastBatchId + 1
+    if (from <= 0 || files.isEmpty) None
+    else {
+      val sm = table.current.summary
+      val (rc, rl) =
+        if (sm.watermarkCommit >= sm.floorCommit)
+          (sm.watermarkCommit, sm.watermarkChange)
+        else (sm.floorCommit, Long.MaxValue)
+      val maxPerFile = positionScan(spark, files)
+      def beyond(pos: (Long, Long)): Boolean =
+        pos._1 > rc || (pos._1 == rc && pos._2 > rl)
+      Some { g =>
+        val known = g.files.flatMap(maxPerFile.get)
+        known.nonEmpty && !beyond(known.max)
+      }
+    }
+  }
+
+  /** List a dump dir, resolving a trailing glob component (the SS
+    * source accepts `dir/batch-*`; this mirrors it for the guard and
+    * the deterministic runner's grouping root). */
+  private def listDump(logDir: String): (String, Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    if (!logDir.contains("*")) (logDir, Fs.listParquet(logDir).sorted)
+    else {
+      val p = java.nio.file.Paths.get(logDir)
+      val parent = p.getParent
+      val m = parent.getFileSystem.getPathMatcher("glob:" + p.getFileName.toString)
+      val entries =
+        if (!java.nio.file.Files.isDirectory(parent)) Nil
+        else java.nio.file.Files.list(parent).iterator().asScala
+          .filter(d => m.matches(d.getFileName)).map(_.toString).toSeq
+      (parent.toString, entries.flatMap(Fs.listParquet).sorted)
+    }
+  }
+
+  /** Restart-offset validation for wire consumers (the R4 analog,
+    * `CdcJob.validateRestartOffset` for the native log): on a RESUMED
+    * consumer, verify the surviving dump still contains every producer
+    * batch beyond the sink's resume point (engine-layout `batch-<n>`
+    * names carry the index to check). Throws [[IllegalStateException]]
+    * on a mid-dump truncation instead of silently skipping history.
+    * Costs one position-only parse of the dump; no-op for fresh
+    * consumers. [[stream]] runs it automatically on resume. */
+  def validateDumpContinuity(spark: SparkSession, table: IceLiteTable,
+      cfg: CdcConfig): Unit = {
+    val (root, files) = listDump(cfg.logDir)
+    appliedPredicate(spark, table, files).foreach { applied =>
+      continuityGuard(groupsOf(root, files), applied)
+    }
+  }
+
   /** Deterministic batch-incremental wire runner (tests / backfills):
-    * chunk the sorted topic-dump file list, apply each chunk as one
-    * batch. Resume alignment is by CONTENT, like
-    * [[CdcJob.runBatchIncremental]]: a chunk is already applied iff its
-    * max source position is at or below the sink's resume point (one
-    * position-only parse of the dump — no payload schema needed);
-    * chunks that replay anyway are idempotent no-ops under LWW. */
+    * chunk the dump's GROUPS (producer batch dirs; bare files for flat
+    * dumps), apply each chunk as one batch. Resume alignment is by
+    * CONTENT at group granularity: part files WITHIN one producer
+    * batch dir are written post-shuffle and overlap in position range,
+    * so per-file alignment would be unsound (a consumer killed after a
+    * partial run could resume past an unapplied sibling file — silent
+    * loss); the dirs themselves follow log order (dir N's positions
+    * all precede dir N+1's — the emit sink rides the position-aligned
+    * log chunks), so a group whose max position is at or below the
+    * sink's resume point is provably applied IN FULL, because groups
+    * never split across consumer batches. Groups with no parseable
+    * positions (garbage-only, metadata dumps) conservatively replay —
+    * idempotent no-ops under LWW + the version floor. Flat dumps must
+    * keep per-file position ranges disjoint (the same contract the
+    * native path requires of log segments). `filesPerBatch` counts
+    * groups. */
   def runIncremental(
       spark: SparkSession,
       table: IceLiteTable,
@@ -168,39 +331,16 @@ object WireSource {
       stopAfterBatches: Int = Int.MaxValue,
       topicInclude: Option[Seq[String]] = None
   ): Seq[MergeApply.MergeStats] = {
-    val files = Fs.listParquet(cfg.logDir).sorted
-    val chunks = files.grouped(filesPerBatch).toSeq
+    val (root, files) = listDump(cfg.logDir)
+    val groups = groupsOf(root, files)
+    val chunks: Seq[Seq[Group]] = groups.grouped(filesPerBatch).toSeq
     val from = table.refresh().summary.lastBatchId + 1
-    val todo: Seq[Seq[String]] =
-      if (from <= 0 || files.isEmpty) chunks
-      else {
-        val sm = table.current.summary
-        val (rc, rl) =
-          if (sm.watermarkCommit >= sm.floorCommit)
-            (sm.watermarkCommit, sm.watermarkChange)
-          else (sm.floorCommit, Long.MaxValue)
-        val maxPerFile: Map[String, (Long, Long)] = spark.read
-          .schema(wireSchema).parquet(files: _*)
-          .select(input_file_name().as("f"),
-            from_json(col("value"), posSchema).as("p"))
-          .where(col("p.source.commit_lsn").isNotNull)
-          .groupBy(col("f"))
-          .agg(max(struct(col("p.source.commit_lsn").as("c"),
-            col("p.source.change_lsn").as("l"))).as("m"))
-          .collect()
-          .map { r =>
-            val raw = r.getString(0)
-            val p =
-              if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
-            val m = r.getStruct(1)
-            p -> (m.getLong(0), m.getLong(1))
-          }.toMap
-        def beyond(pos: (Long, Long)): Boolean =
-          pos._1 > rc || (pos._1 == rc && pos._2 > rl)
-        def needsApply(chunk: Seq[String]): Boolean =
-          chunk.exists(f => maxPerFile.get(f).forall(beyond))
-        chunks.filter(needsApply)
-      }
+    val todo: Seq[Seq[Group]] = appliedPredicate(spark, table, files) match {
+      case None => chunks
+      case Some(applied) =>
+        continuityGuard(groups, applied)
+        chunks.filter(_.exists(g => !applied(g)))
+    }
     val daemon =
       if (!cfg.asyncCompaction) None
       else Some(new graft.icelite.Maintenance.CompactionDaemon(
@@ -210,7 +350,7 @@ object WireSource {
     val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
     todo.zipWithIndex.foreach { case (chunk, j) =>
       if (j < stopAfterBatches) {
-        val raw = spark.read.schema(wireSchema).parquet(chunk: _*)
+        val raw = spark.read.schema(wireSchema).parquet(chunk.flatMap(_.files): _*)
         out += applyWireBatch(table, raw, from + j,
           inferEvolution = cfg.wireInferEvolution, dlqDir = cfg.dlqDir,
           topicInclude = topicInclude, inlineCompact = daemon.isEmpty)

@@ -99,7 +99,7 @@ class WireSourceSpec extends SparkSpec {
     val t = freshConsumer(base, cfg, cdc)
     WireSource.runIncremental(spark, t, cdc, filesPerBatch = 100)
     assert(state(t) == producer, "garbage must not corrupt the applied state")
-    val dlq = spark.read.parquet(s"$base/dlq/wire-batch-*")
+    val dlq = spark.read.parquet(s"$base/dlq/wire-records")
     assert(dlq.count() == 2, "both unparseable records (not the tombstone) quarantine")
     Fs.deleteRecursively(base)
   }
@@ -115,6 +115,101 @@ class WireSourceSpec extends SparkSpec {
     WireSource.runIncremental(spark, t, cdc, filesPerBatch = 100,
       topicInclude = Some(Seq("orders\\..*")))
     assert(state(t) == before, "no topic match => no events applied")
+    Fs.deleteRecursively(base)
+  }
+
+  /** Hand-built wire record (create op) at an explicit position. */
+  private def wrec(doc: String, tok: Int, cl: Long, chg: Long): (String, String, String) =
+    ("documents", s"""{"doc_id":"$doc"}""",
+      s"""{"before":null,"after":{"doc_id":"$doc","tokens":[$tok],"n_tok":1,"source":"wire"},""" +
+        s""""source":{"version":"t","connector":"informix","db":"graft","table":"documents",""" +
+        s""""commit_lsn":$cl,"change_lsn":$chg,"begin_lsn":${cl - 1},"txId":1},"op":"c","ts_ms":0}""")
+
+  test("wire ingest: resume is producer-batch-atomic — overlapping part files never lost") {
+    // one producer batch dir holding TWO part files with OVERLAPPING
+    // position ranges (exactly what a post-shuffle emit write produces):
+    // part A tops out at 100, part B at 80. Per-file resume alignment
+    // would skip part B after a kill (its max sits below the watermark
+    // part A advanced); group-atomic alignment must apply both.
+    val cfg = CLC(nTx = 10, nDocs = 10, seed = 97)
+    val base = Fs.tempDir("graft-wsrc-atomic")
+    val cdc = CdcConfig(s"$base/wire", s"$base/table", s"$base/ckpt", numBuckets = 2)
+    Seq(wrec("a1", 1, 100L, 1L), wrec("a2", 2, 90L, 1L)).toDF("topic", "key", "value")
+      .coalesce(1).write.parquet(s"$base/wire/batch-0/partA")
+    Seq(wrec("b1", 3, 80L, 1L), wrec("b2", 4, 70L, 1L)).toDF("topic", "key", "value")
+      .coalesce(1).write.parquet(s"$base/wire/batch-0/partB")
+    Seq(wrec("c1", 5, 110L, 1L)).toDF("topic", "key", "value")
+      .coalesce(1).write.parquet(s"$base/wire/batch-1")
+    // NOTE partA/partB are nested dirs (= two groups under batch-0) —
+    // flatten to files so batch-0 is ONE group with two part files
+    def promote(sub: String): Unit = {
+      val dir = java.nio.file.Paths.get(s"$base/wire/batch-0/$sub")
+      val f = Fs.listParquet(dir.toString).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(f),
+        dir.getParent.resolve(s"$sub.parquet"))
+      Fs.deleteRecursively(dir.toString)
+    }
+    promote("partA"); promote("partB")
+    val t = freshConsumer(base, cfg, cdc)
+    // kill after the first consumer batch (= producer batch-0, whole)
+    val first = WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1,
+      stopAfterBatches = 1)
+    assert(first.size == 1)
+    WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1)
+    val got = state(t)
+    assert(Seq("a1", "a2", "b1", "b2", "c1").forall(got.contains),
+      s"every wire record must survive kill/resume; got ${got.keySet}")
+    Fs.deleteRecursively(base)
+  }
+
+  test("wire ingest: mid-dump truncation fails fast instead of skipping history") {
+    val cfg = CLC(nTx = 10, nDocs = 10, seed = 98)
+    val base = Fs.tempDir("graft-wsrc-trunc")
+    val cdc = CdcConfig(s"$base/wire", s"$base/table", s"$base/ckpt", numBuckets = 2)
+    Seq(wrec("a", 1, 100L, 1L)).toDF("topic", "key", "value")
+      .write.parquet(s"$base/wire/batch-0")
+    Seq(wrec("b", 2, 200L, 1L)).toDF("topic", "key", "value")
+      .write.parquet(s"$base/wire/batch-1")
+    Seq(wrec("c", 3, 300L, 1L)).toDF("topic", "key", "value")
+      .write.parquet(s"$base/wire/batch-2")
+    val t = freshConsumer(base, cfg, cdc)
+    WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1, stopAfterBatches = 1)
+    // retention (or an accident) deletes an UNAPPLIED producer batch
+    Fs.deleteRecursively(s"$base/wire/batch-1")
+    val e = intercept[IllegalStateException] {
+      WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1)
+    }
+    assert(e.getMessage.contains("truncated"))
+    // deleting an already-APPLIED prefix is normal dump retention: fine
+    Seq(wrec("b", 2, 200L, 1L)).toDF("topic", "key", "value")
+      .write.parquet(s"$base/wire/batch-1")
+    Fs.deleteRecursively(s"$base/wire/batch-0")
+    WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1)
+    assert(Set("a", "b", "c").subsetOf(state(t).keySet))
+    Fs.deleteRecursively(base)
+  }
+
+  test("wire ingest: DLQ quarantine is idempotent across resume-renumbered runs") {
+    val cfg = CLC(nTx = 80, nDocs = 50, seed = 99)
+    val base = Fs.tempDir("graft-wsrc-dlq2")
+    val producer = produceWire(base, cfg)
+    Seq(("documents", """{"doc_id":"x"}""", "{not json"),
+        ("documents", """{"doc_id":"y"}""", """{"op":null,"hello":1}"""))
+      .toDF("topic", "key", "value")
+      .write.mode("overwrite").parquet(s"$base/emit/batch-zz-junk")
+    val cdc = consumerCfg(base, cfg).copy(dlqDir = Some(s"$base/dlq"))
+    val t = freshConsumer(base, cfg, cdc)
+    WireSource.runIncremental(spark, t, cdc, filesPerBatch = 2)
+    val once = spark.read.parquet(s"$base/dlq/wire-records").count()
+    assert(once == 2)
+    // the junk group has no parseable positions -> it replays on every
+    // run (fresh batch ids, different chunkings); the per-source-file
+    // dynamic-overwrite quarantine must stay single-copy through all
+    WireSource.runIncremental(spark, t, cdc, filesPerBatch = 2)
+    WireSource.runIncremental(spark, t, cdc, filesPerBatch = 3)
+    assert(spark.read.parquet(s"$base/dlq/wire-records").count() == 2,
+      "re-delivered garbage must overwrite its quarantine partition, not duplicate it")
+    assert(state(t) == producer)
     Fs.deleteRecursively(base)
   }
 
