@@ -350,6 +350,47 @@ object SparkEntry {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("token"))),
+    // SCD Type-2 history over the SAME deterministic engine log: every
+    // committed version becomes a validity interval in
+    // (commit_lsn, change_lsn) space — snapshot rows pinned at
+    // (0, Long.MaxValue), deletes close their predecessor and emit no
+    // row, reinsertions re-open the key. The latest-state counterpart
+    // is cdc_engine_replay; this is the history-table materialization
+    // (graft.ops.Scd2). Oracle replays assembly + interval chaining in
+    // pure SQL over the {AUX} log dump, token fingerprints included.
+    "cdc_scd2_history" -> ((s, d) => {
+      import graft.changelog.ChangeLogGen
+      import graft.stream.{IncrementalSnapshot, TxAssembler}
+      val cfg = EngineReplayCfg
+      val log = ChangeLogGen.logRecords(s, cfg).toDF()
+      val seed = ChangeLogGen.initialTable(s, cfg).toDF()
+      val stream = TxAssembler.assemble(log).where(col("op").isin("c", "u", "d"))
+      val snap = IncrementalSnapshot.asChangeEvents(seed, ChangeLogGen.snapshotLsn)
+      Scd2.history(snap.unionByName(stream), "doc_id")
+        .select(col("doc_id"), col("op"),
+          col("valid_from_commit"), col("valid_from_change"),
+          col("valid_to_commit"), col("valid_to_change"), col("is_current"),
+          col("after.n_tok").as("n_tok"),
+          conv(substring(md5(array_join(
+            transform(col("after.tokens"), _.cast("string")), ",")), 1, 14),
+            16, 10).cast("long").as("tok_fp"))
+        .orderBy(col("doc_id"), col("valid_from_commit"), col("valid_from_change"))
+    }),
+    // keyed table-diff audit: the replayed final state diffed against
+    // the seed table (full outer join + null-safe column compare) —
+    // per-verdict key counts; the operational form of the reference IT
+    // suites' record-by-record final-state assertions. Rides the same
+    // memoized pipeline run as cdc_engine_replay.
+    "cdc_table_diff" -> ((s, d) => {
+      import graft.changelog.ChangeLogGen
+      val seed = ChangeLogGen.initialTable(s, EngineReplayCfg).toDF()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          conv(substring(md5(array_join(
+            transform(col("tokens"), _.cast("string")), ",")), 1, 14),
+            16, 10).cast("long").as("tok_fp"))
+      TableDiff.diffStats(engineReplay(s), seed, "doc_id",
+        Seq("n_tok", "source", "tok_fp"))
+    }),
     // DSv2 WRITE path: INSERT/append commits versioned delta files
     // through the snapshot protocol (bucket-clustered write, LWW
     // visibility, tombstone deletes) — verified against a pure-SQL
@@ -1004,6 +1045,70 @@ object SparkEntry {
         |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
         |WHERE COALESCE(l.op,'') <> 'd'
         |ORDER BY doc_id""".stripMargin,
+    // SCD2 history: same committed-event CTE, but EVERY version kept —
+    // snapshot rows enter at (snapshotLsn, Long.MaxValue), interval
+    // ends come from lead() per key over (commit_lsn, change_lsn),
+    // deletes close their predecessor and emit no row
+    "cdc_scd2_history" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |snap AS (SELECT CAST(${graft.changelog.ChangeLogGen.snapshotLsn} AS BIGINT) AS commit_lsn,
+        |         CAST(${Long.MaxValue} AS BIGINT) AS change_lsn,
+        |         'r' AS op, doc_id AS key, n_tok, tokens FROM seed),
+        |st AS (SELECT commit_lsn, change_lsn, op,
+        |       COALESCE(after.doc_id, before.doc_id) AS key,
+        |       after.n_tok AS n_tok, after.tokens AS tokens FROM ev),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM st),
+        |v AS (SELECT *, lead(commit_lsn) OVER wk AS valid_to_commit,
+        |      lead(change_lsn) OVER wk AS valid_to_change FROM u
+        |      WINDOW wk AS (PARTITION BY key ORDER BY commit_lsn, change_lsn))
+        |SELECT key AS doc_id, op, commit_lsn AS valid_from_commit,
+        |       change_lsn AS valid_from_change, valid_to_commit, valid_to_change,
+        |       (valid_to_commit IS NULL) AS is_current, n_tok,
+        |       ${H("array_to_string(tokens, ',')")} AS tok_fp
+        |FROM v WHERE op <> 'd'
+        |ORDER BY doc_id, valid_from_commit, valid_from_change""".stripMargin,
+    // table-diff audit: the replayed final state (same CTE chain as
+    // cdc_engine_replay) full-outer-diffed against the seed table,
+    // null-safe compare on (n_tok, source, tok_fp), per-verdict counts
+    "cdc_table_diff" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1),
+        |fin AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |        COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |        COALESCE(l.after.source, s.source) AS source,
+        |        ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |        FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |        WHERE COALESCE(l.op,'') <> 'd'),
+        |sd AS (SELECT doc_id, n_tok, source,
+        |       ${H("array_to_string(tokens, ',')")} AS tok_fp FROM seed),
+        |df AS (SELECT COALESCE(f.doc_id, sd.doc_id) AS doc_id,
+        |       CASE WHEN sd.doc_id IS NULL THEN 'left_only'
+        |            WHEN f.doc_id IS NULL THEN 'right_only'
+        |            WHEN f.n_tok IS NOT DISTINCT FROM sd.n_tok
+        |             AND f.source IS NOT DISTINCT FROM sd.source
+        |             AND f.tok_fp IS NOT DISTINCT FROM sd.tok_fp THEN 'match'
+        |            ELSE 'mismatch' END AS verdict
+        |       FROM fin f FULL OUTER JOIN sd ON f.doc_id = sd.doc_id)
+        |SELECT verdict, count(*) AS n_keys, min(doc_id) AS key_lo, max(doc_id) AS key_hi
+        |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
     // token histogram over the same replayed final state: occurrences
     // and distinct docs per token id
     "replay_token_freq" ->
