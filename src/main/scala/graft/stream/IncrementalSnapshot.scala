@@ -50,6 +50,21 @@ object IncrementalSnapshot {
       lit(0L).as("ts_ms"))
   }
 
+  /** One hash chunk of an incremental snapshot as its own idempotent,
+    * version-conditional batch — the unit [[Signals.process]] advances
+    * between micro-batches (and between control-signal polls).
+    */
+  def runChunk(tbl: IceLiteTable, source: DataFrame, pinLsn: Long,
+      nChunks: Int, chunkIdx: Int): MergeApply.MergeStats = {
+    val keyCol = tbl.current.keyCol
+    val chunk = source.where(pmod(hash(col(keyCol)), lit(nChunks)) === chunkIdx)
+    // snapshot chunks ride their own idempotency channel so their ids
+    // can never collide with (and never block) stream batch ids
+    val batchId = tbl.refresh().summary.lastSignalBatchId + 1
+    MergeApply.applyBatch(tbl, asChangeEvents(chunk, pinLsn), batchId,
+      signalChannel = true)
+  }
+
   /** Incremental snapshot: apply the source in `nChunks` hash chunks,
     * each as its own idempotent batch (resumable chunk-by-chunk). The
     * `betweenChunks` hook lets a caller interleave live-stream batches,
@@ -63,19 +78,13 @@ object IncrementalSnapshot {
       nChunks: Int,
       betweenChunks: Int => Unit = _ => ()
   ): Seq[MergeApply.MergeStats] = {
-    val keyCol = tbl.current.keyCol
     // E7 notifications: progress events mirroring the reference's
     // snapshot-progress channel (STARTED / IN_PROGRESS per chunk /
     // COMPLETED — `NotificationsIT.java:25-80`)
     tbl.appendNotification("Incremental Snapshot", "STARTED",
       s"pinLsn=$pinLsn chunks=$nChunks")
     val out = (0 until nChunks).map { i =>
-      val chunk = source.where(pmod(hash(col(keyCol)), lit(nChunks)) === i)
-      // snapshot chunks ride their own idempotency channel so their ids
-      // can never collide with (and never block) stream batch ids
-      val batchId = tbl.refresh().summary.lastSignalBatchId + 1
-      val stats = MergeApply.applyBatch(tbl, asChangeEvents(chunk, pinLsn), batchId,
-        signalChannel = true)
+      val stats = runChunk(tbl, source, pinLsn, nChunks, i)
       tbl.appendNotification("Incremental Snapshot", "IN_PROGRESS",
         s"chunk=${i + 1}/$nChunks rows=${stats.upserts}")
       betweenChunks(i)

@@ -17,13 +17,39 @@ import scala.jdk.CollectionConverters._
   * once — re-delivery is harmless anyway because snapshot chunks are
   * version-conditional and channel-idempotent).
   *
-  * Signal file: {"type":"incremental-snapshot"|"blocking-snapshot",
-  *               "sourcePath": <parquet dir consistent at pinLsn>,
-  *               "pinLsn": <long>, "chunks": <int>}
+  * Signal file: {"type": <signal type>, "sourcePath": <parquet dir
+  * consistent at pinLsn>, "pinLsn": <long>, "chunks": <int>,
+  * "message": <string>} — fields beyond "type" are per-signal optional.
+  *
+  * Supported types (the reference's signal-action set):
+  *   - `incremental-snapshot` / `blocking-snapshot` — start a snapshot
+  *     (`ExecuteSnapshot` in Debezium terms).
+  *   - `stop-snapshot` — abort the in-flight incremental snapshot
+  *     (`StopSnapshot`; `IncrementalSnapshotIT` stop cases).
+  *   - `pause-snapshot` / `resume-snapshot` — suspend/continue it
+  *     (`PauseIncrementalSnapshot` / `ResumeIncrementalSnapshot`).
+  *   - `log` — write a message to the notification channel (Debezium's
+  *     `Log` signal action writes to the connector log).
+  *
+  * An in-flight incremental snapshot persists its chunk cursor in
+  * `inflight-snapshot.state` next to the signals, and [[process]]
+  * re-scans the directory BETWEEN chunks — the same
+  * read-signals-between-chunk-windows contract the reference's
+  * incremental snapshot loop has, so a stop/pause arriving mid-snapshot
+  * takes effect at the next chunk boundary, and a paused or interrupted
+  * snapshot resumes from the persisted cursor (never from scratch:
+  * chunks are idempotent, version-conditional batches, so re-applying
+  * a completed chunk would be harmless — but skipping straight to the
+  * cursor is free).
   */
 object Signals {
 
-  final case class Signal(signalType: String, sourcePath: String, pinLsn: Long, chunks: Int)
+  final case class Signal(signalType: String, sourcePath: String, pinLsn: Long,
+      chunks: Int, message: String = "")
+
+  /** Persisted cursor of the in-flight incremental snapshot. */
+  final case class Inflight(sourcePath: String, pinLsn: Long, chunks: Int,
+      nextChunk: Int, paused: Boolean)
 
   private val mapper = new ObjectMapper()
 
@@ -37,6 +63,7 @@ object Signals {
     n.put("sourcePath", signal.sourcePath)
     n.put("pinLsn", signal.pinLsn)
     n.put("chunks", signal.chunks)
+    if (signal.message.nonEmpty) n.put("message", signal.message)
     val p = Paths.get(signalDir, s"signal-${System.nanoTime()}.json")
     Files.write(p, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
     p
@@ -52,31 +79,131 @@ object Signals {
 
   def parse(p: Path): Signal = {
     val n = mapper.readTree(Files.readAllBytes(p))
-    Signal(n.get("type").asText(), n.get("sourcePath").asText(),
-      n.get("pinLsn").asLong(), if (n.has("chunks")) n.get("chunks").asInt() else 4)
+    def str(f: String) = if (n.has(f)) n.get(f).asText() else ""
+    Signal(n.get("type").asText(), str("sourcePath"),
+      if (n.has("pinLsn")) n.get("pinLsn").asLong() else 0L,
+      if (n.has("chunks")) n.get("chunks").asInt() else 4,
+      str("message"))
   }
 
-  /** Poll + execute all pending signals (called between micro-batches —
-    * the reference likewise interleaves snapshot chunks with streaming).
+  // ---- in-flight snapshot cursor (driver-local metadata file) ----
+
+  private def statePath(signalDir: String): Path =
+    Paths.get(signalDir, "inflight-snapshot.state")
+
+  def readInflight(signalDir: String): Option[Inflight] = {
+    val p = statePath(signalDir)
+    if (!Files.exists(p)) None
+    else {
+      val n = mapper.readTree(Files.readAllBytes(p))
+      Some(Inflight(n.get("sourcePath").asText(), n.get("pinLsn").asLong(),
+        n.get("chunks").asInt(), n.get("nextChunk").asInt(),
+        n.get("paused").asBoolean()))
+    }
+  }
+
+  def writeInflight(signalDir: String, st: Inflight): Unit = {
+    Files.createDirectories(Paths.get(signalDir))
+    val n = mapper.createObjectNode()
+    n.put("sourcePath", st.sourcePath)
+    n.put("pinLsn", st.pinLsn)
+    n.put("chunks", st.chunks)
+    n.put("nextChunk", st.nextChunk)
+    n.put("paused", st.paused)
+    val tmp = Paths.get(signalDir, ".inflight-snapshot.tmp")
+    Files.write(tmp, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, statePath(signalDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def clearInflight(signalDir: String): Unit =
+    Files.deleteIfExists(statePath(signalDir))
+
+  /** Poll + execute all pending signals, then advance the in-flight
+    * incremental snapshot chunk by chunk, re-polling the directory
+    * between chunks (called between micro-batches — the reference
+    * likewise interleaves snapshot chunks with streaming and reads
+    * control signals at chunk boundaries). Returns the number of
+    * signal files consumed.
     */
   def process(spark: SparkSession, table: IceLiteTable, signalDir: String,
       rowFilter: Option[org.apache.spark.sql.Column] = None): Int = {
+    // the configured Filter-SMT gate applies to snapshot READ events
+    // too (Debezium SMTs see every record) — same rule as CdcJob.snapshot
+    def source(path: String) =
+      CdcJob.gateSource(spark.read.parquet(path), rowFilter)
     var n = 0
-    pending(signalDir).foreach { p =>
-      val sig = parse(p)
-      // the configured Filter-SMT gate applies to snapshot READ events
-      // too (Debezium SMTs see every record) — same rule as CdcJob.snapshot
-      val source = CdcJob.gateSource(spark.read.parquet(sig.sourcePath), rowFilter)
-      sig.signalType match {
-        case "blocking-snapshot" =>
-          IncrementalSnapshot.blocking(table, source, sig.pinLsn)
-        case "incremental-snapshot" =>
-          IncrementalSnapshot.run(table, source, sig.pinLsn, math.max(1, sig.chunks))
-        case other =>
-          System.err.println(s"[signals] unknown signal type '$other' in $p — skipped")
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      pending(signalDir).foreach { p =>
+        val sig = parse(p)
+        sig.signalType match {
+          case "blocking-snapshot" =>
+            // blocking by definition: runs to completion, not interruptible
+            IncrementalSnapshot.blocking(table, source(sig.sourcePath), sig.pinLsn)
+          case "incremental-snapshot" =>
+            readInflight(signalDir) match {
+              case Some(_) =>
+                // the reference merges additional data collections into the
+                // running snapshot; under the single-table closed schema a
+                // second request is a duplicate — record and skip
+                table.appendNotification("Incremental Snapshot", "SKIPPED",
+                  s"snapshot already in flight — ignored ${p.getFileName}")
+              case None =>
+                val chunks = math.max(1, sig.chunks)
+                writeInflight(signalDir,
+                  Inflight(sig.sourcePath, sig.pinLsn, chunks, 0, paused = false))
+                table.appendNotification("Incremental Snapshot", "STARTED",
+                  s"pinLsn=${sig.pinLsn} chunks=$chunks")
+            }
+          case "stop-snapshot" =>
+            readInflight(signalDir) match {
+              case Some(st) =>
+                clearInflight(signalDir)
+                table.appendNotification("Incremental Snapshot", "ABORTED",
+                  s"stopped at chunk=${st.nextChunk}/${st.chunks}")
+              case None =>
+                table.appendNotification("Incremental Snapshot", "SKIPPED",
+                  "stop-snapshot: no snapshot in flight")
+            }
+          case "pause-snapshot" =>
+            readInflight(signalDir).foreach { st =>
+              writeInflight(signalDir, st.copy(paused = true))
+              table.appendNotification("Incremental Snapshot", "PAUSED",
+                s"chunk=${st.nextChunk}/${st.chunks}")
+            }
+          case "resume-snapshot" =>
+            readInflight(signalDir).foreach { st =>
+              writeInflight(signalDir, st.copy(paused = false))
+              table.appendNotification("Incremental Snapshot", "RESUMED",
+                s"chunk=${st.nextChunk}/${st.chunks}")
+            }
+          case "log" =>
+            table.appendNotification("Signal Log", "LOG", sig.message)
+          case other =>
+            System.err.println(s"[signals] unknown signal type '$other' in $p — skipped")
+        }
+        Files.move(p, p.resolveSibling(p.getFileName.toString + ".done"))
+        n += 1
       }
-      Files.move(p, p.resolveSibling(p.getFileName.toString + ".done"))
-      n += 1
+      // one chunk per pass, then re-poll: control signals arriving while
+      // the snapshot runs take effect at the next chunk boundary
+      readInflight(signalDir) match {
+        case Some(st) if !st.paused =>
+          val stats = IncrementalSnapshot.runChunk(table, source(st.sourcePath),
+            st.pinLsn, st.chunks, st.nextChunk)
+          table.appendNotification("Incremental Snapshot", "IN_PROGRESS",
+            s"chunk=${st.nextChunk + 1}/${st.chunks} rows=${stats.upserts}")
+          if (st.nextChunk + 1 >= st.chunks) {
+            clearInflight(signalDir)
+            table.appendNotification("Incremental Snapshot", "COMPLETED",
+              s"pinLsn=${st.pinLsn} chunks=${st.chunks}")
+          } else writeInflight(signalDir, st.copy(nextChunk = st.nextChunk + 1))
+          progressed = true
+        case _ => ()
+      }
     }
     n
   }

@@ -95,4 +95,97 @@ class SignalsSpec extends SparkSpec {
     want.foreach { case (k, w) => assert(got(k).tokens == w.tokens, s"tokens $k") }
     Fs.deleteRecursively(base)
   }
+
+  // ---- control signals: stop / pause / resume / log ----
+
+  private def controlFixture(name: String, seed: Long) = {
+    import spark.implicits._
+    val cfg = ChangeLogConfig(nTx = 10, nDocs = 40, seed = seed)
+    val base = Fs.tempDir(name)
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      numBuckets = 4, snapshotMode = SnapshotMode.NoData,
+      signalDir = Some(s"$base/signals"))
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 1)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    val srcDir = s"$base/source"
+    ChangeLogGen.initialTable(spark, cfg).toDF().write.parquet(srcDir)
+    (base, cdc, table, srcDir, cfg)
+  }
+
+  private def notifData(table: graft.icelite.IceLiteTable): Seq[(String, String)] =
+    table.readNotifications().collect()
+      .map(r => (r.getAs[String]("type"), r.getAs[String]("data"))).toSeq
+
+  test("stop-snapshot aborts the registered snapshot; nothing applies") {
+    val (base, cdc, table, srcDir, _) = controlFixture("graft-sig-stop", 101)
+    val dir = cdc.signalDir.get
+    Signals.request(dir, Signals.Signal("incremental-snapshot", srcDir, 0L, 3))
+    Signals.request(dir, Signals.Signal("stop-snapshot", "", 0L, 0))
+    Signals.process(spark, table, dir)
+    assert({ table.refresh(); table.read() }.count() == 0)
+    assert(Signals.readInflight(dir).isEmpty)
+    val types = notifData(table).map(_._1)
+    assert(types.contains("STARTED") && types.contains("ABORTED"))
+    assert(!types.contains("COMPLETED"))
+    // a second stop with nothing in flight is recorded, never fails
+    Signals.request(dir, Signals.Signal("stop-snapshot", "", 0L, 0))
+    Signals.process(spark, table, dir)
+    assert(notifData(table).exists { case (t, d) =>
+      t == "SKIPPED" && d.contains("no snapshot in flight") })
+    Fs.deleteRecursively(base)
+  }
+
+  test("pause persists the cursor across polls; resume completes the snapshot") {
+    val (base, cdc, table, srcDir, cfg) = controlFixture("graft-sig-pause", 102)
+    val dir = cdc.signalDir.get
+    Signals.request(dir, Signals.Signal("incremental-snapshot", srcDir, 0L, 3))
+    Signals.request(dir, Signals.Signal("pause-snapshot", "", 0L, 0))
+    Signals.process(spark, table, dir)
+    // paused before the first chunk boundary: cursor persisted, no rows
+    assert({ table.refresh(); table.read() }.count() == 0)
+    val st = Signals.readInflight(dir).get
+    assert(st.paused && st.nextChunk == 0 && st.chunks == 3)
+    // a poll while paused is a no-op
+    Signals.process(spark, table, dir)
+    assert({ table.refresh(); table.read() }.count() == 0)
+    // resume -> runs the remaining chunks to completion
+    Signals.request(dir, Signals.Signal("resume-snapshot", "", 0L, 0))
+    Signals.process(spark, table, dir)
+    assert(Signals.readInflight(dir).isEmpty)
+    assert({ table.refresh(); table.read() }.count() == cfg.nDocs.toLong)
+    val types = notifData(table).map(_._1)
+    assert(types.contains("PAUSED") && types.contains("RESUMED")
+      && types.contains("COMPLETED"))
+    Fs.deleteRecursively(base)
+  }
+
+  test("a persisted cursor resumes from its chunk, not from scratch") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val (base, cdc, table, srcDir, _) = controlFixture("graft-sig-cursor", 103)
+    val dir = cdc.signalDir.get
+    // simulate a snapshot interrupted after 2 of 4 chunks (e.g. process
+    // died between polls): only chunks 2..3 may apply on resume
+    Signals.writeInflight(dir,
+      Signals.Inflight(srcDir, 0L, chunks = 4, nextChunk = 2, paused = false))
+    Signals.process(spark, table, dir)
+    val expected = spark.read.parquet(srcDir)
+      .where(pmod(hash(col("doc_id")), lit(4)) >= 2)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val got = { table.refresh(); table.read() }.select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expected && expected.nonEmpty)
+    assert(Signals.readInflight(dir).isEmpty)
+    Fs.deleteRecursively(base)
+  }
+
+  test("log signal lands on the notification channel") {
+    val (base, cdc, table, _, _) = controlFixture("graft-sig-log", 104)
+    val dir = cdc.signalDir.get
+    Signals.request(dir, Signals.Signal("log", "", 0L, 0,
+      message = "ad-hoc operator message"))
+    Signals.process(spark, table, dir)
+    assert(notifData(table).contains(("LOG", "ad-hoc operator message")))
+    Fs.deleteRecursively(base)
+  }
 }
