@@ -51,7 +51,7 @@ object Bench {
   }
 
   private val headline = Seq(
-    "cdc_merge_apply", "a2_lww_dedup", "t1_tx_group", "e5_tx_metadata",
+    "cdc_merge_apply", "scd2_events", "a2_lww_dedup", "t1_tx_group", "e5_tx_metadata",
     "e6_lineage", "r1_replay_skip", "dedup_exact", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_simhash",
     "dedup_embedding_cos", "ann_topk", "ann_ivf_label", "ann_ivf_trained",

@@ -329,6 +329,10 @@ object SparkEntry {
     // ---- flagship merge ----
     "cdc_merge_apply" -> ((s, d) =>
       CdcRelational.mergeApply(t(s, d, "events"), t(s, d, "documents"))),
+    // SCD2 query form at sf scale (events-table change log) — the
+    // history-table counterpart of cdc_merge_apply's latest-state
+    "scd2_events" -> ((s, d) =>
+      CdcRelational.scd2Events(t(s, d, "events"), t(s, d, "documents"))),
     // the REAL engine end-to-end on a generated log (oracle: full SQL
     // replay of assembly + LWW + snapshot union, incl. token fingerprint)
     "cdc_engine_replay" -> ((s, d) => engineReplay(s)),
@@ -1262,6 +1266,18 @@ object SparkEntry {
         |FROM w ORDER BY commit_lsn""".stripMargin,
     "n2_chunk_boundaries" ->
       "SELECT CAST(floor(doc_id/100) AS BIGINT) AS chunk, min(doc_id) AS key_lo, max(doc_id) AS key_hi, count(*) AS n_rows FROM documents GROUP BY 1 ORDER BY 1",
+    "scd2_events" ->
+      s"""$LOG,
+        |snap AS (SELECT doc_id AS key_id, CAST(-1 AS BIGINT) AS lsn, 'r' AS op,
+        |         substr(text, 1, 20) AS content FROM documents),
+        |chg AS (SELECT key_id, lsn, op,
+        |        CASE WHEN op <> 'd' THEN 'cdc:' || CAST(lsn AS VARCHAR) END AS content
+        |        FROM log WHERE NOT rolled_back),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+        |v AS (SELECT *, lead(lsn) OVER (PARTITION BY key_id ORDER BY lsn) AS valid_to FROM u)
+        |SELECT key_id AS doc_id, op, content, lsn AS valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'd' ORDER BY doc_id, valid_from""".stripMargin,
     "cdc_merge_apply" ->
       s"""$LOG, r AS (SELECT key_id, op, lsn, row_number() OVER (PARTITION BY key_id ORDER BY lsn DESC) AS rn FROM log WHERE NOT rolled_back), last AS (SELECT key_id, op, lsn FROM r WHERE rn = 1) SELECT COALESCE(d.doc_id, l.key_id) AS doc_id, CASE WHEN l.key_id IS NOT NULL THEN 'cdc:' || CAST(l.lsn AS VARCHAR) ELSE substr(d.text,1,20) END AS content, CASE WHEN l.key_id IS NOT NULL THEN 'cdc' ELSE d.source END AS src FROM documents d FULL OUTER JOIN last l ON d.doc_id = l.key_id WHERE COALESCE(l.op,'') <> 'd' ORDER BY doc_id""",
     "dedup_exact" ->

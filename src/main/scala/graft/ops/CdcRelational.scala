@@ -291,6 +291,33 @@ object CdcRelational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("chunk"))
 
+  /** SCD Type-2 query form over the derived change log — the sf-scaled
+    * observable of [[graft.ops.Scd2.history]] (which consumes the real
+    * envelope schema): snapshot rows open each key's timeline at a pin
+    * BELOW the stream (lsn -1), committed events version per key,
+    * deletes close their predecessor and emit no row. ONE shuffle (the
+    * key window); at 10^10 events this is the same doc_id hash space as
+    * the table's bucket layout, and the per-key sort is bounded by a
+    * key's version count.
+    */
+  def scd2Events(events: DataFrame, documents: DataFrame): DataFrame = {
+    val snap = documents.select(
+      col("doc_id").as("key_id"), lit(-1L).as("lsn"), lit("r").as("op"),
+      substring(col("text"), 1, 20).as("content"))
+    val chg = changeLog(events).where(!col("rolled_back")).select(
+      col("key_id"), col("lsn"), col("op"),
+      when(col("op") =!= "d",
+        concat(lit("cdc:"), col("lsn").cast("string"))).as("content"))
+    val w = Window.partitionBy(col("key_id")).orderBy(col("lsn"))
+    snap.unionByName(chg)
+      .select(col("*"), lead(col("lsn"), 1).over(w).as("valid_to"))
+      .where(col("op") =!= "d")
+      .select(col("key_id").as("doc_id"), col("op"), col("content"),
+        col("lsn").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
   /** The flagship MERGE: documents + LWW-deduped derived changes ->
     * final upserted state (c/u upsert, d delete, unmatched insert) —
     * the observable form of `MergeApply.applyBatch`.

@@ -44,12 +44,19 @@ import scala.jdk.CollectionConverters._
   */
 object Signals {
 
+  /** @param where the reference's ad-hoc-snapshot `additional-condition`
+    *              (`IncrementalSnapshotIT` additional-condition cases): a
+    *              SQL predicate over the SOURCE columns filtering which
+    *              rows the snapshot reads — applied before the global
+    *              rowFilter gate, exactly like the extra WHERE Debezium
+    *              appends to its chunk SELECT.
+    */
   final case class Signal(signalType: String, sourcePath: String, pinLsn: Long,
-      chunks: Int, message: String = "")
+      chunks: Int, message: String = "", where: String = "")
 
   /** Persisted cursor of the in-flight incremental snapshot. */
   final case class Inflight(sourcePath: String, pinLsn: Long, chunks: Int,
-      nextChunk: Int, paused: Boolean)
+      nextChunk: Int, paused: Boolean, where: String = "")
 
   private val mapper = new ObjectMapper()
 
@@ -64,6 +71,7 @@ object Signals {
     n.put("pinLsn", signal.pinLsn)
     n.put("chunks", signal.chunks)
     if (signal.message.nonEmpty) n.put("message", signal.message)
+    if (signal.where.nonEmpty) n.put("where", signal.where)
     val p = Paths.get(signalDir, s"signal-${System.nanoTime()}.json")
     Files.write(p, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
     p
@@ -83,7 +91,7 @@ object Signals {
     Signal(n.get("type").asText(), str("sourcePath"),
       if (n.has("pinLsn")) n.get("pinLsn").asLong() else 0L,
       if (n.has("chunks")) n.get("chunks").asInt() else 4,
-      str("message"))
+      str("message"), str("where"))
   }
 
   // ---- in-flight snapshot cursor (driver-local metadata file) ----
@@ -98,7 +106,8 @@ object Signals {
       val n = mapper.readTree(Files.readAllBytes(p))
       Some(Inflight(n.get("sourcePath").asText(), n.get("pinLsn").asLong(),
         n.get("chunks").asInt(), n.get("nextChunk").asInt(),
-        n.get("paused").asBoolean()))
+        n.get("paused").asBoolean(),
+        if (n.has("where")) n.get("where").asText() else ""))
     }
   }
 
@@ -110,6 +119,7 @@ object Signals {
     n.put("chunks", st.chunks)
     n.put("nextChunk", st.nextChunk)
     n.put("paused", st.paused)
+    if (st.where.nonEmpty) n.put("where", st.where)
     val tmp = Paths.get(signalDir, ".inflight-snapshot.tmp")
     Files.write(tmp, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, statePath(signalDir),
@@ -131,8 +141,14 @@ object Signals {
       rowFilter: Option[org.apache.spark.sql.Column] = None): Int = {
     // the configured Filter-SMT gate applies to snapshot READ events
     // too (Debezium SMTs see every record) — same rule as CdcJob.snapshot
-    def source(path: String) =
-      CdcJob.gateSource(spark.read.parquet(path), rowFilter)
+    // additional-condition first (it speaks the SOURCE's column names),
+    // then the global Filter-SMT gate (it speaks the envelope's)
+    def source(path: String, where: String) = {
+      val raw = spark.read.parquet(path)
+      CdcJob.gateSource(
+        if (where.isEmpty) raw else raw.where(org.apache.spark.sql.functions.expr(where)),
+        rowFilter)
+    }
     var n = 0
     var progressed = true
     while (progressed) {
@@ -142,7 +158,7 @@ object Signals {
         sig.signalType match {
           case "blocking-snapshot" =>
             // blocking by definition: runs to completion, not interruptible
-            IncrementalSnapshot.blocking(table, source(sig.sourcePath), sig.pinLsn)
+            IncrementalSnapshot.blocking(table, source(sig.sourcePath, sig.where), sig.pinLsn)
           case "incremental-snapshot" =>
             readInflight(signalDir) match {
               case Some(_) =>
@@ -154,7 +170,8 @@ object Signals {
               case None =>
                 val chunks = math.max(1, sig.chunks)
                 writeInflight(signalDir,
-                  Inflight(sig.sourcePath, sig.pinLsn, chunks, 0, paused = false))
+                  Inflight(sig.sourcePath, sig.pinLsn, chunks, 0, paused = false,
+                    where = sig.where))
                 table.appendNotification("Incremental Snapshot", "STARTED",
                   s"pinLsn=${sig.pinLsn} chunks=$chunks")
             }
@@ -192,8 +209,8 @@ object Signals {
       // the snapshot runs take effect at the next chunk boundary
       readInflight(signalDir) match {
         case Some(st) if !st.paused =>
-          val stats = IncrementalSnapshot.runChunk(table, source(st.sourcePath),
-            st.pinLsn, st.chunks, st.nextChunk)
+          val stats = IncrementalSnapshot.runChunk(table,
+            source(st.sourcePath, st.where), st.pinLsn, st.chunks, st.nextChunk)
           table.appendNotification("Incremental Snapshot", "IN_PROGRESS",
             s"chunk=${st.nextChunk + 1}/${st.chunks} rows=${stats.upserts}")
           if (st.nextChunk + 1 >= st.chunks) {

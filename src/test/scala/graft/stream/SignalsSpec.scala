@@ -179,6 +179,20 @@ class SignalsSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("additional-condition filters the snapshot source (ad-hoc snapshot parity)") {
+    val (base, cdc, table, srcDir, cfg) = controlFixture("graft-sig-cond", 105)
+    val dir = cdc.signalDir.get
+    Signals.request(dir, Signals.Signal("incremental-snapshot", srcDir, 0L, 2,
+      where = "n_tok % 2 = 0"))
+    Signals.process(spark, table, dir)
+    val expected = spark.read.parquet(srcDir).where("n_tok % 2 = 0")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val got = { table.refresh(); table.read() }.select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expected && expected.nonEmpty && got.size < cfg.nDocs)
+    Fs.deleteRecursively(base)
+  }
+
   test("log signal lands on the notification channel") {
     val (base, cdc, table, _, _) = controlFixture("graft-sig-log", 104)
     val dir = cdc.signalDir.get
