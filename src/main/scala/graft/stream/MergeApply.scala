@@ -113,14 +113,44 @@ object MergeApply {
       case other => other
     }
 
+  /** Widening-aware type merge (E4 extension): numeric widenings the
+    * parquet reader serves WITHOUT rewriting committed files (verified
+    * on Spark 4's vectorized reader: the int8/16/32→int64 chain and
+    * float→double, recursively inside arrays and structs). Anything
+    * else keeps the table's type — destructive type changes need a
+    * table rebuild, exactly as in the reference (Debezium propagates
+    * additive ALTERs; incompatible changes require re-snapshot).
+    */
+  private val intChain = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+  private val fpChain = Seq[DataType](FloatType, DoubleType)
+  def widenType(table: DataType, incoming: DataType): DataType = (table, incoming) match {
+    case (a, b) if a == b => a
+    case (a: StructType, b: StructType) => mergedSchema(a, b)
+    case (a: ArrayType, b: ArrayType) =>
+      ArrayType(widenType(a.elementType, b.elementType), containsNull = true)
+    case (a, b) if intChain.contains(a) && intChain.contains(b) =>
+      intChain(math.max(intChain.indexOf(a), intChain.indexOf(b)))
+    case (a, b) if fpChain.contains(a) && fpChain.contains(b) =>
+      fpChain(math.max(fpChain.indexOf(a), fpChain.indexOf(b)))
+    case (a, _) => a
+  }
+
   /** Additive schema merge: table schema + any new after-struct fields
     * (reference: ALTERs arrive as CDC metadata and are additive, new
     * columns nullable — `InformixStreamingChangeEventSource.java:407-428`,
-    * `InformixDatabaseSchema.java:59-78`).
+    * `InformixDatabaseSchema.java:59-78`), with numeric widening on
+    * common fields ([[widenType]]).
     */
   def mergedSchema(table: StructType, after: StructType): StructType = {
+    val byName = after.fields.map(f => f.name -> f).toMap
     val known = table.fieldNames.toSet
-    asNullable(StructType(table.fields ++ after.fields.filterNot(f => known.contains(f.name))))
+    val widened = table.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(g) => f.copy(dataType = widenType(f.dataType, g.dataType))
+        case None => f
+      }
+    }
+    asNullable(StructType(widened ++ after.fields.filterNot(f => known.contains(f.name))))
       .asInstanceOf[StructType]
   }
 
@@ -185,9 +215,12 @@ object MergeApply {
         col("__trunc"), col("__cnt"), col("__minc"))
 
     val changeCols: Seq[Column] = userFields.map { f =>
+      // the cast pins every written column to the MERGED type: a batch
+      // narrower than a previously-widened column upcasts, so data files
+      // never drift from the committed schema
       val v =
         if (f.name == keyCol) col("__key")
-        else if (afterHas.contains(f.name)) col("__after").getField(f.name)
+        else if (afterHas.contains(f.name)) col("__after").getField(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)
       when(col("__op") === "d", if (f.name == keyCol) col("__key") else lit(null).cast(f.dataType))
         .otherwise(v).as(f.name)
