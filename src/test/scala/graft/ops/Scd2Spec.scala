@@ -83,6 +83,31 @@ class Scd2Spec extends SparkSpec {
       ("a", "r", false, "s1"), ("a", "u", true, "v2"), ("b", "r", true, "s2")))
   }
 
+  test("SCD2 current rows equal the replayed latest state on the engine log") {
+    import graft.changelog.{ChangeLogConfig, ChangeLogGen}
+    import graft.stream.{IncrementalSnapshot, ReplayOracle, TxAssembler}
+    val cfg = ChangeLogConfig(nTx = 60, nDocs = 50, seed = 43)
+    val log = ChangeLogGen.logRecords(spark, cfg).toDF()
+    val seed = ChangeLogGen.initialTable(spark, cfg).toDF()
+    val stream = TxAssembler.assemble(log).where(col("op").isin("c", "u", "d"))
+    val snap = IncrementalSnapshot.asChangeEvents(seed, ChangeLogGen.snapshotLsn)
+    val current = Scd2.history(snap.unionByName(stream), "doc_id")
+      .where(col("is_current"))
+      .select(col("doc_id"), col("after.tokens").as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    val initial = (0L until cfg.nDocs.toLong).map { k =>
+      val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+      ChangeLogGen.docId(k) ->
+        graft.model.TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+    }.toMap
+    val want = ReplayOracle.replay(initial,
+      (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i)),
+      ChangeLogGen.snapshotLsn)
+    assert(current.keySet == want.keySet,
+      s"extra=${(current.keySet -- want.keySet).take(5)} missing=${(want.keySet -- current.keySet).take(5)}")
+    want.foreach { case (k, w) => assert(current(k) == w.tokens.toList, s"tokens $k") }
+  }
+
   test("table diff: all four verdicts, null-safe compare") {
     val left = Seq(("a", Some(1)), ("b", Some(2)), ("c", None), ("d", Some(4)))
       .toDF("k", "x")
