@@ -123,14 +123,16 @@ object MergeApply {
     */
   private val intChain = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
   private val fpChain = Seq[DataType](FloatType, DoubleType)
-  def widenType(table: DataType, incoming: DataType): DataType = (table, incoming) match {
+  def widenType(table: DataType, incoming: DataType,
+      widenNumeric: Boolean = true): DataType = (table, incoming) match {
     case (a, b) if a == b => a
-    case (a: StructType, b: StructType) => mergedSchema(a, b)
+    case (a: StructType, b: StructType) => mergedSchema(a, b, widenNumeric)
     case (a: ArrayType, b: ArrayType) =>
-      ArrayType(widenType(a.elementType, b.elementType), containsNull = true)
-    case (a, b) if intChain.contains(a) && intChain.contains(b) =>
+      ArrayType(widenType(a.elementType, b.elementType, widenNumeric),
+        containsNull = true)
+    case (a, b) if widenNumeric && intChain.contains(a) && intChain.contains(b) =>
       intChain(math.max(intChain.indexOf(a), intChain.indexOf(b)))
-    case (a, b) if fpChain.contains(a) && fpChain.contains(b) =>
+    case (a, b) if widenNumeric && fpChain.contains(a) && fpChain.contains(b) =>
       fpChain(math.max(fpChain.indexOf(a), fpChain.indexOf(b)))
     case (a, _) => a
   }
@@ -140,13 +142,20 @@ object MergeApply {
     * columns nullable — `InformixStreamingChangeEventSource.java:407-428`,
     * `InformixDatabaseSchema.java:59-78`), with numeric widening on
     * common fields ([[widenType]]).
+    *
+    * `widenNumeric = false` for callers whose incoming schema is
+    * INFERRED from untyped text (the Debezium-JSON wire consumer): JSON
+    * integrals always infer as bigint, so widening there would promote
+    * every int column on the first consumed batch — common fields keep
+    * the table's type, new fields still land.
     */
-  def mergedSchema(table: StructType, after: StructType): StructType = {
+  def mergedSchema(table: StructType, after: StructType,
+      widenNumeric: Boolean = true): StructType = {
     val byName = after.fields.map(f => f.name -> f).toMap
     val known = table.fieldNames.toSet
     val widened = table.fields.map { f =>
       byName.get(f.name) match {
-        case Some(g) => f.copy(dataType = widenType(f.dataType, g.dataType))
+        case Some(g) => f.copy(dataType = widenType(f.dataType, g.dataType, widenNumeric))
         case None => f
       }
     }

@@ -84,7 +84,10 @@ object WireSource {
       import spark.implicits._
       val values = wire.where(col("value").isNotNull).select(col("value").as[String])
       spark.read.json(values).schema.fields.find(_.name == "after").map(_.dataType) match {
-        case Some(s: StructType) => MergeApply.mergedSchema(base, s)
+        case Some(s: StructType) =>
+          // widenNumeric=false: JSON integrals always infer as bigint —
+          // widening from an untyped wire would promote every int column
+          MergeApply.mergedSchema(base, s, widenNumeric = false)
         case _ => base // tombstones-only / empty batch: nothing to learn
       }
     }

@@ -231,6 +231,13 @@ class WireSourceSpec extends SparkSpec {
     WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1)
     val sch = t.refresh().schema
     assert(sch.fieldNames.contains("lang"), "new wire column must widen the sink schema")
+    // JSON integrals always infer as bigint — the untyped wire must NOT
+    // numerically widen existing columns (only the typed engine log may)
+    assert(sch("tokens").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = true),
+      s"wire inference must not widen tokens: ${sch("tokens").dataType}")
+    assert(sch("n_tok").dataType == org.apache.spark.sql.types.IntegerType)
     val rows = t.read().select("doc_id", "lang").as[(String, Option[String])].collect().toMap
     assert(rows("w1").contains("en") && rows("w2").contains("de"))
     // pre-existing rows read the new column as null
