@@ -229,19 +229,10 @@ final class IceLiteTable private[icelite] (
     */
   def changesBetween(fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(fromExclusive <= toInclusive, s"bad range ($fromExclusive, $toInclusive]")
-    val snaps = ((fromExclusive + 1) to toInclusive)
-      .map(v => IceLite.readSnapshotFile(root, v))
-    val newFiles = snaps.flatMap { s =>
-      if (s.changed.nonEmpty) s.changed.values.flatten.toSeq
-      else {
-        // legacy fallback: files newly referenced as DELTAS vs the parent
-        val parent = IceLite.readSnapshotFile(root, s.parentId)
-        val before = parent.deltas.values.flatten.toSet
-        s.deltas.values.flatten.filterNot(before.contains).toSeq
-      }
-    }
-    val latest = snaps.lastOption.getOrElse(snap)
+    val newFiles = IceLite.changedDataFiles(root, fromExclusive, toInclusive)
+    val latest =
+      if (toInclusive > fromExclusive) IceLite.readSnapshotFile(root, toInclusive)
+      else snap
     val schemaWithMeta = IceLite.withMeta(latest.schema)
     if (newFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -539,6 +530,30 @@ object IceLite {
 
   def readSnapshotFile(root: String, v: Long): IceSnapshot =
     fromJson(new String(Files.readAllBytes(versionFile(root, v)), StandardCharsets.UTF_8))
+
+  /** Relative data-file paths carrying the row changes committed in
+    * versions (fromExclusive, toInclusive] — the change-data-feed file
+    * manifest shared by [[IceLiteTable.changesBetween]] and the
+    * streaming read (`graft.icelite.dsv2.IceLiteMicroBatchStream`).
+    * Exact per commit via [[IceSnapshot.changed]]; falls back to the
+    * parent delta-diff for pre-manifest snapshots. A version expired by
+    * retention throws (missing version file): a consumer whose resume
+    * point fell off the retention horizon must re-bootstrap, never
+    * silently skip commits.
+    */
+  def changedDataFiles(root: String, fromExclusive: Long, toInclusive: Long): Seq[String] = {
+    require(fromExclusive <= toInclusive, s"bad range ($fromExclusive, $toInclusive]")
+    ((fromExclusive + 1) to toInclusive).flatMap { v =>
+      val s = readSnapshotFile(root, v)
+      if (s.changed.nonEmpty) s.changed.values.flatten.toSeq
+      else {
+        // legacy fallback: files newly referenced as DELTAS vs the parent
+        val parent = readSnapshotFile(root, s.parentId)
+        val before = parent.deltas.values.flatten.toSet
+        s.deltas.values.flatten.filterNot(before.contains).toSeq
+      }
+    }
+  }
 
   /** All snapshot version numbers still on disk (ascending). Expired
     * versions leave gaps — see `Maintenance.expireSnapshots`.

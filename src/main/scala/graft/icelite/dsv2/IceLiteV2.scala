@@ -176,16 +176,19 @@ class IceLiteV2Table(spark: SparkSession, root: String) extends Table
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(snap.numBuckets, snap.keyCol))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IceLiteScanBuilder(spark, root, snap, schema())
+    new IceLiteScanBuilder(spark, root, snap, schema(), options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new IceLiteWriteBuilder(spark, root, info)
 }
 
 class IceLiteScanBuilder(spark: SparkSession, root: String, snap: IceSnapshot,
-    fullSchema: StructType) extends ScanBuilder
+    fullSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -327,7 +330,8 @@ class IceLiteScanBuilder(spark: SparkSession, root: String, snap: IceSnapshot,
     case None =>
       val prunedBuckets = pushed.flatMap(f => finiteKeys(f)).reduceOption(_ intersect _)
         .map(_.map(k => IceLite.bucketOf(k, snap.numBuckets)))
-      new IceLiteScan(spark, root, snap, fullSchema, readSchema, pushed, prunedBuckets)
+      new IceLiteScan(spark, root, snap, fullSchema, readSchema, pushed, prunedBuckets,
+        options)
   }
 }
 
@@ -370,7 +374,8 @@ class StatsRowReaderFactory(schemaOut: StructType)
 class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
     fullSchema: StructType, readSchema_ : StructType,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    prunedBuckets: Option[Set[Int]] = None)
+    prunedBuckets: Option[Set[Int]] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{NamedReference,
@@ -496,7 +501,37 @@ class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
     * PartitionReaderFactory that accepts FilePartitions (vectorized
     * when every read column supports it).
     */
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    IceLiteV2.parquetReaderFactory(spark, fullSchema, readSchema_, pushedFilters)
+
+  /** The same scan surfaced as a micro-batch stream: the table's commit
+    * log consumed incrementally (see [[IceLiteMicroBatchStream]]).
+    * Column pruning negotiated by the ScanBuilder applies to the
+    * streamed rows too.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val startVersion = Option(options.get("startingVersion")).map(_.toLong)
+      .getOrElse(0L)
+    val maxPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    require(maxPerTrigger > 0, s"maxVersionsPerTrigger must be positive: $maxPerTrigger")
+    new IceLiteMicroBatchStream(spark, root, startVersion, maxPerTrigger,
+      fullSchema, readSchema_)
+  }
+}
+
+/** Session-facing surface of the DSv2 read path. */
+object IceLiteV2 {
+
+  /** Spark's own parquet DSv2 reader factory configured for our
+    * schemas — shared by the batch scan and the micro-batch stream
+    * (vectorized where the read schema allows).
+    */
+  private[dsv2] def parquetReaderFactory(spark: SparkSession,
+      fullSchema: StructType, readSchema: StructType,
+      pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : PartitionReaderFactory = {
     import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     val emptyIndex = new InMemoryFileIndex(spark, Seq.empty, Map.empty,
@@ -505,15 +540,36 @@ class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
       None, None)
     new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
       spark, hadoopConf, emptyIndex,
-      fullSchema, readSchema_, StructType(Nil),
+      fullSchema, readSchema, StructType(Nil),
       pushedFilters, CaseInsensitiveStringMap.empty(), None,
       Seq.empty, Seq.empty, Array.empty
     ).createReaderFactory()
   }
-}
 
-/** Session-facing surface of the DSv2 read path. */
-object IceLiteV2 {
+  /** The table's change feed as a Structured Streaming source: every
+    * commit after `fromVersionExclusive` delivered incrementally as raw
+    * change rows — payload + (`__vc`, `__vl`) LWW version + `__tomb`
+    * delete marker (the downstream-consumer surface Iceberg/Delta call
+    * an incremental/CDF streaming read; null-key truncate markers are
+    * filtered here). Offsets are snapshot versions stored in the SS
+    * checkpoint: restart-safe, exactly-once, and a resume point expired
+    * by retention FAILS at planning instead of skipping commits.
+    * `maxVersionsPerTrigger` bounds catch-up batch size.
+    */
+  def readChangesStream(spark: SparkSession, root: String,
+      fromVersionExclusive: Long = 0L,
+      maxVersionsPerTrigger: Long = Long.MaxValue,
+      catalogName: String = "graft"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    register(spark, catalogName)
+    val keyCol = IceLite.readLatest(root).getOrElse(
+      throw new IllegalStateException(s"no IceLite table at $root")).keyCol
+    var r = spark.readStream
+      .option("startingVersion", fromVersionExclusive.toString)
+    if (maxVersionsPerTrigger != Long.MaxValue)
+      r = r.option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+    r.table(s"$catalogName.`$root`").where(col(keyCol).isNotNull)
+  }
 
   /** Register the `graft` catalog (table-path resolution + the bucket
     * function) and enable v2 bucketing so reported KeyGroupedPartitioning
