@@ -343,6 +343,13 @@ object SparkEntry {
     // consumes the first one's topic dump (WireSource) and must land on
     // the same oracle-replayed final state, token fingerprints included
     "cdc_wire_replay" -> ((s, d) => engineReplayWire(s)),
+    // table-as-topic: a downstream consumer drains the sink's change
+    // feed via the DSv2 micro-batch stream and refolds the final state
+    // — must match the same replay oracle (the feed is complete)
+    "cdc_stream_feed_v2" -> ((s, d) => engineReplayFeed(s)),
+    // downstream sink-connector contract: bootstrap + Replicate feed
+    // tail into a 4-bucket replica must land on the same final state
+    "cdc_replica" -> ((s, d) => engineReplayReplica(s)),
     // token-level view of the SAME replayed final state (the memoized
     // pipeline run): corpus token histogram — occurrences + distinct
     // docs per token id. Scale shape: explode feeds a two-phase hash
@@ -874,10 +881,10 @@ object SparkEntry {
   // the E2E mini-pipeline is the verify sweep's most expensive step, so
   // the second entry must not pay it again (memo per session — Verify
   // runs every query on one session)
-  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame, DataFrame)] = None
+  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = None
 
   private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame = {
-    val (classic, v2, _, _) = engineReplayAll(spark)
+    val (classic, v2, _, _, _, _) = engineReplayAll(spark)
     if (readV2) v2 else classic
   }
 
@@ -896,10 +903,29 @@ object SparkEntry {
   private def engineReplayWire(spark: SparkSession): DataFrame =
     engineReplayAll(spark)._4
 
-  private def engineReplayAll(spark: SparkSession): (DataFrame, DataFrame, DataFrame, DataFrame) =
+  /** The final state reconstructed by a DOWNSTREAM CONSUMER of the sink:
+    * the table's change feed drained through the DSv2 micro-batch stream
+    * ([[graft.icelite.dsv2.IceLiteV2.readChangesStream]], bounded
+    * admission), LWW-folded per key, tombstones deleting, untouched
+    * snapshot keys surviving — must equal the same replay oracle (the
+    * table-as-topic surface is information-complete). */
+  private def engineReplayFeed(spark: SparkSession): DataFrame =
+    engineReplayAll(spark)._5
+
+  /** The final state of a REPLICA table: bootstrap from the sink's
+    * pinned raw state + tail the change feed through
+    * [[graft.stream.Replicate]] (DSv2 stream → LWW apply into a
+    * second table with a different bucket count) — the downstream
+    * sink-connector contract, checked against the same replay oracle. */
+  private def engineReplayReplica(spark: SparkSession): DataFrame =
+    engineReplayAll(spark)._6
+
+  private def engineReplayAll(spark: SparkSession)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     synchronized {
       replayMemo match {
-        case Some((s, classic, v2, toks, wire)) if s eq spark => (classic, v2, toks, wire)
+        case Some((s, classic, v2, toks, wire, feed, replica)) if s eq spark =>
+          (classic, v2, toks, wire, feed, replica)
         case _ =>
           import graft.changelog._
           import graft.stream._
@@ -933,8 +959,47 @@ object SparkEntry {
             val v2 = shape(graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root))
             val toks = memoize(table.read().select(col("doc_id"), col("tokens")))
             val wire = shape(tableW.read())
-            replayMemo = Some((spark, classic, v2, toks, wire))
-            (classic, v2, toks, wire)
+            // downstream consumer: drain the sink's change feed through
+            // the DSv2 micro-batch stream (bounded admission exercises
+            // multi-batch catch-up) and refold the final state from it
+            val feed = {
+              import graft.icelite.IceLite
+              val qn = s"v2feed_${java.util.UUID.randomUUID().toString.take(8)}"
+              graft.icelite.dsv2.IceLiteV2
+                .readChangesStream(spark, table.root, maxVersionsPerTrigger = 2)
+                .writeStream.format("memory").queryName(qn)
+                .option("checkpointLocation", s"$base/ckptFeed")
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start().awaitTermination()
+              val sm = table.refresh().summary
+              val fd = spark.table(qn).where(col(IceLite.VC) > sm.truncCommit ||
+                (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange))
+              val win = org.apache.spark.sql.expressions.Window
+                .partitionBy("doc_id")
+                .orderBy(col(IceLite.VC).desc, col(IceLite.VL).desc)
+              val live = fd.withColumn("__rn", row_number().over(win))
+                .where(col("__rn") === 1 && !col(IceLite.TOMB))
+                .select("doc_id", "tokens", "n_tok", "source")
+              val untouched = ChangeLogGen.initialTable(spark, cfg).toDF()
+                .join(fd.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+                .select("doc_id", "tokens", "n_tok", "source")
+              shape(live.unionByName(untouched))
+            }
+            // a full downstream replica: bootstrap + feed tail into a
+            // DIFFERENT bucket layout via the Replicate consumer
+            val replica = {
+              val snapSrc = table.refresh()
+              val dst = graft.icelite.IceLite.create(spark, s"$base/replica",
+                snapSrc.schema, snapSrc.keyCol, numBuckets = 4)
+              // bootstrap at the snapshot-phase commit (v1) so the WHOLE
+              // change history replays through the feed tail, not the seed
+              graft.stream.Replicate.replicate(spark, table.root, dst,
+                s"$base/ckptReplica", maxVersionsPerTrigger = 2,
+                bootstrapAtVersion = Some(1L))
+              shape(dst.read())
+            }
+            replayMemo = Some((spark, classic, v2, toks, wire, feed, replica))
+            (classic, v2, toks, wire, feed, replica)
           } finally graft.util.Fs.deleteRecursively(base)
       }
     }
@@ -1029,6 +1094,52 @@ object SparkEntry {
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving
     "cdc_wire_replay" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
+    // the change feed drained through the DSv2 micro-batch stream must
+    // refold to the SAME final state: oracle identical to cdc_engine_replay
+    "cdc_stream_feed_v2" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
+    // a bootstrapped replica tailing the feed must refold to the SAME
+    // final state: oracle identical to cdc_engine_replay
+    "cdc_replica" ->
       s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
         |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
         |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),

@@ -246,6 +246,19 @@ final class IceLiteTable private[icelite] (
         when(col(IceLite.TOMB), lit("d")).otherwise(lit("c")))
   }
 
+  /** Raw rows (engine meta columns included, possibly several versions
+    * per key, tombstones included, NOT floor-filtered) of the table AT
+    * a pinned snapshot — the bootstrap surface for change-feed
+    * consumers ([[graft.stream.Replicate]]): a replica seeds from this
+    * state, then tails `changesBetween(snapshotId, …)`; feeding the raw
+    * versions through the LWW apply reproduces the merged state AND its
+    * version vector, so subsequent feed batches replay correctly.
+    */
+  def readRawAt(snapshotId: Long): DataFrame = {
+    val s = IceLite.readSnapshotFile(root, snapshotId)
+    readSnapshot(s, s.buckets)
+  }
+
   /** Time travel: read the table as of an older snapshot id. */
   def readAt(snapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}

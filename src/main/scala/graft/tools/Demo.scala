@@ -115,6 +115,20 @@ object Demo {
       println(s"== PROBE wire interchange (engine -> Debezium JSON topic -> engine): $equalW")
     }
 
+    // probe 7: downstream replication — bootstrap + DSv2 change-feed
+    // tail into a 4-bucket replica must converge to the sink's state
+    locally {
+      val dst = graft.icelite.IceLite.create(spark, s"$base/replica",
+        table.refresh().schema, table.refresh().keyCol, numBuckets = 4)
+      graft.stream.Replicate.replicate(spark, table.root, dst,
+        s"$base/ckptReplica", maxVersionsPerTrigger = 2,
+        bootstrapAtVersion = Some(1L))
+      val gotR = dst.read().as[graft.model.TokenDoc].collect().map(d => d.doc_id -> d).toMap
+      val equalR = gotR.keySet == want.keySet &&
+        want.forall { case (k, w) => gotR(k).tokens == w.tokens }
+      println(s"== PROBE replica (bootstrap + table-as-topic feed tail): $equalR")
+    }
+
     Fs.deleteRecursively(base)
     spark.stop()
     println("== DONE")
