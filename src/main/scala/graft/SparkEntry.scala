@@ -350,6 +350,12 @@ object SparkEntry {
     // downstream sink-connector contract: bootstrap + Replicate feed
     // tail into a 4-bucket replica must land on the same final state
     "cdc_replica" -> ((s, d) => engineReplayReplica(s)),
+    // incremental view maintenance: a per-source aggregate (count, token
+    // sum, content fingerprint sum) maintained from the change feed's
+    // DELTAS alone (graft.stream.Ivm — upsert->retraction via the
+    // replica's pre-image, batch-bounded probes, never a rescan) must
+    // equal the full recompute over the replayed final state
+    "cdc_ivm_agg" -> ((s, d) => engineReplayIvm(s)),
     // token-level view of the SAME replayed final state (the memoized
     // pipeline run): corpus token histogram — occurrences + distinct
     // docs per token id. Scale shape: explode feeds a two-phase hash
@@ -881,10 +887,10 @@ object SparkEntry {
   // the E2E mini-pipeline is the verify sweep's most expensive step, so
   // the second entry must not pay it again (memo per session — Verify
   // runs every query on one session)
-  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = None
+  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = None
 
   private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame = {
-    val (classic, v2, _, _, _, _) = engineReplayAll(spark)
+    val (classic, v2, _, _, _, _, _) = engineReplayAll(spark)
     if (readV2) v2 else classic
   }
 
@@ -920,12 +926,20 @@ object SparkEntry {
   private def engineReplayReplica(spark: SparkSession): DataFrame =
     engineReplayAll(spark)._6
 
+  /** A per-source AGGREGATE maintained incrementally from the change
+    * feed ([[graft.stream.Ivm]]: replica-join retraction, batch-bounded
+    * probes, batchId-gated two-table apply) — never a recompute over
+    * the table. Checked against the full-recompute oracle over the
+    * replayed final state. Same memo run. */
+  private def engineReplayIvm(spark: SparkSession): DataFrame =
+    engineReplayAll(spark)._7
+
   private def engineReplayAll(spark: SparkSession)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     synchronized {
       replayMemo match {
-        case Some((s, classic, v2, toks, wire, feed, replica)) if s eq spark =>
-          (classic, v2, toks, wire, feed, replica)
+        case Some((s, classic, v2, toks, wire, feed, replica, ivm)) if s eq spark =>
+          (classic, v2, toks, wire, feed, replica, ivm)
         case _ =>
           import graft.changelog._
           import graft.stream._
@@ -998,8 +1012,24 @@ object SparkEntry {
                 bootstrapAtVersion = Some(1L))
               shape(dst.read())
             }
-            replayMemo = Some((spark, classic, v2, toks, wire, feed, replica))
-            (classic, v2, toks, wire, feed, replica)
+            // incremental view maintenance: per-source aggregate kept
+            // current from the SAME feed via its own consumer pair
+            val ivm = {
+              val vd = graft.stream.Ivm.ViewDef("source", Seq(
+                "total_tok" -> col("n_tok").cast("long"),
+                "sum_fp" -> pmod(graft.ops.TextOps.portableHash(
+                  array_join(transform(col("tokens"), _.cast("string")), ",")),
+                  lit(1000000000000L))))
+              val (_, view) = graft.stream.Ivm.maintain(spark, table.root, vd,
+                s"$base/ivmRep", s"$base/ivmView", s"$base/ckptIvm",
+                maxVersionsPerTrigger = 2, bootstrapAtVersion = Some(1L))
+              memoize(view.read()
+                .select(col("source"), col(graft.stream.Ivm.RowsCol).as("n_docs"),
+                  col("total_tok"), col("sum_fp"))
+                .orderBy(col("source")))
+            }
+            replayMemo = Some((spark, classic, v2, toks, wire, feed, replica, ivm))
+            (classic, v2, toks, wire, feed, replica, ivm)
           } finally graft.util.Fs.deleteRecursively(base)
       }
     }
@@ -1160,6 +1190,31 @@ object SparkEntry {
         |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
         |WHERE COALESCE(l.op,'') <> 'd'
         |ORDER BY doc_id""".stripMargin,
+    // the incrementally-maintained view must equal the full recompute
+    // over the replayed final state (same committed-event CTE)
+    "cdc_ivm_agg" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |last AS (SELECT key, op, after FROM (
+        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |         FROM ev) WHERE rn = 1),
+        |fin AS (SELECT COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} % 1000000000000 AS fp
+        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |       CAST(sum(fp) AS BIGINT) AS sum_fp
+        |FROM fin GROUP BY source ORDER BY source""".stripMargin,
     // SCD2 history: same committed-event CTE, but EVERY version kept —
     // snapshot rows enter at (snapshotLsn, Long.MaxValue), interval
     // ends come from lead() per key over (commit_lsn, change_lsn),

@@ -129,6 +129,21 @@ object Demo {
       println(s"== PROBE replica (bootstrap + table-as-topic feed tail): $equalR")
     }
 
+    // probe 8: incremental view maintenance — a per-source aggregate
+    // maintained from the feed's deltas must equal the full recompute
+    locally {
+      import org.apache.spark.sql.functions._
+      val vd = graft.stream.Ivm.ViewDef("source",
+        Seq("total_tok" -> col("n_tok").cast("long")))
+      val (rep, view) = graft.stream.Ivm.maintain(spark, table.root, vd,
+        s"$base/ivmRep", s"$base/ivmView", s"$base/ckptIvm",
+        maxVersionsPerTrigger = 2, bootstrapAtVersion = Some(1L))
+      val got = view.read().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val wantV = graft.stream.Ivm.aggregateOf(rep.read(), vd)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      println(s"== PROBE ivm (feed-maintained aggregate == recompute): ${got == wantV}")
+    }
+
     Fs.deleteRecursively(base)
     spark.stop()
     println("== DONE")
