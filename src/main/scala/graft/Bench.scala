@@ -57,7 +57,7 @@ object Bench {
     "dedup_embedding_cos", "ann_topk", "ann_ivf_label", "ann_ivf_trained",
     "ann_lsh_bucketed", "emb_diversity", "f5b_type_matrix", "f5c_binary_modes", "text_quality", "text_langid",
     "text_fingerprint", "mm_binary_features", "mm_media_features",
-    "pack_offsets", "decontaminate", "decontaminate_bloom", "sample_strat_stats",
+    "pack_offsets", "pack_emit", "decontaminate", "decontaminate_bloom", "sample_strat_stats",
     "source_caps", "mix_weights",
     "sketch_distinct", "sketch_overlap", "sketch_kway", "text_repetition",
     "text_seg_dup", "text_lm_score", "text_tfidf", "length_quantiles",

@@ -665,6 +665,17 @@ object SparkEntry {
         .withColumn("n_tok", size(TextOps.words(col("text"))))
       Packing.packStats(docs, capacity = 2048, groups = 8).orderBy(col("grp"))
     }),
+    // materialized packed sequences: per-sequence doc/token counts and
+    // an order-sensitive position-weighted content fingerprint — the
+    // layout a sequence writer emits, reproduced bit-for-bit by the
+    // oracle (token ids = portable word hashes)
+    "pack_emit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tokens", transform(TextOps.words(col("text")),
+          w => TextOps.portableHash(w)))
+      Packing.packEmit(docs, capacity = 2048, groups = 8)
+        .orderBy(col("grp"), col("seq_id"))
+    }),
     // ---- training-data ops: curation (decontamination / sampling / mixing) ----
     // benchmark decontamination: train docs sharing any DF-capped word
     // trigram with the eval split (doc_id%20=0), with overlap counts
@@ -1635,6 +1646,25 @@ object SparkEntry {
         |SELECT doc_id, grp, end_off - n AS start_off, end_off,
         |  (end_off - n)//2048 AS first_seq, (end_off - 1)//2048 AS last_seq
         |FROM o ORDER BY doc_id""".stripMargin,
+    "pack_emit" ->
+      s"""WITH dd AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws,
+        |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n,
+        |  ${H("CAST(doc_id AS VARCHAR)")} % 8 AS grp FROM documents),
+        |o AS (SELECT doc_id, grp, ws, n, CAST(sum(n) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM dd),
+        |sp AS (SELECT grp, ws, n, end_off - n AS start_off,
+        |         unnest(generate_series((end_off-n)//2048, (end_off-1)//2048)) AS seq
+        |       FROM o WHERE n > 0),
+        |fr AS (SELECT grp, seq, start_off, ws,
+        |         greatest(0, seq*2048 - start_off) AS lo,
+        |         least(n, (seq+1)*2048 - start_off) AS hi
+        |       FROM sp),
+        |ag AS (SELECT grp, seq, hi - lo AS f_tok,
+        |         COALESCE(list_sum(list_transform(ws[(lo+1):hi], (x,i) ->
+        |           (start_off + lo - seq*2048 + i) * (${H("x")} % 1048576))), 0) AS f_fp
+        |       FROM fr)
+        |SELECT grp, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(f_tok) AS BIGINT) AS n_tok, CAST(sum(f_fp) AS BIGINT) AS seq_fp
+        |FROM ag GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "pack_stats" ->
       s"""WITH dd AS (SELECT doc_id, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n,
         |  ${H("CAST(doc_id AS VARCHAR)")} % 8 AS grp FROM documents),

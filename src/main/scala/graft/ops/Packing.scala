@@ -55,6 +55,65 @@ object Packing {
         floor((col("end_off") - 1) / capacity).cast("long").as("last_seq"))
   }
 
+  /** Fingerprint fold of a token id: 2^20 buckets, so the
+    * position-weighted sum below stays inside 63 bits
+    * (2048 positions x 2^20 x 2048 terms < 2^62).
+    */
+  private val FpFold = 1048576L
+
+  /** MATERIALIZED packed sequences — the training-export form of
+    * [[packOffsets]]: every capacity-token sequence with its document
+    * count, token count, and an ORDER-SENSITIVE content fingerprint
+    * (sum of position-in-sequence x folded-token-id), so any engine —
+    * and any re-run — must reproduce the exact byte layout a sequence
+    * writer would emit, not just the offsets.
+    *
+    * Scale shape: token work never leaves the row — each document
+    * computes its per-sequence fragment summaries from its own token
+    * array (one `explode` of the ≤ 1 + n/capacity sequences the doc
+    * spans), and the only exchange is the final groupBy on
+    * (group, seq): the shuffled rows are fragment PARTIALS (4 longs),
+    * never tokens. Fingerprint terms are position-weighted within the
+    * sequence, so concatenation order errors (not just content errors)
+    * break the equality.
+    *
+    * `tokCol` is an array of numeric token ids; ids are folded mod 2^20
+    * for the fingerprint only (counts/offsets stay exact).
+    */
+  def packEmit(docs: DataFrame, capacity: Int = 2048, groups: Int = 8,
+      idCol: String = "doc_id", tokCol: String = "tokens"): DataFrame = {
+    require(capacity > 0 && groups > 0)
+    val g = grpOf(idCol, groups).as("grp")
+    val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = docs
+      .select(col(idCol), transform(col(tokCol),
+        t => pmod(t.cast("long"), lit(FpFold))).as("__tv"), g)
+      .withColumn("__n", size(col("__tv")).cast("long"))
+      .where(col("__n") > 0)
+      .withColumn("end_off", sum(col("__n")).over(w))
+      .withColumn("start_off", col("end_off") - col("__n"))
+    val spans = base.withColumn("seq", explode(sequence(
+      floor(col("start_off") / capacity).cast("long"),
+      floor((col("end_off") - 1) / capacity).cast("long"))))
+    // the doc-local token slice [lo, hi) landing in this sequence, and
+    // how many of the sequence's tokens precede the fragment
+    val lo = greatest(lit(0L), col("seq") * capacity - col("start_off"))
+    val hi = least(col("__n"), (col("seq") + 1) * capacity - col("start_off"))
+    val pre = col("start_off") + lo - col("seq") * capacity
+    val frag = spans.select(
+      col("grp").cast("long").as("grp"), col("seq"),
+      (hi - lo).as("f_tok"),
+      aggregate(
+        transform(slice(col("__tv"), (lo + 1).cast("int"), (hi - lo).cast("int")),
+          (x, i) => (pre + i + 1) * x),
+        lit(0L), (a, b) => a + b).as("f_fp"))
+    frag.groupBy(col("grp"), col("seq").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("f_tok")).as("n_tok"),
+        sum(col("f_fp")).as("seq_fp"))
+      .select(col("grp"), col("seq_id"), col("n_docs"), col("n_tok"), col("seq_fp"))
+  }
+
   /** Per-group packing summary: sequences produced and the fill ratio
     * of the (single, final) partially-filled sequence per group.
     */

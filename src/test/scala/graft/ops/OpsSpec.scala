@@ -121,6 +121,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("packEmit: sequences are full except tails; fingerprint reproduces a driver-side emit") {
+    val cap = 64
+    val withTok = docs.withColumn("tokens",
+      transform(TextOps.words(col("text")), w => TextOps.portableHash(w)))
+    val seqs = Packing.packEmit(withTok, capacity = cap, groups = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // driver-side oracle: actually concatenate the token streams per
+    // group in doc_id order and chunk them
+    val toks = withTok.select(col("doc_id"),
+        pmod(TextOps.portableHash(col("doc_id").cast("string")), lit(4L)).as("grp"),
+        col("tokens"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getSeq[Long](2)))
+    val want = toks.groupBy(_._1).flatMap { case (g, ds) =>
+      // (docTag, foldedToken) stream in doc_id order
+      val stream = ds.sortBy(_._2)
+        .flatMap(d => d._3.map(t => (d._2, math.floorMod(t, 1048576L))))
+      stream.zipWithIndex.groupBy(_._2 / cap).map { case (seq, frag) =>
+        val fp = frag.map { case ((_, t), i) => (i % cap + 1).toLong * t }.sum
+        val nd = frag.map(_._1._1).distinct.size
+        (g, seq.toLong, nd.toLong, frag.size.toLong, fp)
+      }
+    }.toSet
+    assert(seqs.toSet == want, "packed layout must equal the sequential emit")
+    // all but the per-group tail are exactly full
+    seqs.groupBy(_._1).foreach { case (g, rs) =>
+      val tail = rs.map(_._2).max
+      rs.foreach { case (_, seq, _, nTok, _) =>
+        if (seq != tail) assert(nTok == cap, s"non-tail seq $seq in group $g not full")
+        else assert(nTok > 0 && nTok <= cap)
+      }
+    }
+  }
+
   test("shingle DF cap: hot shingles are dropped before any pair join") {
     import spark.implicits._
     // every doc shares the hot trigram "aaa bbb ccc"; pairs 1-2 also share real content
