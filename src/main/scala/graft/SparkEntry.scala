@@ -1078,6 +1078,46 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** Committed-EVENT replay CTE (raw/seed/ctrl/ev) shared by every
+    * engine-E2E oracle: committed-tx assembly — rollbacks drop,
+    * savepoint DISCARD ranges drop. ONE definition, so a fix to the
+    * assembly semantics reaches every consumer's oracle at once.
+    */
+  private lazy val ReplayEvCte: String =
+    """raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+      |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+      |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
+      |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+      |       FROM raw r JOIN ctrl c USING(tx_id)
+      |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+      |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+      |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn))""".stripMargin
+
+  /** [[ReplayEvCte]] + the LWW winner per key — the committed-state
+    * CTE ending in `last`. */
+  private lazy val ReplayCte: String =
+    s"""$ReplayEvCte,
+      |last AS (SELECT key, op, after FROM (
+      |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+      |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+      |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+      |         FROM ev) WHERE rn = 1)""".stripMargin
+
+  /** The replayed FINAL STATE (doc_id, n_tok, source, token
+    * fingerprint) — the one oracle the classic read, the v2 read, the
+    * wire round trip, the feed refold and the replica all hash
+    * against: five consumers, one replay by construction.
+    */
+  private lazy val ReplayStateSql: String =
+    s"""WITH $ReplayCte
+      |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+      |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+      |       COALESCE(l.after.source, s.source) AS source,
+      |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+      |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+      |WHERE COALESCE(l.op,'') <> 'd'
+      |ORDER BY doc_id""".stripMargin
+
   /** The `{AUX}` token is replaced by [[Verify]] with the absolute path
     * of its aux-dump directory (the deterministically regenerated engine
     * log + seed table for `cdc_engine_replay`).
@@ -1089,134 +1129,27 @@ object SparkEntry {
     // (every stream event beats them), deletes excluded. tok_fp checks
     // token-array equality — the north-star per-row invariant.
     "cdc_engine_replay" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1)
-        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
-        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
-        |       COALESCE(l.after.source, s.source) AS source,
-        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
-        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
-        |WHERE COALESCE(l.op,'') <> 'd'
-        |ORDER BY doc_id""".stripMargin,
+      ReplayStateSql,
     // the v2 read path must produce the identical final state
     "cdc_engine_replay_v2" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1)
-        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
-        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
-        |       COALESCE(l.after.source, s.source) AS source,
-        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
-        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
-        |WHERE COALESCE(l.op,'') <> 'd'
-        |ORDER BY doc_id""".stripMargin,
+      ReplayStateSql,
     // the wire round trip must land on the SAME replayed state: the
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving
     "cdc_wire_replay" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1)
-        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
-        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
-        |       COALESCE(l.after.source, s.source) AS source,
-        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
-        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
-        |WHERE COALESCE(l.op,'') <> 'd'
-        |ORDER BY doc_id""".stripMargin,
+      ReplayStateSql,
     // the change feed drained through the DSv2 micro-batch stream must
     // refold to the SAME final state: oracle identical to cdc_engine_replay
     "cdc_stream_feed_v2" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1)
-        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
-        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
-        |       COALESCE(l.after.source, s.source) AS source,
-        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
-        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
-        |WHERE COALESCE(l.op,'') <> 'd'
-        |ORDER BY doc_id""".stripMargin,
+      ReplayStateSql,
     // a bootstrapped replica tailing the feed must refold to the SAME
     // final state: oracle identical to cdc_engine_replay
     "cdc_replica" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1)
-        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
-        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
-        |       COALESCE(l.after.source, s.source) AS source,
-        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
-        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
-        |WHERE COALESCE(l.op,'') <> 'd'
-        |ORDER BY doc_id""".stripMargin,
+      ReplayStateSql,
     // the incrementally-maintained view must equal the full recompute
     // over the replayed final state (same committed-event CTE)
     "cdc_ivm_agg" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1),
+      s"""WITH $ReplayCte,
         |fin AS (SELECT COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
         |       COALESCE(l.after.source, s.source) AS source,
         |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} % 1000000000000 AS fp
@@ -1231,14 +1164,7 @@ object SparkEntry {
     // ends come from lead() per key over (commit_lsn, change_lsn),
     // deletes close their predecessor and emit no row
     "cdc_scd2_history" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+      s"""WITH $ReplayEvCte,
         |snap AS (SELECT CAST(${graft.changelog.ChangeLogGen.snapshotLsn} AS BIGINT) AS commit_lsn,
         |         CAST(${Long.MaxValue} AS BIGINT) AS change_lsn,
         |         'r' AS op, doc_id AS key, n_tok, tokens FROM seed),
@@ -1259,19 +1185,7 @@ object SparkEntry {
     // cdc_engine_replay) full-outer-diffed against the seed table,
     // null-safe compare on (n_tok, source, tok_fp), per-verdict counts
     "cdc_table_diff" ->
-      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1),
+      s"""WITH $ReplayCte,
         |fin AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
         |        COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
         |        COALESCE(l.after.source, s.source) AS source,
@@ -1293,19 +1207,7 @@ object SparkEntry {
     // token histogram over the same replayed final state: occurrences
     // and distinct docs per token id
     "replay_token_freq" ->
-      """WITH raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
-        |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
-        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
-        |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |       FROM raw r JOIN ctrl c USING(tx_id)
-        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |last AS (SELECT key, op, after FROM (
-        |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
-        |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
-        |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
-        |         FROM ev) WHERE rn = 1),
+      s"""WITH $ReplayCte,
         |fin AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
         |               COALESCE(l.after.tokens, s.tokens) AS tokens
         |        FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key

@@ -517,7 +517,7 @@ class IceLiteScan(spark: SparkSession, root: String, snap: IceSnapshot,
       .getOrElse(Long.MaxValue)
     require(maxPerTrigger > 0, s"maxVersionsPerTrigger must be positive: $maxPerTrigger")
     new IceLiteMicroBatchStream(spark, root, startVersion, maxPerTrigger,
-      fullSchema, readSchema_)
+      fullSchema, readSchema_, pushedFilters)
   }
 }
 

@@ -63,7 +63,11 @@ class IceLiteMicroBatchStream(
     startVersion: Long,
     maxVersionsPerTrigger: Long,
     fullSchema: StructType,
-    readSchema: StructType
+    readSchema: StructType,
+    // filters the ScanBuilder accepted: forwarded so streamed files get
+    // the same parquet row-group statistics skipping as the batch scan
+    // (they remain residual — Spark re-evaluates them on the rows)
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 ) extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   @volatile private var pinnedHead: Option[Long] = None
@@ -113,7 +117,7 @@ class IceLiteMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    IceLiteV2.parquetReaderFactory(spark, fullSchema, readSchema)
+    IceLiteV2.parquetReaderFactory(spark, fullSchema, readSchema, pushedFilters)
 
   override def deserializeOffset(json: String): Offset =
     IceLiteVersionOffset.fromJson(json)

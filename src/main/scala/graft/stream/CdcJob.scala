@@ -365,7 +365,8 @@ object CdcJob {
         val table = IceLite.load(spark, cfg.tableRoot)
         val cur = table.refresh()
         val recovered = MergeApply.mergedSchema(cur.schema,
-          MergeApply.asNullable(source.schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+          MergeApply.asNullable(source.schema).asInstanceOf[org.apache.spark.sql.types.StructType],
+          keepTypeFor = Set(cur.keyCol))
         val next = cur.copy(
           snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
           schema = recovered, changed = Map.empty,

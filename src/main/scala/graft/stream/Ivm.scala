@@ -200,9 +200,7 @@ object Ivm {
   private def floorAdvanced(srcRoot: String, replica: IceLiteTable): Boolean = {
     val sm = IceLite.readLatest(srcRoot).getOrElse(
       throw new IllegalStateException(s"no source table at $srcRoot")).summary
-    val cur = replica.refresh().summary
-    sm.truncCommit > cur.truncCommit ||
-      (sm.truncCommit == cur.truncCommit && sm.truncChange > cur.truncChange)
+    Replicate.floorAhead(sm, replica.refresh().summary)
   }
 
   /** Apply one feed batch to BOTH tables with crash-convergent
@@ -215,7 +213,13 @@ object Ivm {
     if (vDone && rDone) return
     if (rDone) { rebuild(view, replica, vd, batchId); return }
     if (vDone) {
-      Replicate.applyFeedBatch(replica, feed, batchId, Some(srcRoot)); return
+      // finish the interrupted incremental order: replica only. The
+      // floor must NOT propagate here (same as the fresh incremental
+      // path below) — a truncate that committed on the source between
+      // the crash and this replay would otherwise advance the
+      // replica's floor without the view rebuild, and the next batch's
+      // floorAdvanced() check would see equal floors and never rebuild.
+      Replicate.applyFeedBatch(replica, feed, batchId, None); return
     }
     feed.persist()
     try {
@@ -240,6 +244,13 @@ object Ivm {
     * state and seed the view with one aggregate pass, then tail the
     * feed from the pin; later runs resume from the checkpoint. Returns
     * (replica, view).
+    *
+    * `replicaRoot` and `viewRoot` are MAINTAINER-OWNED paths: until
+    * the stream checkpoint's first offset exists, anything under them
+    * is the scratch of a crashed bootstrap attempt (the view seed's
+    * versions are locally generated, so a half-seeded view is not
+    * re-enterable) and is recreated from the source — the checkpoint,
+    * not the table roots, is the bootstrap phase's commit point.
     */
   def maintain(spark: SparkSession, srcRoot: String, vd: ViewDef,
       replicaRoot: String, viewRoot: String, checkpointDir: String,
@@ -250,6 +261,8 @@ object Ivm {
       java.nio.file.Paths.get(checkpointDir, "offsets"))
     val (replica, view, pin) =
       if (firstRun) {
+        graft.util.Fs.deleteRecursively(replicaRoot)
+        graft.util.Fs.deleteRecursively(viewRoot)
         val src = IceLite.load(spark, srcRoot)
         val dst = IceLite.create(spark, replicaRoot, src.refresh().schema,
           src.refresh().keyCol, numBuckets = replicaBuckets)

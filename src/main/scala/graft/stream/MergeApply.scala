@@ -150,11 +150,19 @@ object MergeApply {
     * the table's type, new fields still land.
     */
   def mergedSchema(table: StructType, after: StructType,
-      widenNumeric: Boolean = true): StructType = {
+      widenNumeric: Boolean = true,
+      keepTypeFor: Set[String] = Set.empty): StructType = {
     val byName = after.fields.map(f => f.name -> f).toMap
     val known = table.fieldNames.toSet
     val widened = table.fields.map { f =>
       byName.get(f.name) match {
+        // the KEY column's type is load-bearing for the physical
+        // layout: pmod(hash(key), n) differs between int and long for
+        // the same value, so widening the key would split one logical
+        // key across two bucket layouts (and falsify the DSv2 scan's
+        // reported KeyGroupedPartitioning). Callers pin it; the written
+        // key is cast back to the table's type like any other column.
+        case Some(_) if keepTypeFor.contains(f.name) => f
         case Some(g) => f.copy(dataType = widenType(f.dataType, g.dataType, widenNumeric))
         case None => f
       }
@@ -199,7 +207,7 @@ object MergeApply {
 
     // ---- schema evolution (E4): widen table schema additively ----
     val afterSchema = floored.schema("after").dataType.asInstanceOf[StructType]
-    val newSchema = mergedSchema(snap.schema, afterSchema)
+    val newSchema = mergedSchema(snap.schema, afterSchema, keepTypeFor = Set(keyCol))
     val userFields = newSchema.fields.toSeq
     val afterHas = afterSchema.fieldNames.toSet
 
@@ -227,11 +235,18 @@ object MergeApply {
       // the cast pins every written column to the MERGED type: a batch
       // narrower than a previously-widened column upcasts, so data files
       // never drift from the committed schema
+      // the KEY cast also pins the physical layout: __bucket below
+      // hashes this column, and pmod(hash(2:int), n) != pmod(
+      // hash(2:long), n) — an uncast long-typed key would write the
+      // same logical key into a second bucket. The key's type is fixed
+      // at table creation (the additive contract; a key value that
+      // cannot fit it is a source schema violation).
       val v =
-        if (f.name == keyCol) col("__key")
+        if (f.name == keyCol) col("__key").cast(f.dataType)
         else if (afterHas.contains(f.name)) col("__after").getField(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)
-      when(col("__op") === "d", if (f.name == keyCol) col("__key") else lit(null).cast(f.dataType))
+      when(col("__op") === "d",
+          if (f.name == keyCol) col("__key").cast(f.dataType) else lit(null).cast(f.dataType))
         .otherwise(v).as(f.name)
     }
     // Per-bucket lineage statistics accumulate DURING this same job via

@@ -53,6 +53,16 @@ object Replicate {
       col(IceLite.VL).as("change_lsn"))
   }
 
+  /** Strict truncate-floor comparison — ONE definition of "the source's
+    * floor sits ahead of the consumer's", shared by the replication and
+    * IVM consumers so the propagation decision can never drift from the
+    * apply path's floor semantics.
+    */
+  def floorAhead(src: graft.icelite.IceSummary,
+      dst: graft.icelite.IceSummary): Boolean =
+    src.truncCommit > dst.truncCommit ||
+      (src.truncCommit == dst.truncCommit && src.truncChange > dst.truncChange)
+
   /** One synthetic truncate marker at the given position, in the events
     * schema (null key: rides as a marker, never stored).
     */
@@ -77,9 +87,7 @@ object Replicate {
       val sm = IceLite.readLatest(src).getOrElse(
         throw new IllegalStateException(s"no source table at $src")).summary
       val cur = dst.refresh().summary
-      val advanced = sm.truncCommit > cur.truncCommit ||
-        (sm.truncCommit == cur.truncCommit && sm.truncChange > cur.truncChange)
-      if (advanced)
+      if (floorAhead(sm, cur))
         Some(events0.unionByName(
           truncMarker(spark, events0.schema, sm.truncCommit, sm.truncChange)))
       else None

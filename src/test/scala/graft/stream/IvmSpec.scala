@@ -175,4 +175,56 @@ class IvmSpec extends SparkSpec {
     assert(view.refresh().snapshotId == vVer && rep.refresh().snapshotId == rVer)
     Fs.deleteRecursively(base)
   }
+
+  test("a truncate landing during a crashed incremental batch still rebuilds the view") {
+    val base = Fs.tempDir("graft-ivm-crash-trunc")
+    val src = buildSource(base,
+      ChangeLogConfig(nTx = 80, nDocs = 60, seed = 337, deletePct = 10))
+    val (rep, view) = Ivm.maintain(spark, src.root, vd,
+      s"$base/rep", s"$base/view", s"$base/ckpt")
+    assertConverged(src, view)
+
+    // an un-streamed commit, half-applied (view only — the incremental
+    // order), then the process "crashes"
+    val from = src.refresh().snapshotId
+    val hiVc = 1L << 40
+    val existing = src.read().select("doc_id", "tokens", "n_tok", "source")
+    IceLiteV2.append(spark, src.root,
+      existing.limit(6).withColumn("source", lit("crash3")), vc = hiVc, vl = 0L)
+    val head1 = src.refresh().snapshotId
+    val batch = src.changesBetween(from, head1).drop("_change_type")
+    val id = rep.refresh().summary.lastBatchId + 1
+    MergeApply.applyBatch(view, Ivm.deltaEvents(view, rep, vd, batch, id), id)
+
+    // a TRUNCATE commits on the source while the consumer is down:
+    // wipes everything except the hiVc rows
+    val afterT = src.refresh().schema
+    val aType = org.apache.spark.sql.types.StructType(afterT.fields)
+    val tEv = spark.range(1).select(
+      lit("t").as("op"),
+      lit(null).cast(aType).as("before"), lit(null).cast(aType).as("after"),
+      lit(hiVc - 1).as("commit_lsn"), lit(0L).as("change_lsn"))
+    assert(MergeApply.applyBatch(src, tEv,
+      src.refresh().summary.lastBatchId + 1).committed)
+    val head2 = src.refresh().snapshotId
+
+    // replay of the half-applied batch: the vDone branch must finish the
+    // replica WITHOUT propagating the new floor (else the rebuild below
+    // would never trigger)
+    Ivm.applyIvmBatch(view, rep, vd, batch, id, src.root)
+    assert(!Replicate.floorAhead(rep.refresh().summary,
+      IceLite.readLatest(src.root).get.summary) &&
+      rep.refresh().summary.truncCommit < hiVc - 1,
+      "the crash-replay branch must not advance the replica's floor")
+
+    // the truncate's own (row-less) feed batch takes the rebuild path
+    val batch2 = src.changesBetween(head1, head2).drop("_change_type")
+    Ivm.applyIvmBatch(view, rep, vd, batch2, id + 1, src.root)
+    assert(rep.refresh().summary.truncCommit == hiVc - 1,
+      "the floor propagates on the next batch")
+    assertConverged(src, view)
+    assert(viewState(view).keySet == Set("crash3"),
+      "only post-truncate rows survive in the view")
+    Fs.deleteRecursively(base)
+  }
 }

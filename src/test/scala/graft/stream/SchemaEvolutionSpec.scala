@@ -132,6 +132,35 @@ class SchemaEvolutionSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("the KEY column never widens: a long-typed key event keeps the int key and one bucket layout") {
+    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Fs.tempDir("graft-evo-key")
+    val seed = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+      keyCol = "k", numBuckets = 4)
+    val table = CdcJob.snapshot(spark, seed, cdc, snapshotLsn = 0L)
+    assert(table.current.schema("k").dataType == IntegerType)
+
+    // the key arrives as int64: pmod(hash(2:long), n) != pmod(hash(2:int), n)
+    // in general, so widening the key would place the same logical key in
+    // a second bucket (duplicate rows past the clean-bucket bypass)
+    val after = Seq((2L, "B2")).toDF("k", "v")
+    val ev = after.select(
+      lit("u").as("op"),
+      lit(null).cast(after.schema).as("before"),
+      struct(col("k"), col("v")).as("after"),
+      lit(10L).as("commit_lsn"), lit(1L).as("change_lsn"))
+    assert(MergeApply.applyBatch(table, ev, 0L).committed)
+    assert(table.refresh().schema("k").dataType == IntegerType,
+      "key type is load-bearing for the bucket layout and must not widen")
+    val got = table.read().collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(got == Map(1 -> "a", 2 -> "B2", 3 -> "c"),
+      "one row per logical key — the update must land in the key's original bucket")
+    Fs.deleteRecursively(base)
+  }
+
   test("widenType: chains, recursion, and incompatible types keep the table side") {
     import org.apache.spark.sql.types._
     assert(MergeApply.widenType(IntegerType, LongType) == LongType)
