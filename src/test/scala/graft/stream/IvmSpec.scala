@@ -176,6 +176,83 @@ class IvmSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("randomized batches: view == recompute after EVERY batch (seeded model check)") {
+    val base = Fs.tempDir("graft-ivm-rand")
+    val src = buildSource(base,
+      ChangeLogConfig(nTx = 60, nDocs = 50, seed = 347, deletePct = 10))
+    val (rep, view) = Ivm.maintain(spark, src.root, vd,
+      s"$base/rep", s"$base/view", s"$base/ckpt")
+    assertConverged(src, view)
+
+    val rnd = new scala.util.Random(347)
+    val groups = Array("g0", "g1", "g2", "g3")
+    val ids = src.read().select("doc_id").collect().map(_.getString(0))
+    var vc = (1L << 40)
+    var id = rep.refresh().summary.lastBatchId
+    for (_ <- 1 to 4) {
+      val from = src.refresh().snapshotId
+      // a random mix per batch: group-moving upserts, deletes (some of
+      // keys that never existed), and deliberately STALE versions
+      val ups = rnd.shuffle(ids.toSeq).take(1 + rnd.nextInt(12))
+      val dels = rnd.shuffle(ids.toSeq).take(rnd.nextInt(6)) ++
+        Seq(s"ghost${rnd.nextInt(100)}")
+      val upDf = src.read().where(col("doc_id").isin(ups.map(x => x: Any): _*))
+        .select("doc_id", "tokens", "n_tok", "source")
+        .withColumn("source", lit(groups(rnd.nextInt(groups.length))))
+      IceLiteV2.append(spark, src.root, upDf, vc = vc, vl = rnd.nextInt(1000).toLong)
+      val delDf = src.read().where(col("doc_id").isin(dels.map(x => x: Any): _*))
+        .select("doc_id", "tokens", "n_tok", "source")
+      if (rnd.nextBoolean() && !delDf.isEmpty)
+        IceLiteV2.append(spark, src.root, delDf, vc = vc + 1, vl = 0L, tombstone = true)
+      if (rnd.nextBoolean()) {
+        // stale re-delivery: the SAME keys just written at vc, at a
+        // lower version (vc-5 beats no stored version of these keys:
+        // snapshot rows sit at (0, MaxValue) but ups now hold vc) —
+        // must be inert everywhere
+        val staleDf = upDf.withColumn("source", lit("stale"))
+        IceLiteV2.append(spark, src.root, staleDf, vc = vc - 5, vl = 0L)
+      }
+      vc += 10
+      src.refresh()
+      val batch = src.changesBetween(from, src.refresh().snapshotId)
+        .drop("_change_type")
+      id += 1
+      Ivm.applyIvmBatch(view, rep, vd, batch, id, src.root)
+      assertConverged(src, view)
+      assert(!viewState(view).contains("stale"))
+    }
+    Fs.deleteRecursively(base)
+  }
+
+  test("delta plan shape: batch side broadcasts, replica never sort-merge-joined") {
+    val base = Fs.tempDir("graft-ivm-plan")
+    val src = buildSource(base,
+      ChangeLogConfig(nTx = 60, nDocs = 40, seed = 341, deletePct = 10))
+    val (rep, view) = Ivm.maintain(spark, src.root, vd,
+      s"$base/rep", s"$base/view", s"$base/ckpt")
+    val from = src.refresh().snapshotId
+    IceLiteV2.append(spark, src.root,
+      src.read().select("doc_id", "tokens", "n_tok", "source").limit(8),
+      vc = 1L << 40, vl = 0L)
+    val batch = src.changesBetween(from, src.refresh().snapshotId)
+      .drop("_change_type")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Ivm.deltaEvents(view, rep, vd, batch, 99L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"a replica/view probe fell back to a shuffle join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"unexpected join strategy:\n$plan")
+      val bhj = plan.sliding("BroadcastHashJoin".length)
+        .count(_ == "BroadcastHashJoin")
+      assert(bhj >= 3,
+        s"expected the batch side broadcast into every probe (semi + outer + view), got $bhj:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    Fs.deleteRecursively(base)
+  }
+
   test("a truncate landing during a crashed incremental batch still rebuilds the view") {
     val base = Fs.tempDir("graft-ivm-crash-trunc")
     val src = buildSource(base,
