@@ -749,6 +749,11 @@ object SparkEntry {
     // Gopher-family repetition signals — shuffle-free per-doc projection
     "text_repetition" -> ((s, d) =>
       TextOps.repetition(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // ---- tokenizer-construction ops: BPE pair statistics, one merge
+    // round applied corpus-wide, integer-exact collocation lift ----
+    "token_pairs" -> ((s, d) => TokenOps.pairCounts(t(s, d, "documents"))),
+    "bpe_merge" -> ((s, d) => TokenOps.bpeMergeApply(t(s, d, "documents"))),
+    "token_pmi" -> ((s, d) => TokenOps.collocationLift(t(s, d, "documents"))),
     // segment-level duplication (boilerplate detector): non-overlapping
     // 16-token windows, dup iff the window hash occurs in >= 2 docs
     "text_seg_dup" -> ((s, d) =>
@@ -1818,6 +1823,43 @@ object SparkEntry {
         |  CAST(CASE WHEN length(out) = 0 THEN 0 ELSE len(string_split(out, ' ')) END AS BIGINT) AS out_words,
         |  CASE WHEN length(out) = 0 THEN 0 ELSE ${H("out")} END AS out_fp
         |FROM o ORDER BY doc_id""".stripMargin,
+    "token_pairs" ->
+      """WITH w AS (SELECT string_split_regex(trim(text),'\s+') AS ws FROM documents),
+        |p AS (SELECT ws[i] AS tok_a, ws[i+1] AS tok_b FROM w, unnest(generate_series(1, len(ws)-1)) t(i)),
+        |c AS (SELECT tok_a, tok_b, count(*) AS n FROM p GROUP BY 1,2),
+        |k AS (SELECT * FROM c ORDER BY n DESC, tok_a, tok_b LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS BIGINT) AS rnk, tok_a, tok_b, n
+        |FROM k ORDER BY rnk""".stripMargin,
+    "bpe_merge" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents),
+        |p AS (SELECT ws[i] AS a, ws[i+1] AS b FROM w, unnest(generate_series(1, len(ws)-1)) t(i)),
+        |top1 AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM p WHERE a <> b GROUP BY 1,2)
+        |  ORDER BY n DESC, a, b LIMIT 1),
+        |m AS (SELECT doc_id, ws, a, b,
+        |  list_filter(list_transform(ws, (t, i) ->
+        |    CASE WHEN t = a AND i < len(ws) AND ws[i+1] = b THEN a || '_' || b
+        |         WHEN i > 1 AND ws[i-1] = a AND t = b THEN NULL
+        |         ELSE t END), x -> x IS NOT NULL) AS mw
+        |  FROM w CROSS JOIN top1)
+        |SELECT doc_id, a AS tok_a, b AS tok_b,
+        |  CAST(len(ws) AS BIGINT) AS n_before, CAST(len(mw) AS BIGINT) AS n_after,
+        |  CAST(len(ws) - len(mw) AS BIGINT) AS n_merges,
+        |  ${H("array_to_string(mw, ' ')")} AS out_fp
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "token_pmi" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+        |uni AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM uni),
+        |w AS (SELECT string_split_regex(trim(text),'\s+') AS ws FROM documents),
+        |p AS (SELECT ws[i] AS tok_a, ws[i+1] AS tok_b FROM w, unnest(generate_series(1, len(ws)-1)) t(i)),
+        |pc AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM p GROUP BY 1,2 HAVING count(*) >= 5),
+        |s AS (SELECT pc.tok_a, pc.tok_b, pc.n_ab, ua.cnt AS n_a, ub.cnt AS n_b,
+        |  CAST((CAST(pc.n_ab AS HUGEINT) * t * 100) // (CAST(ua.cnt AS HUGEINT) * ub.cnt) AS BIGINT) AS lift_bp
+        |  FROM pc JOIN uni ua ON ua.tok = pc.tok_a JOIN uni ub ON ub.tok = pc.tok_b CROSS JOIN tot),
+        |k AS (SELECT * FROM s ORDER BY lift_bp DESC, tok_a, tok_b LIMIT 40)
+        |SELECT CAST(row_number() OVER (ORDER BY lift_bp DESC, tok_a, tok_b) AS BIGINT) AS rnk,
+        |  tok_a, tok_b, n_ab, n_a, n_b, lift_bp
+        |FROM k ORDER BY rnk""".stripMargin,
     "heavy_hitters" ->
       """WITH tok AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents
         |  UNION ALL SELECT 'hot_' || lang AS word FROM documents, unnest(range(0, 60))),

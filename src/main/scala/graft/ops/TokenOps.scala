@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps.{portableHash, words}
+
+/** Tokenizer-construction operators over token sequences: the
+  * adjacent-pair statistics a BPE trainer iterates on, a single merge
+  * round applied corpus-wide, and integer-exact collocation mining.
+  *
+  * All sequence work happens INSIDE the row (`zip_with`/`transform`
+  * higher-order expressions — codegen'd, no UDFs); only (pair, count)
+  * frames ever shuffle, so at 100 TB the shuffled bytes are the
+  * distinct-pair vocabulary, never documents. Top-k selection is an
+  * `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject (per
+  * partition heap + driver merge of k rows), not a global sort.
+  */
+object TokenOps {
+
+  /** Adjacent token pairs of one document, as (a, b) structs — the
+    * unit of BPE merge counting. Empty for docs with < 2 tokens
+    * (`slice` with length 0).
+    */
+  private def adjacentPairs(ws: Column): Column = {
+    val m = greatest(size(ws) - 1, lit(0))
+    zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
+      (x, y) => struct(x.as("a"), y.as("b")))
+  }
+
+  /** Top-k adjacent-pair frequencies — the merge-candidate table of one
+    * BPE training round (reference analog: the tokenized-sequences
+    * payload the CDC feed carries; here derived from `text` the same
+    * way tokenCounts segments it).
+    *
+    * Ties break on (tok_a, tok_b) so the result is deterministic under
+    * any partitioning and replays bit-for-bit in ANSI SQL.
+    */
+  def pairCounts(df: DataFrame, k: Int = 50, textCol: String = "text"): DataFrame = {
+    val counted = df
+      .select(explode(adjacentPairs(words(col(textCol)))).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n"))
+    val top = counted.orderBy(col("n").desc, col("tok_a"), col("tok_b")).limit(k)
+    // rank materialized over the k surviving rows only (single tiny task)
+    val w = Window.orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select("rnk", "tok_a", "tok_b", "n")
+  }
+
+  /** The corpus's most frequent adjacent pair with tok_a != tok_b —
+    * the pair one BPE merge round would fuse. The a != b restriction
+    * makes the merge overlap-free (an (a,a) run needs left-to-right
+    * greedy tie-breaking; with a != b no position can both end one
+    * match and start another), so applying it is embarrassingly
+    * parallel per row. One row; broadcast by the callers.
+    */
+  private def topMergePair(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(adjacentPairs(words(col(textCol)))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      .select(col("a"), col("b"))
+
+  /** One BPE merge round applied corpus-wide: every occurrence of the
+    * top (a, b) pair fuses into the single token "a_b". The rewrite is
+    * one indexed `transform` + `filter` inside the row — position i
+    * becomes the fused token when (ws[i], ws[i+1]) = (a, b), is dropped
+    * when (ws[i-1], ws[i]) = (a, b), else survives — and the 1-row pair
+    * table broadcasts, so the corpus never shuffles. `out_fp` is an
+    * order-sensitive fingerprint of the rewritten sequence (layout
+    * equality, same discipline as pack_emit).
+    *
+    * `get` (0-based, null past either end) keeps boundary probes
+    * null-safe under ANSI mode: a null condition falls through the
+    * CASE, which is exactly the "no neighbour, no match" semantic.
+    */
+  def bpeMergeApply(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val n = size(ws)
+    val merged = filter(
+      transform(ws, (t, i) =>
+        when(t === col("a") && get(ws, i + 1) === col("b"),
+          concat(col("a"), lit("_"), col("b")))
+          .when(get(ws, i - 1) === col("a") && t === col("b"),
+            lit(null).cast("string"))
+          .otherwise(t)),
+      x => x.isNotNull)
+    df.crossJoin(broadcast(topMergePair(df, textCol)))
+      .select(col("doc_id"),
+        col("a").as("tok_a"), col("b").as("tok_b"),
+        n.cast("long").as("n_before"),
+        size(merged).cast("long").as("n_after"),
+        (n - size(merged)).cast("long").as("n_merges"),
+        portableHash(concat_ws(" ", merged)).as("out_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Collocation mining: PMI-style lift per adjacent pair, computed in
+    * INTEGER arithmetic so any ANSI engine replays it bit-for-bit (no
+    * cross-engine `ln()` last-ulp drift):
+    *
+    *   lift_bp = floor(100 * n_ab * T / (n_a * n_b))
+    *
+    * (100 = centi-lift scale; lift 1.0 == independence == 100.)
+    * Intermediates run in decimal(38,0) — `n_ab * T * 100` overflows
+    * int64 past ~10^8-token corpora and this operator is sized for
+    * 10^12.
+    *
+    * Scale shape: unigram and pair counts are two map-side-combined
+    * aggregations on hash-spread token keys; the pair table joins the
+    * vocab-sized unigram table twice on those same keys (plain hash
+    * joins, skew-free); the corpus total is a 1-row broadcast; top-k is
+    * TakeOrdered. Documents shuffle never.
+    */
+  def collocationLift(df: DataFrame, k: Int = 40, minPair: Long = 5,
+                      textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val uni = df.select(explode(ws).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).cast("long").as("t"))
+    val pairs = df.select(explode(adjacentPairs(ws)).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPair)
+    val scored = pairs
+      .join(uni.select(col("tok").as("tok_a"), col("cnt").as("n_a")), Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("cnt").as("n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_bp", expr(
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * t * 100) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+    val top = scored.orderBy(col("lift_bp").desc, col("tok_a"), col("tok_b")).limit(k)
+    val w = Window.orderBy(col("lift_bp").desc, col("tok_a"), col("tok_b"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select("rnk", "tok_a", "tok_b", "n_ab", "n_a", "n_b", "lift_bp")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Tokenizer-construction ops: BPE pair counting, one merge round,
+  * integer-exact collocation lift — semantics pinned on designed docs.
+  */
+class TokenOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("pairCounts: adjacent pairs, deterministic tie order, k cap") {
+    val d = docs(
+      1L -> "x y x y z",   // (x,y)x2 (y,x) (y,z)
+      2L -> "x y",          // (x,y)
+      3L -> "solo")         // no pairs
+    val out = TokenOps.pairCounts(d, k = 3).collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1L)
+    assert((out(0).getString(1), out(0).getString(2), out(0).getLong(3)) == (("x", "y", 3L)))
+    // count-1 ties break on (tok_a, tok_b): (y,x) before (y,z)
+    assert((out(1).getString(1), out(1).getString(2)) == (("y", "x")))
+    assert((out(2).getString(1), out(2).getString(2)) == (("y", "z")))
+  }
+
+  test("bpeMergeApply: fuses the top a!=b pair, boundary- and chain-safe") {
+    val d = docs(
+      1L -> "a b a b",   // two merges
+      2L -> "a b b",     // merge + surviving b (the b after a consumed b)
+      3L -> "a a b",     // left a survives, (a,b) at the end merges
+      4L -> "b a",       // reversed pair: no merge
+      5L -> "a",         // single token: no pair probes past the end
+      6L -> "c c c")     // a==a runs never become the merge pair
+    val out = TokenOps.bpeMergeApply(d).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // top a!=b pair is (a,b) with count 4
+    assert(out.forall(r => r.getString(1) == "a" && r.getString(2) == "b"))
+    def stats(id: Long) = {
+      val r = byId(id); (r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    assert(stats(1L) == ((4L, 2L, 2L)))
+    assert(stats(2L) == ((3L, 2L, 1L)))
+    assert(stats(3L) == ((3L, 2L, 1L)))
+    assert(stats(4L) == ((2L, 2L, 0L)))
+    assert(stats(5L) == ((1L, 1L, 0L)))
+    assert(stats(6L) == ((3L, 3L, 0L)))
+    // order-sensitive fingerprint: "a b b" -> [a_b, b] differs from [b, a_b]
+    import org.apache.spark.sql.functions._
+    val fp = d.sparkSession.range(1)
+      .select(TextOps.portableHash(lit("a_b b")).as("h")).head().getLong(0)
+    assert(byId(2L).getLong(6) == fp)
+  }
+
+  test("collocationLift: integer-exact lift, min-pair floor") {
+    // corpus: "p q" x5 and filler "r r" x5 -> T = 20 unigrams
+    val d = docs((1L to 5L).map(i => i -> "p q").toSeq ++
+      (6L to 10L).map(i => i -> "r r"): _*)
+    val out = TokenOps.collocationLift(d, k = 10, minPair = 5).collect()
+    val m = out.map(r => (r.getString(1), r.getString(2)) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // lift(p,q) = floor(100 * 5 * 20 / (5*5)) = 400
+    assert(m(("p", "q")) == ((5L, 5L, 5L, 400L)))
+    // lift(r,r) = floor(100 * 5 * 20 / (10*10)) = 100
+    assert(m(("r", "r")) == ((5L, 10L, 10L, 100L)))
+    // higher lift ranks first
+    assert(out.head.getString(1) == "p" && out.head.getLong(0) == 1L)
+    assert(out.length == 2)
+  }
+}
