@@ -128,20 +128,24 @@ object Bench {
     timed.map { case (ev, sec) => ev / sec }
 
   /** Paired measurement with adaptive retry: after one warm pass per
-    * level, `SPARK_GRAFT_BENCH_PASSES` (default 2) measured passes per
+    * level, `SPARK_GRAFT_BENCH_PASSES` (default 3) measured passes per
     * level run INTERLEAVED (lo1, hi1, lo2, hi2). This box suffers
     * intermittent EXTERNAL slow windows (hypervisor CPU capping that
     * observedly hits the 8-thread level ~4x harder than the 2-thread
     * level), so if either level's batch throughputs disperse by more
     * than 1.6x — the signature of a partially capped window, never of
     * the steady-state engine — up to `SPARK_GRAFT_BENCH_EXTRA` (default
-    * 2) additional pass PAIRS run, buying time diversity. Returns the
-    * per-pass batch samples for each level.
+    * 2) additional pass PAIRS run, buying time diversity. The primary
+    * estimator takes each level's BEST pass, so extra passes can only
+    * sharpen it — the default rose 2 -> 3 after a run where the hi
+    * level caught one clean pass but the lo level's three passes all
+    * intersected capped minutes. Returns the per-pass batch samples
+    * for each level.
     */
   private def cdcRunPair(lowCpus: Int, hiCpus: Int, logDir: String,
       cfg: ChangeLogConfig, base: String)
       : (Seq[Seq[(Long, Double)]], Seq[Seq[(Long, Double)]]) = {
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     onePass(lowCpus, "warm", logDir, cfg, base)
     onePass(hiCpus, "warm", logDir, cfg, base)
@@ -260,7 +264,7 @@ object Bench {
       case _ => None
     }
     val cdc2Json = pair2.map { case (lo2, hi2) =>
-      val passes2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES2", "1").toInt
+      val passes2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES2", "2").toInt
       onePass(lo2, "warm2", logDir, cfg, base)
       onePass(hi2, "warm2", logDir, cfg, base)
       var p2lo = (1 to passes2).map(i => onePass(lo2, s"m2lo$i", logDir, cfg, base))

@@ -367,6 +367,26 @@ object SparkEntry {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("token"))),
+    // token-distribution drift between two ENGINE table versions: time
+    // travel to the snapshot commit (v1) vs the latest replayed state —
+    // the ingest-monitoring view of what a change-feed window did to the
+    // training distribution. Both sides are engine reads; the oracle
+    // derives them from the seed table + pure-SQL replay, so a time
+    // travel or apply defect surfaces as a drift mismatch. Scale shape:
+    // two map-side-combined token histograms, one vocab-sized join.
+    "replay_token_drift" -> ((s, d) => {
+      def hist(df: DataFrame, as: String) =
+        df.select(explode(col("tokens")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as(as))
+      hist(engineReplayTokensV1(s), "n_initial")
+        .join(hist(engineReplayTokens(s), "n_final"), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("n_initial"), lit(0L)).as("n_initial"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"))
+        .withColumn("delta", col("n_final") - col("n_initial"))
+        .where(col("delta") =!= 0)
+        .orderBy(col("token"))
+    }),
     // SCD Type-2 history over the SAME deterministic engine log: every
     // committed version becomes a validity interval in
     // (commit_lsn, change_lsn) space — snapshot rows pinned at
@@ -903,10 +923,10 @@ object SparkEntry {
   // the E2E mini-pipeline is the verify sweep's most expensive step, so
   // the second entry must not pay it again (memo per session — Verify
   // runs every query on one session)
-  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = None
+  @transient private var replayMemo: Option[(SparkSession, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)] = None
 
   private def engineReplay(spark: SparkSession, readV2: Boolean = false): DataFrame = {
-    val (classic, v2, _, _, _, _, _) = engineReplayAll(spark)
+    val (classic, v2, _, _, _, _, _, _) = engineReplayAll(spark)
     if (readV2) v2 else classic
   }
 
@@ -915,6 +935,15 @@ object SparkEntry {
     */
   private def engineReplayTokens(spark: SparkSession): DataFrame =
     engineReplayAll(spark)._3
+
+  /** The snapshot-phase state (engine TIME TRAVEL to v1, the commit the
+    * snapshot scan produced) with token arrays — the "before" side of
+    * version-diff queries. Same memo run; by the snapshot contract it
+    * equals the generator's initial table, which is what the SQL oracle
+    * reads (so a time-travel defect shows up as a drift mismatch).
+    */
+  private def engineReplayTokensV1(spark: SparkSession): DataFrame =
+    engineReplayAll(spark)._8
 
   /** The wire-interchange final state: the SAME pipeline run serializes
     * its emitted records to the Debezium JSON wire format, and a second
@@ -951,11 +980,11 @@ object SparkEntry {
     engineReplayAll(spark)._7
 
   private def engineReplayAll(spark: SparkSession)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     synchronized {
       replayMemo match {
-        case Some((s, classic, v2, toks, wire, feed, replica, ivm)) if s eq spark =>
-          (classic, v2, toks, wire, feed, replica, ivm)
+        case Some((s, classic, v2, toks, wire, feed, replica, ivm, toksV1)) if s eq spark =>
+          (classic, v2, toks, wire, feed, replica, ivm, toksV1)
         case _ =>
           import graft.changelog._
           import graft.stream._
@@ -988,6 +1017,8 @@ object SparkEntry {
             val classic = shape(table.read())
             val v2 = shape(graft.icelite.dsv2.IceLiteV2.readMerged(spark, table.root))
             val toks = memoize(table.read().select(col("doc_id"), col("tokens")))
+            // engine time travel to the snapshot-phase commit (v1)
+            val toksV1 = memoize(table.readAt(1L).select(col("doc_id"), col("tokens")))
             val wire = shape(tableW.read())
             // downstream consumer: drain the sink's change feed through
             // the DSv2 micro-batch stream (bounded admission exercises
@@ -1044,8 +1075,8 @@ object SparkEntry {
                   col("total_tok"), col("sum_fp"))
                 .orderBy(col("source")))
             }
-            replayMemo = Some((spark, classic, v2, toks, wire, feed, replica, ivm))
-            (classic, v2, toks, wire, feed, replica, ivm)
+            replayMemo = Some((spark, classic, v2, toks, wire, feed, replica, ivm, toksV1))
+            (classic, v2, toks, wire, feed, replica, ivm, toksV1)
           } finally graft.util.Fs.deleteRecursively(base)
       }
     }
@@ -1220,6 +1251,23 @@ object SparkEntry {
         |tok AS (SELECT doc_id, unnest(tokens) AS token FROM fin)
         |SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY token ORDER BY token""".stripMargin,
+    // version-diff drift: the engine's v1 time-travel read must equal the
+    // seed table, the latest read the replayed state — delta per token
+    "replay_token_drift" ->
+      s"""WITH $ReplayCte,
+        |fin AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |               COALESCE(l.after.tokens, s.tokens) AS tokens
+        |        FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |        WHERE COALESCE(l.op,'') <> 'd'),
+        |tf AS (SELECT token, count(*) AS n_final FROM (SELECT unnest(tokens) AS token FROM fin) GROUP BY 1),
+        |ti AS (SELECT token, count(*) AS n_initial FROM (SELECT unnest(tokens) AS token FROM seed) GROUP BY 1)
+        |SELECT COALESCE(ti.token, tf.token) AS token,
+        |  CAST(COALESCE(ti.n_initial, 0) AS BIGINT) AS n_initial,
+        |  CAST(COALESCE(tf.n_final, 0) AS BIGINT) AS n_final,
+        |  CAST(COALESCE(tf.n_final, 0) - COALESCE(ti.n_initial, 0) AS BIGINT) AS delta
+        |FROM ti FULL OUTER JOIN tf ON ti.token = tf.token
+        |WHERE COALESCE(tf.n_final, 0) <> COALESCE(ti.n_initial, 0)
+        |ORDER BY token""".stripMargin,
     // pure-SQL restatement of the four v2 appends: the vc=20 overwrite
     // wins for doc_id%3=0, the stale vc=5 write is invisible, the vc=30
     // tombstones remove doc_id%7=0
