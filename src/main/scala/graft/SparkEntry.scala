@@ -1888,7 +1888,7 @@ object SparkEntry {
         |    CASE WHEN t = a AND i < len(ws) AND ws[i+1] = b THEN a || '_' || b
         |         WHEN i > 1 AND ws[i-1] = a AND t = b THEN NULL
         |         ELSE t END), x -> x IS NOT NULL) AS mw
-        |  FROM w CROSS JOIN top1)
+        |  FROM w LEFT JOIN top1 ON TRUE)
         |SELECT doc_id, a AS tok_a, b AS tok_b,
         |  CAST(len(ws) AS BIGINT) AS n_before, CAST(len(mw) AS BIGINT) AS n_after,
         |  CAST(len(ws) - len(mw) AS BIGINT) AS n_merges,

@@ -88,13 +88,24 @@ object TokenOps {
             lit(null).cast("string"))
           .otherwise(t)),
       x => x.isNotNull)
-    df.crossJoin(broadcast(topMergePair(df, textCol)))
+    // LEFT join on true, not crossJoin: a corpus with no a != b pair at
+    // all (single-token docs, pure "x x x" runs) must come back intact
+    // with zero merges and null pair columns, never vanish (an inner
+    // cross join against the then-empty 1-row frame would drop every
+    // doc). Null a/b make both match branches null -> every token takes
+    // the otherwise(t) arm, so merged == ws by the same CASE semantics
+    // the SQL oracle replays.
+    df.join(broadcast(topMergePair(df, textCol)), lit(true), "left")
       .select(col("doc_id"),
         col("a").as("tok_a"), col("b").as("tok_b"),
         n.cast("long").as("n_before"),
         size(merged).cast("long").as("n_after"),
         (n - size(merged)).cast("long").as("n_merges"),
-        portableHash(concat_ws(" ", merged)).as("out_fp"))
+        // null-text parity: concat_ws never returns null in Spark while
+        // array_to_string(NULL) is NULL in ANSI engines — emit null
+        // explicitly so both sides agree on token-less rows
+        when(ws.isNull, lit(null).cast("long"))
+          .otherwise(portableHash(concat_ws(" ", merged))).as("out_fp"))
       .orderBy("doc_id")
   }
 
@@ -118,8 +129,12 @@ object TokenOps {
   def collocationLift(df: DataFrame, k: Int = 40, minPair: Long = 5,
                       textCol: String = "text"): DataFrame = {
     val ws = words(col(textCol))
+    // vocab-bounded; cached because three frames hang off it (the total
+    // and both marginal joins) — without the cache each reference
+    // re-runs the corpus explode+aggregate (same discipline as the
+    // shingle cache in Dedup)
     val uni = df.select(explode(ws).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt")).cache()
     val tot = uni.agg(sum(col("cnt")).cast("long").as("t"))
     val pairs = df.select(explode(adjacentPairs(ws)).as("p"))
       .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))

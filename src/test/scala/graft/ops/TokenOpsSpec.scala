@@ -55,6 +55,18 @@ class TokenOpsSpec extends SparkSpec {
     assert(byId(2L).getLong(6) == fp)
   }
 
+  test("bpeMergeApply: a corpus with no a!=b pair survives with zero merges") {
+    val d = docs(1L -> "x x x", 2L -> "solo", 3L -> "y y")
+    val out = TokenOps.bpeMergeApply(d).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.getLong(5) == 0L))
+    // untouched sequences keep their fingerprint
+    import org.apache.spark.sql.functions._
+    val fp = d.sparkSession.range(1)
+      .select(TextOps.portableHash(lit("x x x")).as("h")).head().getLong(0)
+    assert(out.find(_.getLong(0) == 1L).get.getLong(6) == fp)
+  }
+
   test("collocationLift: integer-exact lift, min-pair floor") {
     // corpus: "p q" x5 and filler "r r" x5 -> T = 20 unigrams
     val d = docs((1L to 5L).map(i => i -> "p q").toSeq ++
