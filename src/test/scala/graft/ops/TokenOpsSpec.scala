@@ -67,6 +67,46 @@ class TokenOpsSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 1L).get.getLong(6) == fp)
   }
 
+  test("bpeMergeApply: randomized model check vs a sequential reference") {
+    // 80 random docs over a 3-token alphabet (seeded): the in-row
+    // parallel rewrite must equal the left-to-right greedy merge the
+    // BPE definition specifies (they coincide exactly when a != b)
+    val rnd = new scala.util.Random(4242)
+    val alpha = Vector("a", "b", "c")
+    val corpus = (1L to 80L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(3))).mkString(" ")
+    }
+    def pairsOf(ws: Seq[String]) = ws.zip(ws.drop(1))
+    val top = corpus.flatMap(d => pairsOf(d._2.split(" ").toSeq))
+      .filter(p => p._1 != p._2)
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+    def refMerge(ws: Seq[String]): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < ws.length) {
+        if (i + 1 < ws.length && ws(i) == top._1 && ws(i + 1) == top._2) {
+          out += s"${top._1}_${top._2}"; i += 2
+        } else { out += ws(i); i += 1 }
+      }
+      out.toSeq
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val expected = corpus.map { case (id, text) =>
+      (id, refMerge(text.split(" ").toSeq).mkString(" ")) }
+      .toDF("doc_id", "exp_text")
+      .select(col("doc_id"),
+        size(split(col("exp_text"), " ")).cast("long").as("exp_n"),
+        TextOps.portableHash(col("exp_text")).as("exp_fp"))
+    val got = TokenOps.bpeMergeApply(docs(corpus: _*))
+    assert(got.head().getString(1) == top._1 && got.head().getString(2) == top._2)
+    val bad = got.join(expected, Seq("doc_id"))
+      .where(col("n_after") =!= col("exp_n") || col("out_fp") =!= col("exp_fp"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("collocationLift: integer-exact lift, min-pair floor") {
     // corpus: "p q" x5 and filler "r r" x5 -> T = 20 unigrams
     val d = docs((1L to 5L).map(i => i -> "p q").toSeq ++
