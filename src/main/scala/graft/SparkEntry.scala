@@ -900,6 +900,37 @@ object SparkEntry {
       Multimodal.extractFeatures(media).toDF()
         .select(scalars: _*)
         .orderBy(col("doc_id"))
+    }),
+    // REAL-codec resize plumbing driven over non-image payloads: every
+    // row surfaces as the documented sentinel (undecodable input) with
+    // the real byte length — the shape the oracle can replay exactly.
+    // The REAL decode+rescale path (PNG in, PNG out, bilinear, aspect
+    // kept) is byte-level-verified in MultimodalSpec.
+    "mm_resize" -> ((s, d) => {
+      val media = Multimodal.toMedia(t(s, d, "documents"))
+      Multimodal.resizeImages(media, maxDim = 64).toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("src_w").cast("long").as("src_w"),
+          col("src_h").cast("long").as("src_h"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          col("out_bytes").cast("long").as("out_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+    // frame-sampling plumbing (multi-frame containers): non-media
+    // payloads emit exactly ONE sentinel row each — the per-doc
+    // fan-out contract the oracle checks; the real GIF paging path is
+    // spec-verified
+    "mm_frame_sample" -> ((s, d) => {
+      val media = Multimodal.toMedia(t(s, d, "documents"))
+      Multimodal.sampleFramesOf(media, k = 4).toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean0"), 4).as("mean0"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -2028,6 +2059,18 @@ object SparkEntry {
         |  bs[CAST(1 % n AS BIGINT)+1] AS f1,
         |  bs[CAST(2 % n AS BIGINT)+1] AS f2,
         |  bs[CAST(3 % n AS BIGINT)+1] AS f3
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(-1 AS BIGINT) AS src_w, CAST(-1 AS BIGINT) AS src_h,
+        |  CAST(-1 AS BIGINT) AS out_w, CAST(-1 AS BIGINT) AS out_h,
+        |  CAST(-1 AS BIGINT) AS out_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(-1 AS BIGINT) AS n_frames, CAST(-1 AS BIGINT) AS frame_idx,
+        |  CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+        |  CAST(0.0 AS DOUBLE) AS mean0
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -46,6 +46,34 @@ case class AudioFeatures(
     rms: Double
 )
 
+/** A resized image: source + output dimensions and the re-encoded
+  * payload (PNG). `src_w = -1` marks an undecodable input (sentinel
+  * row kept, empty payload) — same contract as [[ImageFeatures]].
+  */
+case class ResizedImage(
+    doc_id: Long,
+    n_bytes: Int,
+    src_w: Int, src_h: Int,
+    out_w: Int, out_h: Int,
+    out_bytes: Int,
+    payload: Array[Byte]
+)
+
+/** One sampled frame of a multi-frame container (animated GIF,
+  * multi-page TIFF — the formats the JDK's ImageIO readers page
+  * through). `n_frames = -1` marks a payload no reader recognizes;
+  * such inputs still emit exactly ONE sentinel row so the failure
+  * rate stays observable per document.
+  */
+case class FrameSample(
+    doc_id: Long,
+    n_bytes: Int,
+    n_frames: Int,
+    frame_idx: Int,
+    width: Int, height: Int,
+    mean0: Double
+)
+
 /** Multimodal-column plumbing: binary payloads flow through typed
   * Datasets; decode / feature-extract runs per-partition in batches
   * (the Scala analog of `mapInPandas` — one iterator pass, no
@@ -186,5 +214,108 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeAudio(bytes).copy(doc_id = id) })
+  }
+
+  /** REAL image resize (JDK java.awt + imageio, no native libs):
+    * decode, bilinear-downscale so max(w, h) == maxDim (never
+    * upscales), re-encode as PNG. Sentinel-not-throw on undecodable
+    * bytes. The aspect ratio is preserved with integer rounding;
+    * output dimensions are never below 1.
+    */
+  def resizeImage(docId: Long, payload: Array[Byte], maxDim: Int): ResizedImage = {
+    val sentinel = ResizedImage(docId, payload.length, -1, -1, -1, -1, -1, Array.emptyByteArray)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) sentinel
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val scale = maxDim.toDouble / math.max(w, h)
+        val (ow, oh) =
+          if (scale >= 1.0) (w, h)
+          else (math.max(1, math.round(w * scale).toInt),
+                math.max(1, math.round(h * scale).toInt))
+        val out = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, ow, oh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val bytes = bos.toByteArray
+        ResizedImage(docId, payload.length, w, h, ow, oh, bytes.length, bytes)
+      }
+    } catch { case scala.util.control.NonFatal(_) => sentinel }
+  }
+
+  /** Per-partition batch resize over the binary column — the thumbnail
+    * / model-input-normalization stage of an image pipeline. One task
+    * initializes AWT once; rows stream through.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resizeImage(id, bytes, maxDim) })
+  }
+
+  /** REAL frame sampling over multi-frame containers (animated GIF /
+    * multi-page TIFF — the JDK's ImageIO readers page through both):
+    * picks k frames uniformly by integer arithmetic
+    * (frame j -> index floor(j * n / k'), k' = min(k, n)), decodes
+    * only the sampled frames (ImageIO readers seek by index — the
+    * whole point of sampling is NOT decoding the rest), and emits
+    * width/height + the first band's pixel mean per sampled frame.
+    * Unrecognized payloads emit one sentinel row.
+    */
+  def sampleFrames(docId: Long, payload: Array[Byte], k: Int): Seq[FrameSample] = {
+    val sentinel = Seq(FrameSample(docId, payload.length, -1, -1, -1, -1, 0.0))
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) sentinel
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) sentinel
+            else {
+              val kk = math.min(math.max(1, k), n)
+              (0 until kk).map { j =>
+                val idx = (j.toLong * n / kk).toInt
+                val img = r.read(idx)
+                val raster = img.getRaster
+                val w = img.getWidth; val h = img.getHeight
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+                FrameSample(docId, payload.length, n, idx, w, h,
+                  sum.toDouble / (w.toLong * h))
+              }
+            }
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => sentinel }
+  }
+
+  /** Per-partition frame sampling: one input row fans out to its k
+    * sampled frames (flatMap — the explode happens inside the task,
+    * never materializing unsampled frames).
+    */
+  def sampleFramesOf(media: DataFrame, k: Int): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => sampleFrames(id, bytes, k) })
   }
 }

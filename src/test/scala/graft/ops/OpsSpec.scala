@@ -633,6 +633,55 @@ class OpsSpec extends SparkSpec {
     assert(bad.sample_rate == -1)
   }
 
+  test("multimodal resize: bilinear downscale keeps aspect, never upscales; frame sampling pages a real GIF") {
+    import spark.implicits._
+    def rgbPng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, new java.awt.Color((x * 7) % 256, (y * 11) % 256, 3).getRGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image/png", rgbPng(100, 60), 0),
+      (2L, "image/png", rgbPng(8, 5), 0),          // already small: untouched
+      (3L, "image/png", Array[Byte](1, 2), 2))     // corrupt: sentinel
+      .toDF("doc_id", "mime", "payload", "declared_len")
+    val rs = Multimodal.resizeImages(media, maxDim = 10).collect().map(r => r.doc_id -> r).toMap
+    assert((rs(1L).src_w, rs(1L).src_h, rs(1L).out_w, rs(1L).out_h) == ((100, 60, 10, 6)))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rs(1L).payload))
+    assert(back.getWidth == 10 && back.getHeight == 6, "output payload is a decodable PNG at the new size")
+    assert(rs(1L).out_bytes == rs(1L).payload.length)
+    assert((rs(2L).out_w, rs(2L).out_h) == ((8, 5)), "never upscales")
+    assert(rs(3L).src_w == -1 && rs(3L).n_bytes == 2 && rs(3L).payload.isEmpty)
+
+    // 5-frame animated GIF through the JDK sequence writer
+    val gif = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until 5) {
+        val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 6)
+          img.setRGB(x, y, new java.awt.Color((f * 50) % 256, 10, 10).getRGB)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val fm = Seq((20L, "image/gif", gif, gif.length), (21L, "text/plain", Array[Byte](65, 66), 2))
+      .toDF("doc_id", "mime", "payload", "declared_len")
+    val fs = Multimodal.sampleFramesOf(fm, k = 2).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val g = fs.filter(_.doc_id == 20L)
+    assert(g.map(_.frame_idx).toSeq == Seq(0, 2), "k=2 of 5 samples frames floor(j*5/2)")
+    assert(g.forall(f => f.n_frames == 5 && f.width == 6 && f.height == 4))
+    assert(g.forall(f => f.mean0 >= 0.0 && f.mean0 <= 255.0))
+    val s = fs.filter(_.doc_id == 21L)
+    assert(s.length == 1 && s(0).n_frames == -1, "unrecognized payload: exactly one sentinel row")
+  }
+
   test("multimodal plumbing: per-partition stub decode matches byte-level truth") {
     val media = Multimodal.toMedia(docs)
     assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
