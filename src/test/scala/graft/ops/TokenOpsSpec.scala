@@ -107,6 +107,26 @@ class TokenOpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("plan shapes: pair top-k is TakeOrdered, merge broadcasts the pair and never shuffles docs") {
+    val d = docs(1L -> "a b a b", 2L -> "b c")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // top-k arg-max: per-partition heap + driver merge, no global sort
+      val pcPlan = TokenOps.pairCounts(d, k = 5).queryExecution.executedPlan.toString
+      assert(pcPlan.contains("TakeOrderedAndProject"), pcPlan)
+      // merge apply: the 1-row pair rides a broadcast; the document side
+      // reaches the join with ZERO exchanges (the only exchanges in the
+      // whole plan are inside the pair-side aggregate, the broadcast
+      // itself, and the output sort)
+      val mPlan = TokenOps.bpeMergeApply(d).queryExecution.executedPlan.toString
+      assert(mPlan.contains("BroadcastNestedLoopJoin"), mPlan)
+      val docSide = mPlan.split("BroadcastNestedLoopJoin")(1)
+        .split("BroadcastExchange")(0)
+      assert(!docSide.contains("Exchange"),
+        s"document side must not shuffle before the merge:\n$mPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("collocationLift: integer-exact lift, min-pair floor") {
     // corpus: "p q" x5 and filler "r r" x5 -> T = 20 unigrams
     val d = docs((1L to 5L).map(i => i -> "p q").toSeq ++
