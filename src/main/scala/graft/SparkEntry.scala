@@ -356,6 +356,11 @@ object SparkEntry {
     // replica's pre-image, batch-bounded probes, never a rescan) must
     // equal the full recompute over the replayed final state
     "cdc_ivm_agg" -> ((s, d) => engineReplayIvm(s)),
+    // E4 driver-green: the REAL engine under mid-stream additive schema
+    // evolution — post-ALTER events carry a new `lang` column; the sink
+    // widens, pre-ALTER/snapshot rows read null, post-ALTER LWW winners
+    // carry the value (oracle: full SQL replay split at EvoLsn)
+    "cdc_schema_evolve" -> ((s, d) => schemaEvolveReplay(s)),
     // token-level view of the SAME replayed final state (the memoized
     // pipeline run): corpus token histogram — occurrences + distinct
     // docs per token id. Scale shape: explode feeds a two-phase hash
@@ -773,6 +778,12 @@ object SparkEntry {
     // round applied corpus-wide, integer-exact collocation lift ----
     "token_pairs" -> ((s, d) => TokenOps.pairCounts(t(s, d, "documents"))),
     "bpe_merge" -> ((s, d) => TokenOps.bpeMergeApply(t(s, d, "documents"))),
+    // the full trainer loop: 3 rounds of count -> arg-max -> corpus
+    // rewrite, each round trained on the previous round's output; one
+    // metrics row per round (pair, merges, corpus size, order-sensitive
+    // corpus fingerprint). The driver-side loop is inherent to BPE; the
+    // corpus stays distributed and never shuffles in any round.
+    "bpe_train_rounds" -> ((s, d) => TokenOps.bpeTrainRounds(t(s, d, "documents"))),
     "token_pmi" -> ((s, d) => TokenOps.collocationLift(t(s, d, "documents"))),
     // segment-level duplication (boilerplate detector): non-overlapping
     // 16-token windows, dup iff the window hash occurs in >= 2 docs
@@ -942,6 +953,56 @@ object SparkEntry {
     */
   val EngineReplayCfg: graft.changelog.ChangeLogConfig =
     graft.changelog.ChangeLogConfig(nTx = 100, nDocs = 100)
+
+  /** Mid-log commit-LSN threshold for `cdc_schema_evolve`: transactions
+    * committing ABOVE it carry the post-ALTER row shape (an added
+    * `lang` column). Half the raw slot span, pushed through the same
+    * `lsnOf` layout the generator uses — a generated constant, so the
+    * oracle SQL interpolates the identical split point.
+    */
+  val EvoLsn: Long = graft.changelog.ChangeLogGen.lsnOf(
+    EngineReplayCfg.nTx * EngineReplayCfg.slotsPerTx / 2)
+
+  /** E4 end-to-end: the REAL engine under mid-stream ADDITIVE schema
+    * evolution. The same deterministic log replays in two batches split
+    * at [[EvoLsn]]; batch 1's after-images carry a new `lang` column
+    * (value = first two hex chars of md5(doc_id), portable to the SQL
+    * oracle). The sink schema must widen additively, pre-ALTER rows and
+    * snapshot rows must read null, and LWW winners from the post-ALTER
+    * phase must carry the value — Debezium's additive-ALTER contract
+    * (`InformixStreamingChangeEventSource.java:407-428`,
+    * `SchemaHistoryTopicIT.java:74-127`) checked against a full SQL
+    * replay, token fingerprints included.
+    */
+  private def schemaEvolveReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-evoq")
+    try {
+      val cfg = EngineReplayCfg
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      val ev = TxAssembler.assemble(spark.read.parquet(cdc.logDir))
+      // phase A: pre-ALTER shape. Split is by commit LSN, so no
+      // transaction straddles the ALTER (commit atomicity).
+      MergeApply.applyBatch(table, ev.where(col("commit_lsn") <= EvoLsn), 0L)
+      // phase B: every after-image carries the new column (null-struct
+      // rows — markers, deletes — stay null: withField propagates null)
+      val evolved = ev.where(col("commit_lsn") > EvoLsn)
+        .withColumn("after", col("after").withField("lang",
+          substring(md5(col("after").getField("doc_id")), 1, 2)))
+      MergeApply.applyBatch(table, evolved, 1L)
+      val out = table.read()
+        .select(col("doc_id"), col("n_tok"), col("source"), col("lang"),
+          conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
+            1, 14), 16, 10).cast("long").as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
 
   /** The actual CDC engine end-to-end (generator -> snapshot -> batch
     * merge-apply -> merged read-back) on a small deterministic log.
@@ -1226,6 +1287,25 @@ object SparkEntry {
         |       CAST(sum(n_tok) AS BIGINT) AS total_tok,
         |       CAST(sum(fp) AS BIGINT) AS sum_fp
         |FROM fin GROUP BY source ORDER BY source""".stripMargin,
+    // mid-stream additive evolution: same committed-event replay, with
+    // the LWW winner's commit LSN deciding whether the row carries the
+    // post-ALTER `lang` value (the engine's widened read serves null
+    // for every pre-ALTER file) — split constant generated from EvoLsn
+    "cdc_schema_evolve" ->
+      s"""WITH $ReplayEvCte,
+        |lastE AS (SELECT key, op, after, commit_lsn FROM (
+        |   SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after, commit_lsn,
+        |          row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                             ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |   FROM ev) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       CASE WHEN l.commit_lsn > $EvoLsn THEN substr(md5(l.after.doc_id), 1, 2) END AS lang,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN lastE l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
     // SCD2 history: same committed-event CTE, but EVERY version kept —
     // snapshot rows enter at (snapshotLsn, Long.MaxValue), interval
     // ends come from lead() per key over (commit_lsn, change_lsn),
@@ -1925,6 +2005,33 @@ object SparkEntry {
         |  CAST(len(ws) - len(mw) AS BIGINT) AS n_merges,
         |  ${H("array_to_string(mw, ' ')")} AS out_fp
         |FROM m ORDER BY doc_id""".stripMargin,
+    // generated 3-round chain of the bpe_merge oracle: each round's
+    // pair count + arg-max + rewrite CTEs stack on the previous round's
+    // rewritten corpus — the oracle replays the trainer loop exactly
+    "bpe_train_rounds" -> {
+      val rounds = 3
+      val ctes = new StringBuilder(
+        """r0 AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS ws FROM documents)""")
+      val stats = (1 to rounds).map { r =>
+        ctes ++= s""",
+          |p$r AS (SELECT ws[i] AS a, ws[i+1] AS b FROM r${r - 1}, unnest(generate_series(1, len(ws)-1)) t(i)),
+          |t$r AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM p$r WHERE a <> b GROUP BY 1,2)
+          |  ORDER BY n DESC, a, b LIMIT 1),
+          |m$r AS (SELECT doc_id, a, b, len(ws) AS n0,
+          |  list_filter(list_transform(ws, (t, i) ->
+          |    CASE WHEN t = a AND i < len(ws) AND ws[i+1] = b THEN a || '_' || b
+          |         WHEN i > 1 AND ws[i-1] = a AND t = b THEN NULL
+          |         ELSE t END), x -> x IS NOT NULL) AS ws
+          |  FROM r${r - 1} LEFT JOIN t$r ON TRUE),
+          |r$r AS (SELECT doc_id, ws FROM m$r)""".stripMargin
+        s"""SELECT CAST($r AS BIGINT) AS round, max(a) AS tok_a, max(b) AS tok_b,
+          |  CAST(sum(n0 - len(ws)) AS BIGINT) AS n_merges,
+          |  CAST(sum(len(ws)) AS BIGINT) AS corpus_tokens,
+          |  CAST(sum(${H("array_to_string(ws, ' ')")} % 1000000000000) AS BIGINT) AS corpus_fp
+          |FROM m$r""".stripMargin
+      }
+      s"WITH $ctes\n${stats.mkString("\nUNION ALL\n")}\nORDER BY round"
+    },
     "token_pmi" ->
       """WITH tk AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
         |uni AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),

@@ -77,17 +77,23 @@ object TokenOps {
     * null-safe under ANSI mode: a null condition falls through the
     * CASE, which is exactly the "no neighbour, no match" semantic.
     */
+  /** The merge rewrite itself: fuse every (a, b) occurrence of `ws`
+    * into "a_b" — one indexed `transform` + `filter`, fully inside the
+    * row (see [[bpeMergeApply]] for the overlap-freedom argument).
+    */
+  private def mergeRewrite(ws: Column): Column = filter(
+    transform(ws, (t, i) =>
+      when(t === col("a") && get(ws, i + 1) === col("b"),
+        concat(col("a"), lit("_"), col("b")))
+        .when(get(ws, i - 1) === col("a") && t === col("b"),
+          lit(null).cast("string"))
+        .otherwise(t)),
+    x => x.isNotNull)
+
   def bpeMergeApply(df: DataFrame, textCol: String = "text"): DataFrame = {
     val ws = words(col(textCol))
     val n = size(ws)
-    val merged = filter(
-      transform(ws, (t, i) =>
-        when(t === col("a") && get(ws, i + 1) === col("b"),
-          concat(col("a"), lit("_"), col("b")))
-          .when(get(ws, i - 1) === col("a") && t === col("b"),
-            lit(null).cast("string"))
-          .otherwise(t)),
-      x => x.isNotNull)
+    val merged = mergeRewrite(ws)
     // LEFT join on true, not crossJoin: a corpus with no a != b pair at
     // all (single-token docs, pure "x x x" runs) must come back intact
     // with zero merges and null pair columns, never vanish (an inner
@@ -107,6 +113,60 @@ object TokenOps {
         when(ws.isNull, lit(null).cast("long"))
           .otherwise(portableHash(concat_ws(" ", merged))).as("out_fp"))
       .orderBy("doc_id")
+  }
+
+  /** The full BPE trainer loop for `rounds` rounds: each round counts
+    * adjacent pairs, picks the arg-max (a != b, ties on (a, b)), and
+    * rewrites the whole corpus — then trains the NEXT round on the
+    * rewritten corpus, exactly the iteration a real tokenizer trainer
+    * runs. One metrics row per round: the chosen pair, total merges,
+    * corpus token count after, and an order-sensitive corpus
+    * fingerprint (sum of per-doc sequence hashes mod 10^12 — int64-safe
+    * and ANSI-replayable, the cdc_ivm_agg discipline).
+    *
+    * Scale shape per round (the only sound one at 100 TB): the pair
+    * count shuffles vocab²-bounded partials (map-side combined), the
+    * arg-max is TakeOrdered(1), the rewrite broadcasts the 1-row pair
+    * and runs inside the row, and the corpus stats are one
+    * map-side-combined global aggregate. The corpus never shuffles in
+    * any round; the driver-side loop is inherent to BPE (round r+1's
+    * counts depend on round r's rewrite), and each iteration leaves
+    * the heavy frame distributed. Each round's rewritten corpus is
+    * cached (two consumers: the stats row and the next round's counts)
+    * and unpersisted when its successor lands.
+    */
+  def bpeTrainRounds(df: DataFrame, rounds: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    var cur = df.select(col("doc_id"), words(col(textCol)).as("ws"))
+    var prevCache: Option[DataFrame] = None
+    val stats = (1 to rounds).map { r =>
+      val c = cur.cache()
+      val top = c.select(explode(adjacentPairs(col("ws"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .where(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .select(col("a"), col("b"))
+      // LEFT join on true (degenerate-corpus contract of bpeMergeApply)
+      val next = c.join(broadcast(top), lit(true), "left")
+        .select(col("doc_id"), size(col("ws")).as("n0"),
+          mergeRewrite(col("ws")).as("ws"), col("a"), col("b"))
+        .cache()
+      val row = next.agg(
+        max(col("a")).as("tok_a"), max(col("b")).as("tok_b"),
+        sum((col("n0") - size(col("ws"))).cast("long")).cast("long").as("n_merges"),
+        sum(size(col("ws")).cast("long")).cast("long").as("corpus_tokens"),
+        sum(when(col("ws").isNull, lit(null).cast("long"))
+          .otherwise(pmod(portableHash(concat_ws(" ", col("ws"))),
+            lit(1000000000000L)))).cast("long").as("corpus_fp"))
+        .select(lit(r.toLong).as("round"), col("tok_a"), col("tok_b"),
+          col("n_merges"), col("corpus_tokens"), col("corpus_fp"))
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(next)
+      cur = next.select(col("doc_id"), col("ws"))
+      row
+    }
+    stats.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
   /** Collocation mining: PMI-style lift per adjacent pair, computed in

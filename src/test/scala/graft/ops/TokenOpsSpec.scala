@@ -127,6 +127,33 @@ class TokenOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bpeTrainRounds: three rounds chain on the rewritten corpus; degenerate final round") {
+    import org.apache.spark.sql.functions._
+    // "a b c a b c": round 1 merges (a,b) (ties (a,b)/(b,c) break on
+    // pair order), round 2 merges (a_b,c), round 3 finds only the
+    // (a_b_c,a_b_c) self-pair -> degenerate round, zero merges
+    val d = docs((1L to 3L).map(i => i -> "a b c a b c"): _*)
+    val out = TokenOps.bpeTrainRounds(d, rounds = 3).collect()
+    assert(out.length == 3)
+    def row(r: Int) = out(r - 1)
+    assert((row(1).getString(1), row(1).getString(2)) == (("a", "b")))
+    assert(row(1).getLong(3) == 6L && row(1).getLong(4) == 12L)
+    assert((row(2).getString(1), row(2).getString(2)) == (("a_b", "c")))
+    assert(row(2).getLong(3) == 6L && row(2).getLong(4) == 6L)
+    assert(row(3).isNullAt(1) && row(3).isNullAt(2))
+    assert(row(3).getLong(3) == 0L && row(3).getLong(4) == 6L)
+    // order-sensitive corpus fingerprint after round 2: 3 identical docs
+    val h = d.sparkSession.range(1)
+      .select(pmod(TextOps.portableHash(lit("a_b_c a_b_c")),
+        lit(1000000000000L)).as("h")).head().getLong(0)
+    assert(row(2).getLong(5) == 3L * h && row(3).getLong(5) == 3L * h)
+    // round 1 must agree with the single-round operator's aggregate view
+    val one = TokenOps.bpeMergeApply(d)
+      .agg(sum(col("n_merges")).as("m"), sum(col("n_after")).as("n"))
+      .head()
+    assert(row(1).getLong(3) == one.getLong(0) && row(1).getLong(4) == one.getLong(1))
+  }
+
   test("collocationLift: integer-exact lift, min-pair floor") {
     // corpus: "p q" x5 and filler "r r" x5 -> T = 20 unigrams
     val d = docs((1L to 5L).map(i => i -> "p q").toSeq ++
