@@ -361,6 +361,16 @@ object SparkEntry {
     // widens, pre-ALTER/snapshot rows read null, post-ALTER LWW winners
     // carry the value (oracle: full SQL replay split at EvoLsn)
     "cdc_schema_evolve" -> ((s, d) => schemaEvolveReplay(s)),
+    // the CDC feed's final state materialized as packed training
+    // sequences (A x B crossover: ingest output -> pretraining export):
+    // concat-and-chunk packing of the ENGINE-replayed token arrays,
+    // order-sensitive per-sequence fingerprints — a wrong LWW winner,
+    // a missed delete, or a layout drift all break the equality.
+    // capacity 256 / 4 groups sized to the replay corpus (~64-token
+    // docs) so sequences span documents.
+    "replay_pack_emit" -> ((s, d) =>
+      Packing.packEmit(engineReplayTokens(s), capacity = 256, groups = 4)
+        .orderBy(col("grp"), col("seq_id"))),
     // token-level view of the SAME replayed final state (the memoized
     // pipeline run): corpus token histogram — occurrences + distinct
     // docs per token id. Scale shape: explode feeds a two-phase hash
@@ -1351,6 +1361,33 @@ object SparkEntry {
         |       FROM fin f FULL OUTER JOIN sd ON f.doc_id = sd.doc_id)
         |SELECT verdict, count(*) AS n_keys, min(doc_id) AS key_lo, max(doc_id) AS key_hi
         |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
+    // packed-sequence materialization of the replayed final state: the
+    // pack_emit CTE chain (offsets window, sequence spans, fragment
+    // fingerprints) over the replay's token arrays. Token ids are
+    // < 2^20 so the fingerprint fold is the identity on both sides.
+    "replay_pack_emit" ->
+      s"""WITH $ReplayCte,
+        |fin AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |               COALESCE(l.after.tokens, s.tokens) AS ws
+        |        FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |        WHERE COALESCE(l.op,'') <> 'd'),
+        |dd AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+        |  ${H("doc_id")} % 4 AS grp FROM fin),
+        |o AS (SELECT doc_id, grp, ws, n, CAST(sum(n) OVER (PARTITION BY grp ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off FROM dd),
+        |sp AS (SELECT grp, ws, n, end_off - n AS start_off,
+        |         unnest(generate_series((end_off-n)//256, (end_off-1)//256)) AS seq
+        |       FROM o WHERE n > 0),
+        |fr AS (SELECT grp, seq, start_off, ws, n,
+        |         greatest(0, seq*256 - start_off) AS lo,
+        |         least(n, (seq+1)*256 - start_off) AS hi
+        |       FROM sp),
+        |ag AS (SELECT grp, seq, hi - lo AS f_tok,
+        |         COALESCE(list_sum(list_transform(ws[(lo+1):hi], (x,i) ->
+        |           (start_off + lo - seq*256 + i) * (CAST(x AS BIGINT) % 1048576))), 0) AS f_fp
+        |       FROM fr)
+        |SELECT grp, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(f_tok) AS BIGINT) AS n_tok, CAST(sum(f_fp) AS BIGINT) AS seq_fp
+        |FROM ag GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // token histogram over the same replayed final state: occurrences
     // and distinct docs per token id
     "replay_token_freq" ->
