@@ -137,9 +137,19 @@ object TokenOps {
     */
   def bpeTrainRounds(df: DataFrame, rounds: Int = 3,
                      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
     var cur = df.select(col("doc_id"), words(col(textCol)).as("ws"))
-    var prevCache: Option[DataFrame] = None
+    // caches still backing `cur` (released once the next round's frame
+    // is materialized)
+    var live: Seq[DataFrame] = Nil
+    // rounds are EAGER: round r+1's counts depend on round r's rewrite,
+    // so each stats row materializes (populating that round's cache for
+    // the next round's consumers) before the loop advances — `rounds`
+    // driver-side rows total, every cache released deterministically,
+    // and the returned frame is a local relation (re-running the query
+    // never re-trains).
     val stats = (1 to rounds).map { r =>
+      // two consumers per round (pair count + rewrite) -> cache the input
       val c = cur.cache()
       val top = c.select(explode(adjacentPairs(col("ws"))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
@@ -159,14 +169,23 @@ object TokenOps {
         sum(when(col("ws").isNull, lit(null).cast("long"))
           .otherwise(pmod(portableHash(concat_ws(" ", col("ws"))),
             lit(1000000000000L)))).cast("long").as("corpus_fp"))
-        .select(lit(r.toLong).as("round"), col("tok_a"), col("tok_b"),
-          col("n_merges"), col("corpus_tokens"), col("corpus_fp"))
-      prevCache.foreach(_.unpersist())
-      prevCache = Some(next)
+        .head() // materializes `next`; its upstreams are now releasable
+      (live :+ c).foreach(_.unpersist())
+      live = Seq(next)
       cur = next.select(col("doc_id"), col("ws"))
-      row
+      org.apache.spark.sql.Row(r.toLong, row.getString(0), row.getString(1),
+        row.get(2), row.get(3), row.get(4))
     }
-    stats.reduce(_.unionByName(_)).orderBy(col("round"))
+    live.foreach(_.unpersist())
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("tok_a", StringType), StructField("tok_b", StringType),
+      StructField("n_merges", LongType), StructField("corpus_tokens", LongType),
+      StructField("corpus_fp", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(stats, 1), schema)
+      .orderBy(col("round"))
   }
 
   /** Collocation mining: PMI-style lift per adjacent pair, computed in
