@@ -65,7 +65,8 @@ object Bench {
     "quality_filter_stats", "url_domain_caps", "shard_stats",
     "dedup_apply_embedding", "pii_redact", "text_seg_dedup_apply",
     "asof_join", "range_join", "lm_buckets", "heavy_hitters", "ann_pq_adc",
-    "dsir_sample", "token_pairs", "bpe_merge", "bpe_train_rounds", "token_pmi")
+    "dsir_sample", "token_pairs", "bpe_merge", "bpe_train_rounds", "bpe_encode",
+    "token_pmi")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

@@ -361,6 +361,22 @@ object SparkEntry {
     // widens, pre-ALTER/snapshot rows read null, post-ALTER LWW winners
     // carry the value (oracle: full SQL replay split at EvoLsn)
     "cdc_schema_evolve" -> ((s, d) => schemaEvolveReplay(s)),
+    // the REAL Structured Streaming ingest path with a mid-log restart:
+    // two stream() queries over one checkpoint (second resumes, no
+    // duplicate/lost upserts) -> the same replay oracle
+    "cdc_engine_replay_ss" -> ((s, d) => ssReplay(s)),
+    // N1 driver-green: the engine's snapshot-mode dispatch — no_data
+    // (stream-only final state, seed absent) and initial_only (seed
+    // only, stream never runs), both value-checked from one log
+    "cdc_snapshot_modes" -> ((s, d) => snapshotModesReplay(s)),
+    // skipped.operations=d: deletes dropped before assembly — deleted
+    // keys keep their last surviving c/u state (or their seed row)
+    "cdc_skip_ops" -> ((s, d) => skipOpsReplay(s)),
+    // N3 driver-green: a blocking snapshot mid-stream at pin=EvoLsn —
+    // post-pin events win, the snapshot resurrects/reverts every
+    // pre-pin change to a seed key, non-source keys keep their pre-pin
+    // winner (upsert-only snapshot)
+    "cdc_blocking_snapshot" -> ((s, d) => blockingSnapshotReplay(s)),
     // the CDC feed's final state materialized as packed training
     // sequences (A x B crossover: ingest output -> pretraining export):
     // concat-and-chunk packing of the ENGINE-replayed token arrays,
@@ -794,6 +810,15 @@ object SparkEntry {
     // corpus fingerprint). The driver-side loop is inherent to BPE; the
     // corpus stays distributed and never shuffles in any round.
     "bpe_train_rounds" -> ((s, d) => TokenOps.bpeTrainRounds(t(s, d, "documents"))),
+    // tokenizer APPLY: train 3 merges on the train split, encode the
+    // held-out eval split with them (learned pairs are driver state ->
+    // the encode is a zero-exchange per-row projection)
+    "bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = pmod(TextOps.portableHash(
+        concat(col("doc_id").cast("string"), lit(":bpeeval"))), lit(10L))
+      TokenOps.bpeEncode(docs.where(h =!= 7), docs.where(h === 7))
+    }),
     "token_pmi" -> ((s, d) => TokenOps.collocationLift(t(s, d, "documents"))),
     // segment-level duplication (boilerplate detector): non-overlapping
     // 16-token windows, dup iff the window hash occurs in >= 2 docs
@@ -1008,6 +1033,161 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("source"), col("lang"),
           conv(substring(md5(array_join(transform(col("tokens"), _.cast("string")), ",")),
             1, 14), 16, 10).cast("long").as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** Portable fingerprint of a token array (the north-star per-row
+    * invariant's flat-scalar form; arrays cannot be output columns). */
+  private def tokFpCol(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(array_join(transform(tokens, _.cast("string")), ",")),
+      1, 14), 16, 10).cast("long")
+
+  /** N1 end-to-end: the REAL engine's snapshot-mode dispatch,
+    * value-checked by the driver. The same deterministic log replays
+    * under two modes — `no_data` (empty snapshot phase, then the full
+    * stream: final state = exactly the committed LWW winners, seed rows
+    * ABSENT) and `initial_only` (snapshot phase only, the stream never
+    * runs: final state = exactly the seed) — and the union of both
+    * final states hashes against a pure-SQL derivation from the shared
+    * log + seed dump. Reference: `snapshot.mode` initial_only / no_data
+    * (`InformixConnectorConfig.java:101-178`; the mode matrix
+    * `InformixSnapshotIT` asserts).
+    */
+  private def snapshotModesReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-n1modes")
+    try {
+      val cfg = EngineReplayCfg
+      ChangeLogGen.writeLog(spark, cfg, s"$base/log", numFiles = 2)
+      val src = ChangeLogGen.initialTable(spark, cfg).toDF()
+      def finalState(mode: SnapshotMode.Value, doStream: Boolean,
+          tag: String): DataFrame = {
+        val cdc = CdcConfig(s"$base/log", s"$base/table-$tag", s"$base/ckpt-$tag",
+          numBuckets = 8, snapshotMode = mode)
+        val table = CdcJob.ensureTable(spark, src, cdc, ChangeLogGen.snapshotLsn)
+        if (doStream) CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+        table.read().select(lit(tag).as("mode"), col("doc_id"), col("n_tok"),
+          col("source"), tokFpCol(col("tokens")).as("tok_fp"))
+      }
+      val out = finalState(SnapshotMode.NoData, doStream = true, "no_data")
+        .unionByName(finalState(SnapshotMode.InitialOnly, doStream = false, "initial_only"))
+        .orderBy(col("mode"), col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The REAL Structured Streaming ingest path end-to-end — the north
+    * rule's checkpoint-resume claim under the driver's value gate. The
+    * deterministic log is revealed in two halves: a first
+    * `CdcJob.stream` query (AvailableNow, maxFilesPerTrigger=1) drains
+    * what exists and stops; the second half of the log then appears and
+    * a SECOND stream query over the SAME checkpoint resumes — it must
+    * pick up exactly the unseen files (no duplicate, no lost upserts;
+    * re-application would be idempotent but the checkpoint must not
+    * re-read) and land on the identical oracle-replayed final state,
+    * token fingerprints included. Reference contract:
+    * `InformixConnectorIT` restart cases / Debezium offset-store
+    * resume; engine mechanics: SS file-source checkpoint + IceLite
+    * batch-id idempotent commits.
+    */
+  private def ssReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-ssreplay")
+    try {
+      val cfg = EngineReplayCfg
+      ChangeLogGen.writeLog(spark, cfg, s"$base/staged", numFiles = 2)
+      val staged = graft.util.Fs.listParquet(s"$base/staged").sorted
+      val (first, rest) = staged.splitAt(staged.size / 2)
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+        numBuckets = 8, maxFilesPerTrigger = 1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdc.logDir))
+      def reveal(files: Seq[String]): Unit = files.foreach { f =>
+        val p = java.nio.file.Paths.get(f)
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(cdc.logDir, p.getFileName.toString))
+      }
+      reveal(first)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      CdcJob.stream(spark, table, cdc).awaitTermination()
+      reveal(rest)
+      CdcJob.stream(spark, table, cdc).awaitTermination()
+      val out = table.read()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          tokFpCol(col("tokens")).as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** N3 end-to-end: a BLOCKING (on-demand) snapshot taken mid-stream.
+    * The engine applies the committed events up to [[EvoLsn]], runs
+    * [[graft.stream.IncrementalSnapshot.blocking]] against the (static)
+    * source at pin = EvoLsn — rows land at version (EvoLsn,
+    * Long.MaxValue) — then applies the rest of the log. The semantics
+    * the oracle pins are exactly the reference's re-snapshot contract
+    * (`BlockingSnapshotIT`): post-pin events beat the snapshot; the
+    * snapshot beats every pre-pin event, so a seed key deleted or
+    * updated BEFORE the pin resurrects/reverts to its source value;
+    * keys created pre-pin that are absent from the source survive on
+    * their pre-pin winner (a blocking snapshot upserts, it does not
+    * reconcile deletes).
+    */
+  private def blockingSnapshotReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-blocksnap")
+    try {
+      val cfg = EngineReplayCfg
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
+      val src = ChangeLogGen.initialTable(spark, cfg).toDF()
+      val table = CdcJob.snapshot(spark, src, cdc, ChangeLogGen.snapshotLsn)
+      val ev = TxAssembler.assemble(spark.read.parquet(cdc.logDir))
+      MergeApply.applyBatch(table, ev.where(col("commit_lsn") <= EvoLsn), 0L)
+      // stream paused by the caller for the snapshot's duration (N3)
+      IncrementalSnapshot.blocking(table, src, EvoLsn)
+      MergeApply.applyBatch(table, ev.where(col("commit_lsn") > EvoLsn), 1L)
+      val out = table.read()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          tokFpCol(col("tokens")).as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** `skipped.operations` end-to-end: the REAL engine with deletes
+    * skipped on ingest (`skipped.operations=d`, Debezium's common
+    * connector config; dropped before emit in the reference, before
+    * assembly here — `CdcJob.prepareRaw`). No tombstone is ever
+    * written, so a deleted key keeps its last surviving c/u state (or
+    * its seed row); fully-skipped transactions still close and advance
+    * the watermark (T4-style). Oracle: LWW over c/u events only, FULL
+    * OUTER JOIN the seed — no delete exclusion anywhere.
+    */
+  private def skipOpsReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-skipops")
+    try {
+      val cfg = EngineReplayCfg
+      ChangeLogGen.writeLog(spark, cfg, s"$base/log", numFiles = 2)
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+        numBuckets = 8, skippedOperations = Set("d"))
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+      val out = table.read()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          tokFpCol(col("tokens")).as("tok_fp"))
         .orderBy(col("doc_id"))
       out.cache(); out.count() // materialize before temp dir cleanup
       out
@@ -1271,6 +1451,10 @@ object SparkEntry {
     // the v2 read path must produce the identical final state
     "cdc_engine_replay_v2" ->
       ReplayStateSql,
+    // the SS ingest path with a mid-log checkpoint restart must land on
+    // the SAME final state: oracle identical to cdc_engine_replay
+    "cdc_engine_replay_ss" ->
+      ReplayStateSql,
     // the wire round trip must land on the SAME replayed state: the
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving
@@ -1315,6 +1499,65 @@ object SparkEntry {
         |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
         |FROM seed s FULL OUTER JOIN lastE l ON s.doc_id = l.key
         |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
+    // snapshot-mode dispatch: no_data = the committed LWW winners only
+    // (no seed union — the snapshot phase wrote nothing), initial_only
+    // = the seed only (the stream never ran)
+    "cdc_snapshot_modes" ->
+      s"""WITH $ReplayCte,
+        |nd AS (SELECT 'no_data' AS mode, after.doc_id AS doc_id,
+        |       after.n_tok AS n_tok, after.source AS source,
+        |       ${H("array_to_string(after.tokens, ',')")} AS tok_fp
+        |       FROM last WHERE op <> 'd'),
+        |io AS (SELECT 'initial_only' AS mode, doc_id, n_tok, source,
+        |       ${H("array_to_string(tokens, ',')")} AS tok_fp FROM seed)
+        |SELECT * FROM nd UNION ALL SELECT * FROM io
+        |ORDER BY mode, doc_id""".stripMargin,
+    // blocking snapshot at pin=EvoLsn: post-pin LWW winner (wp) beats
+    // all; else the seed value (the snapshot's (pin, MaxValue) rows
+    // beat every pre-pin event — resurrection/revert); else the
+    // pre-pin LWW winner (wq) for keys the source never had
+    "cdc_blocking_snapshot" ->
+      s"""WITH $ReplayEvCte,
+        |wp AS (SELECT key, op, after FROM (
+        |   SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |          row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                             ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |   FROM ev WHERE commit_lsn > $EvoLsn) WHERE rn = 1),
+        |wq AS (SELECT key, op, after FROM (
+        |   SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |          row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                             ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |   FROM ev WHERE commit_lsn <= $EvoLsn) WHERE rn = 1),
+        |fin AS (SELECT COALESCE(wp.key, s.doc_id, wq.key) AS doc_id,
+        |        wp.key IS NOT NULL AS has_p, wp.op AS op_p, wp.after AS a_p,
+        |        s.doc_id IS NOT NULL AS in_seed, s.n_tok AS s_n,
+        |        s.source AS s_src, s.tokens AS s_toks,
+        |        wq.op AS op_q, wq.after AS a_q
+        |        FROM seed s FULL OUTER JOIN wp ON s.doc_id = wp.key
+        |        FULL OUTER JOIN wq ON COALESCE(s.doc_id, wp.key) = wq.key)
+        |SELECT doc_id,
+        |  CASE WHEN has_p THEN a_p.n_tok WHEN in_seed THEN s_n ELSE a_q.n_tok END AS n_tok,
+        |  CASE WHEN has_p THEN a_p.source WHEN in_seed THEN s_src ELSE a_q.source END AS source,
+        |  ${H("CASE WHEN has_p THEN array_to_string(a_p.tokens, ',') WHEN in_seed THEN array_to_string(s_toks, ',') ELSE array_to_string(a_q.tokens, ',') END")} AS tok_fp
+        |FROM fin
+        |WHERE NOT (has_p AND op_p = 'd')
+        |  AND (has_p OR in_seed OR op_q <> 'd')
+        |ORDER BY doc_id""".stripMargin,
+    // skipped.operations=d: LWW over c/u events ONLY (deletes never
+    // ingested), seed joined with no delete exclusion anywhere
+    "cdc_skip_ops" ->
+      s"""WITH $ReplayEvCte,
+        |lastcu AS (SELECT key, after FROM (
+        |   SELECT after.doc_id AS key, after,
+        |          row_number() OVER (PARTITION BY after.doc_id
+        |                             ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |   FROM ev WHERE op IN ('c','u')) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN lastcu l ON s.doc_id = l.key
         |ORDER BY doc_id""".stripMargin,
     // SCD2 history: same committed-event CTE, but EVERY version kept —
     // snapshot rows enter at (snapshotLsn, Long.MaxValue), interval
@@ -2068,6 +2311,37 @@ object SparkEntry {
           |FROM m$r""".stripMargin
       }
       s"WITH $ctes\n${stats.mkString("\nUNION ALL\n")}\nORDER BY round"
+    },
+    // tokenizer APPLY: the trainer chain over the TRAIN split derives
+    // each round's arg-max pair; the same rewrite CTE then replays over
+    // the held-out EVAL split in rank order — an empty t$r (degenerate
+    // round) left-joins to null a/b, which the CASE makes an identity
+    // rewrite, exactly the engine's early-stop contract
+    "bpe_encode" -> {
+      val rounds = 3
+      val evalPred = s"(${H("CAST(doc_id AS VARCHAR) || ':bpeeval'")} % 10) = 7"
+      val ctes = new StringBuilder(
+        s"""r0 AS (SELECT string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE NOT $evalPred),
+          |e0 AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE $evalPred)""".stripMargin)
+      def rewrite(src: String, cols: String): String =
+        s"""(SELECT $cols list_filter(list_transform(ws, (t, i) ->
+          |    CASE WHEN t = a AND i < len(ws) AND ws[i+1] = b THEN a || '_' || b
+          |         WHEN i > 1 AND ws[i-1] = a AND t = b THEN NULL
+          |         ELSE t END), x -> x IS NOT NULL) AS ws
+          |  FROM $src)""".stripMargin
+      (1 to rounds).foreach { r =>
+        ctes ++= s""",
+          |p$r AS (SELECT ws[i] AS a, ws[i+1] AS b FROM r${r - 1}, unnest(generate_series(1, len(ws)-1)) t(i)),
+          |t$r AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM p$r WHERE a <> b GROUP BY 1,2)
+          |  ORDER BY n DESC, a, b LIMIT 1),
+          |r$r AS ${rewrite(s"r${r - 1} LEFT JOIN t$r ON TRUE", "")},
+          |e$r AS ${rewrite(s"e${r - 1} LEFT JOIN t$r ON TRUE", "doc_id,")}""".stripMargin
+      }
+      s"""WITH $ctes
+        |SELECT e0.doc_id, CAST(len(e0.ws) AS BIGINT) AS n_raw,
+        |  CAST(len(e$rounds.ws) AS BIGINT) AS n_tok,
+        |  ${H(s"array_to_string(e$rounds.ws, ' ')")} AS out_fp
+        |FROM e0 JOIN e$rounds USING(doc_id) ORDER BY doc_id""".stripMargin
     },
     "token_pmi" ->
       """WITH tk AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),

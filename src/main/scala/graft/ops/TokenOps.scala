@@ -81,11 +81,11 @@ object TokenOps {
     * into "a_b" — one indexed `transform` + `filter`, fully inside the
     * row (see [[bpeMergeApply]] for the overlap-freedom argument).
     */
-  private def mergeRewrite(ws: Column): Column = filter(
+  private def mergeRewrite(ws: Column, a: Column = col("a"),
+      b: Column = col("b")): Column = filter(
     transform(ws, (t, i) =>
-      when(t === col("a") && get(ws, i + 1) === col("b"),
-        concat(col("a"), lit("_"), col("b")))
-        .when(get(ws, i - 1) === col("a") && t === col("b"),
+      when(t === a && get(ws, i + 1) === b, concat(a, lit("_"), b))
+        .when(get(ws, i - 1) === a && t === b,
           lit(null).cast("string"))
         .otherwise(t)),
     x => x.isNotNull)
@@ -186,6 +186,83 @@ object TokenOps {
     spark.createDataFrame(
       spark.sparkContext.parallelize(stats, 1), schema)
       .orderBy(col("round"))
+  }
+
+  /** Tokenizer APPLY — the inference half of [[bpeTrainRounds]]: learn
+    * `rounds` merges on the TRAIN corpus, then encode the held-out EVAL
+    * corpus by replaying the learned merges in rank order. This is the
+    * split a production tokenizer pipeline runs — train once on the
+    * corpus, apply everywhere (the stage that produced the reference
+    * feed's pre-tokenized `tokens` arrays upstream).
+    *
+    * Scale shape: training is the [[bpeTrainRounds]] loop (pair counts
+    * shuffle vocab²-bounded partials, the arg-max is TakeOrdered(1),
+    * the train corpus never shuffles); the learned merge list is
+    * O(rounds) driver state — the k-means-centroid/broadcast-dict
+    * pattern — so ENCODING compiles to a single per-row projection
+    * with the merge pairs baked in as literals: ZERO exchange over the
+    * eval corpus, embarrassingly parallel at any scale. Training stops
+    * early when a round finds no a != b pair (every later round would
+    * be an identity rewrite by the same argument as [[bpeMergeApply]]'s
+    * degenerate contract).
+    */
+  def bpeEncode(train: DataFrame, evalDf: DataFrame, rounds: Int = 3,
+                textCol: String = "text"): DataFrame = {
+    var cur = train.select(words(col(textCol)).as("ws"))
+    var live: Seq[DataFrame] = Nil
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    (1 to rounds).foreach { _ =>
+      if (!done) {
+        val c = cur.cache()
+        // O(1)-row driver collect: the round's arg-max pair (model
+        // state, same class as k-means centroids)
+        val top = c.select(explode(adjacentPairs(col("ws"))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .where(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect().headOption.map(r => (r.getString(0), r.getString(1)))
+        top match {
+          case None =>
+            done = true // no mergeable pair: all later rounds are identities
+            (live :+ c).foreach(_.unpersist())
+            live = Nil
+          case Some((a, b)) =>
+            learned += ((a, b))
+            val next = c
+              .select(mergeRewrite(col("ws"), lit(a), lit(b)).as("ws"))
+              .cache()
+            next.count() // materialize before releasing the round's input
+            (live :+ c).foreach(_.unpersist())
+            live = Seq(next)
+            cur = next
+        }
+      }
+    }
+    live.foreach(_.unpersist())
+    // encode: replay the learned merges over the eval rows in rank
+    // order, entirely inside the row (literal pairs — no join, no
+    // shuffle). One Project STAGE per merge, never one nested
+    // expression: mergeRewrite probes its input array three times per
+    // element, so nesting round r's output expression into round r+1
+    // would re-evaluate the whole prior chain per element probe —
+    // O(3^rounds · len²) interpreted work per row. Staged through a
+    // column reference, each round evaluates once per row
+    // (CollapseProject keeps the stages apart: the referenced alias is
+    // non-cheap and consumed three times).
+    val ws0 = words(col(textCol))
+    val staged = learned.foldLeft(
+      evalDf.select(col("doc_id"), ws0.as("__raw"), ws0.as("__ws"))) {
+      case (df, (a, b)) =>
+        df.withColumn("__ws", mergeRewrite(col("__ws"), lit(a), lit(b)))
+    }
+    staged.select(col("doc_id"),
+      size(col("__raw")).cast("long").as("n_raw"),
+      size(col("__ws")).cast("long").as("n_tok"),
+      when(col("__raw").isNull, lit(null).cast("long"))
+        .otherwise(portableHash(concat_ws(" ", col("__ws")))).as("out_fp"))
+      .orderBy(col("doc_id"))
   }
 
   /** Collocation mining: PMI-style lift per adjacent pair, computed in

@@ -154,6 +154,36 @@ class TokenOpsSpec extends SparkSpec {
     assert(row(1).getLong(3) == one.getLong(0) && row(1).getLong(4) == one.getLong(1))
   }
 
+  test("bpeEncode: learned merges replay in rank order on held-out docs; early stop") {
+    // train corpus: "a b c a b c" x3 -> learns (a,b) then (a_b,c), then
+    // stops early (round 3 has no a!=b pair) — rounds=5 must not differ
+    val train = docs((1L to 3L).map(i => i -> "a b c a b c"): _*)
+    val eval = docs(
+      1L -> "a b c",     // r1 -> [a_b, c], r2 -> [a_b_c]
+      2L -> "b c a",     // neither learned pair is adjacent: untouched
+      3L -> "x",         // unknown token: untouched
+      4L -> "a b b c")   // r1 -> [a_b, b, c]; r2: (a_b, c) not adjacent
+    val out = TokenOps.bpeEncode(train, eval, rounds = 5).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    def nt(id: Long) = (byId(id).getLong(1), byId(id).getLong(2))
+    assert(nt(1L) == ((3L, 1L)))
+    assert(nt(2L) == ((3L, 3L)))
+    assert(nt(3L) == ((1L, 1L)))
+    assert(nt(4L) == ((4L, 3L)))
+    // order-sensitive output fingerprint of the encoded sequence
+    import org.apache.spark.sql.functions._
+    def fp(s: String) = train.sparkSession.range(1)
+      .select(TextOps.portableHash(lit(s)).as("h")).head().getLong(0)
+    assert(byId(4L).getLong(3) == fp("a_b b c"))
+    assert(byId(1L).getLong(3) == fp("a_b_c"))
+    // one-round encode of the train corpus agrees with bpeMergeApply
+    val enc1 = TokenOps.bpeEncode(train, train, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    TokenOps.bpeMergeApply(train).collect().foreach { r =>
+      assert(enc1(r.getLong(0)) == r.getLong(4))
+    }
+  }
+
   test("collocationLift: integer-exact lift, min-pair floor") {
     // corpus: "p q" x5 and filler "r r" x5 -> T = 20 unigrams
     val d = docs((1L to 5L).map(i => i -> "p q").toSeq ++

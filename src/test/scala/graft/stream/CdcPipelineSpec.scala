@@ -20,13 +20,15 @@ class CdcPipelineSpec extends SparkSpec {
       .as[TokenDoc].collect().map(d => d.doc_id -> d).toMap
   }
 
-  private def oracleState(cfg: ChangeLogConfig): Map[String, TokenDoc] = {
-    val initial = (0L until cfg.nDocs.toLong).map { k =>
+  private def initialState(cfg: ChangeLogConfig): Map[String, TokenDoc] =
+    (0L until cfg.nDocs.toLong).map { k =>
       val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
       ChangeLogGen.docId(k) -> TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
     }.toMap
+
+  private def oracleState(cfg: ChangeLogConfig): Map[String, TokenDoc] = {
     val log = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
-    ReplayOracle.replay(initial, log, ChangeLogGen.snapshotLsn)
+    ReplayOracle.replay(initialState(cfg), log, ChangeLogGen.snapshotLsn)
   }
 
   private def assertTokenEquality(got: Map[String, TokenDoc], want: Map[String, TokenDoc]): Unit = {
@@ -169,6 +171,40 @@ class CdcPipelineSpec extends SparkSpec {
     val log = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
     val want = ReplayOracle.replay(Map.empty, log, ChangeLogGen.snapshotLsn)
     assertTokenEquality(finalState(cdc.tableRoot), want)
+    Fs.deleteRecursively(base)
+  }
+
+  test("snapshot mode initial_only: snapshot phase only, final state == seed") {
+    val cfg = ChangeLogConfig(nTx = 50, nDocs = 40, seed = 31)
+    val (base, cdc0) = setup(cfg, numFiles = 2)
+    val cdc = cdc0.copy(snapshotMode = SnapshotMode.InitialOnly)
+    // initial_only contract: the caller takes the snapshot and never
+    // streams — events in the (present) log must not reach the sink
+    val table = CdcJob.ensureTable(spark,
+      ChangeLogGen.initialTable(spark, cfg).toDF(), cdc, ChangeLogGen.snapshotLsn)
+    assertTokenEquality(finalState(cdc.tableRoot), initialState(cfg))
+    // and a second ensureTable (restart) loads, never re-snapshots
+    val again = CdcJob.ensureTable(spark,
+      ChangeLogGen.initialTable(spark, cfg).toDF(), cdc, ChangeLogGen.snapshotLsn)
+    assert(again.current.snapshotId == table.current.snapshotId)
+    Fs.deleteRecursively(base)
+  }
+
+  test("skipped.operations=d: deleted keys keep their last surviving state") {
+    val cfg = ChangeLogConfig(nTx = 150, nDocs = 80, seed = 37)
+    val (base, cdc0) = setup(cfg, numFiles = 2)
+    val cdc = cdc0.copy(skippedOperations = Set("d"))
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    val log = (0L until cfg.nTx).flatMap(i => ChangeLogGen.txRecords(cfg, i))
+    val want = ReplayOracle.replay(initialState(cfg),
+      log.filterNot(_.op == "d"), ChangeLogGen.snapshotLsn)
+    assertTokenEquality(finalState(cdc.tableRoot), want)
+    // the skip must be observable: the unskipped replay deletes keys
+    val full = ReplayOracle.replay(initialState(cfg), log, ChangeLogGen.snapshotLsn)
+    assert(full.keySet != want.keySet,
+      "designed log carries no committed delete — test would be vacuous")
     Fs.deleteRecursively(base)
   }
 }
