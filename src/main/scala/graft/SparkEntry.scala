@@ -372,6 +372,10 @@ object SparkEntry {
     // skipped.operations=d: deletes dropped before assembly — deleted
     // keys keep their last surviving c/u state (or their seed row)
     "cdc_skip_ops" -> ((s, d) => skipOpsReplay(s)),
+    // R4 driver-green: restart over a commit-aligned retention gap —
+    // offset validation trips, when_needed auto-re-snapshots at the
+    // pin, the retained log tails on top
+    "cdc_retention_resnapshot" -> ((s, d) => retentionGapReplay(s)),
     // N3 driver-green: a blocking snapshot mid-stream at pin=EvoLsn —
     // post-pin events win, the snapshot resurrects/reverts every
     // pre-pin change to a seed key, non-source keys keep their pre-pin
@@ -1164,6 +1168,54 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** R4 end-to-end: restart over a RETENTION GAP with automatic
+    * re-snapshot. The log has been garbage-collected commit-aligned —
+    * every transaction committing at or below [[EvoLsn]] is gone (the
+    * reference's restart-LSN contract is likewise commit-aligned;
+    * `InformixConnection.java:105-120`) and the retention marker says
+    * so. A sink that applied NOTHING yet must (a) fail offset
+    * validation, (b) auto-re-snapshot from the current consistent
+    * source view at pin = EvoLsn (snapshot mode `when_needed`,
+    * reconciling: state-complete even for GC'd deletes), then (c) tail
+    * the retained log. Final state: post-pin LWW winners beat the
+    * re-snapshot; everything else reads the source value.
+    */
+  private def retentionGapReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-retgap")
+    try {
+      val cfg = EngineReplayCfg
+      ChangeLogGen.writeLog(spark, cfg, s"$base/staged", numFiles = 2)
+      val raw = spark.read.parquet(s"$base/staged")
+      // commit-aligned GC: keep exactly the transactions whose CLOSE
+      // record (C/R) sits above the pin; one file so no later file-level
+      // GC can split a transaction
+      val retainedTx = raw.groupBy("tx_id")
+        .agg(max(when(col("op").isin("C", "R"), col("lsn"))).as("close"))
+        .where(col("close") > EvoLsn).select("tx_id")
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+        numBuckets = 8, snapshotMode = SnapshotMode.WhenNeeded)
+      raw.join(retainedTx, Seq("tx_id"), "left_semi")
+        .coalesce(1).sortWithinPartitions("lsn")
+        .write.parquet(cdc.logDir)
+      LogRetention.truncate(spark, cdc.logDir, EvoLsn) // advances the marker
+      val src = ChangeLogGen.initialTable(spark, cfg).toDF()
+      val table = CdcJob.snapshot(spark, src, cdc, ChangeLogGen.snapshotLsn)
+      require(!CdcJob.validateRestartOffset(table, cdc),
+        "retention gap must trip offset validation")
+      require(CdcJob.validateOrResnapshot(table, cdc, src, EvoLsn),
+        "when_needed must auto-re-snapshot over the gap")
+      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+      val out = table.read()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          tokFpCol(col("tokens")).as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** `skipped.operations` end-to-end: the REAL engine with deletes
     * skipped on ingest (`skipped.operations=d`, Debezium's common
     * connector config; dropped before emit in the reference, before
@@ -1513,6 +1565,24 @@ object SparkEntry {
         |       ${H("array_to_string(tokens, ',')")} AS tok_fp FROM seed)
         |SELECT * FROM nd UNION ALL SELECT * FROM io
         |ORDER BY mode, doc_id""".stripMargin,
+    // retention-gap re-snapshot: post-pin LWW winners beat the pin's
+    // reconciling snapshot; every other key reads its source value
+    // (pre-pin transactions were GC'd commit-aligned — they are not in
+    // `ev` AND must not be in the final state)
+    "cdc_retention_resnapshot" ->
+      s"""WITH $ReplayEvCte,
+        |wp AS (SELECT key, op, after FROM (
+        |   SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+        |          row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+        |                             ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+        |   FROM ev WHERE commit_lsn > $EvoLsn) WHERE rn = 1)
+        |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN wp l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY doc_id""".stripMargin,
     // blocking snapshot at pin=EvoLsn: post-pin LWW winner (wp) beats
     // all; else the seed value (the snapshot's (pin, MaxValue) rows
     // beat every pre-pin event — resurrection/revert); else the
