@@ -381,6 +381,11 @@ object SparkEntry {
     // pre-pin change to a seed key, non-source keys keep their pre-pin
     // winner (upsert-only snapshot)
     "cdc_blocking_snapshot" -> ((s, d) => blockingSnapshotReplay(s)),
+    // E7 driver-green: the full signal-action set (log / stop / pause /
+    // resume / duplicate-skip / incremental / blocking / abort) driven
+    // through the real channel; per-chunk snapshot-progress rows= counts
+    // derive from the seed via the portable chunk hash
+    "e7_signal_notifications" -> ((s, d) => signalNotificationsReplay(s)),
     // the CDC feed's final state materialized as packed training
     // sequences (A x B crossover: ingest output -> pretraining export):
     // concat-and-chunk packing of the ENGINE-replayed token arrays,
@@ -1168,6 +1173,74 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** E7 end-to-end: the FULL signal-action surface driven through the
+    * real channel against a real sink table — `log`, `stop-snapshot`
+    * with nothing in flight (SKIPPED), an incremental snapshot
+    * started + paused inside one poll batch, a duplicate request
+    * (SKIPPED), resume to completion (per-chunk IN_PROGRESS rows), a
+    * blocking snapshot, a conditioned (`additional-condition`)
+    * incremental snapshot run to completion, and a fourth snapshot
+    * paused then ABORTED by `stop-snapshot`. The observable is the
+    * notification channel's (aggregate_type, type, data) rows; chunk
+    * membership is the portable key hash, so the oracle derives every
+    * per-chunk `rows=` count from the seed table alone. Reference:
+    * `NotificationsIT.java:25-80`, `IncrementalSnapshotIT`
+    * stop/pause/resume + additional-condition cases.
+    */
+  private val SigPinBlock: Long = EvoLsn + 977
+  private val SigPinCond: Long = EvoLsn + 2000
+  private val SigPinAbort: Long = EvoLsn + 3000
+
+  private def signalNotificationsReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-signotif")
+    try {
+      val cfg = EngineReplayCfg
+      val src = ChangeLogGen.initialTable(spark, cfg).toDF()
+      val srcDir = s"$base/src"
+      src.write.parquet(srcDir)
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+        numBuckets = 8)
+      // empty sink: every snapshot chunk's rows are fresh upserts, so
+      // the notifications' rows= counts ARE the chunk memberships
+      val table = CdcJob.snapshot(spark, src.limit(0), cdc,
+        ChangeLogGen.snapshotLsn)
+      val dir = s"$base/signals"
+      def sig(s: Signals.Signal): Unit = { Signals.request(dir, s); () }
+      // pass 1: a log note; a stop with no snapshot in flight
+      sig(Signals.Signal("log", "", 0L, 0, message = "operator note"))
+      sig(Signals.Signal("stop-snapshot", "", 0L, 0))
+      Signals.process(spark, table, dir)
+      // pass 2: started, duplicate skipped, paused before chunk 1
+      sig(Signals.Signal("incremental-snapshot", srcDir, EvoLsn, 4))
+      sig(Signals.Signal("incremental-snapshot", srcDir, EvoLsn, 4))
+      sig(Signals.Signal("pause-snapshot", "", 0L, 0))
+      Signals.process(spark, table, dir)
+      // pass 3: resumed -> 4 chunks -> completed
+      sig(Signals.Signal("resume-snapshot", "", 0L, 0))
+      Signals.process(spark, table, dir)
+      // pass 4: blocking snapshot (1 chunk; COMPLETED carries rows=)
+      sig(Signals.Signal("blocking-snapshot", srcDir, SigPinBlock, 0))
+      Signals.process(spark, table, dir)
+      // pass 5: additional-condition snapshot run to completion
+      sig(Signals.Signal("incremental-snapshot", srcDir, SigPinCond, 2,
+        where = "n_tok % 2 = 0"))
+      Signals.process(spark, table, dir)
+      // pass 6: a snapshot paused at 0/3, then aborted by stop
+      sig(Signals.Signal("incremental-snapshot", srcDir, SigPinAbort, 3))
+      sig(Signals.Signal("pause-snapshot", "", 0L, 0))
+      Signals.process(spark, table, dir)
+      sig(Signals.Signal("stop-snapshot", "", 0L, 0))
+      Signals.process(spark, table, dir)
+      val out = table.readNotifications()
+        .select(col("aggregate_type"), col("type"), col("data"))
+        .orderBy(col("aggregate_type"), col("type"), col("data"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** R4 end-to-end: restart over a RETENTION GAP with automatic
     * re-snapshot. The log has been garbage-collected commit-aligned —
     * every transaction committing at or below [[EvoLsn]] is gone (the
@@ -1614,6 +1687,38 @@ object SparkEntry {
         |WHERE NOT (has_p AND op_p = 'd')
         |  AND (has_p OR in_seed OR op_q <> 'd')
         |ORDER BY doc_id""".stripMargin,
+    // E7: the notification multiset — control rows are exact literals;
+    // the per-chunk IN_PROGRESS rows derive chunk membership from the
+    // seed with the same portable hash the engine chunks by
+    "e7_signal_notifications" ->
+      s"""WITH seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
+        |c4 AS (SELECT g.c AS c, count(s.doc_id) AS n
+        |  FROM (SELECT unnest(generate_series(0,3)) AS c) g
+        |  LEFT JOIN seed s ON (${H("s.doc_id")} % 4) = g.c GROUP BY g.c),
+        |c2 AS (SELECT g.c AS c, count(s.doc_id) AS n
+        |  FROM (SELECT unnest(generate_series(0,1)) AS c) g
+        |  LEFT JOIN (SELECT * FROM seed WHERE n_tok % 2 = 0) s
+        |    ON (${H("s.doc_id")} % 2) = g.c GROUP BY g.c),
+        |tot AS (SELECT count(*) AS n FROM seed)
+        |SELECT * FROM (
+        |  SELECT 'Signal Log' AS aggregate_type, 'LOG' AS "type", 'operator note' AS data
+        |  UNION ALL SELECT 'Incremental Snapshot', 'SKIPPED', 'stop-snapshot: no snapshot in flight'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'STARTED', 'pinLsn=$EvoLsn chunks=4'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'SKIPPED', 'snapshot already in flight; duplicate request ignored'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'PAUSED', 'chunk=0/4'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'RESUMED', 'chunk=0/4'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'IN_PROGRESS', 'chunk=' || (c + 1) || '/4 rows=' || n FROM c4
+        |  UNION ALL SELECT 'Incremental Snapshot', 'COMPLETED', 'pinLsn=$EvoLsn chunks=4'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'STARTED', 'pinLsn=$SigPinBlock chunks=1'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'IN_PROGRESS', 'chunk=1/1 rows=' || n FROM tot
+        |  UNION ALL SELECT 'Incremental Snapshot', 'COMPLETED', 'pinLsn=$SigPinBlock chunks=1 rows=' || n FROM tot
+        |  UNION ALL SELECT 'Incremental Snapshot', 'STARTED', 'pinLsn=$SigPinCond chunks=2'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'IN_PROGRESS', 'chunk=' || (c + 1) || '/2 rows=' || n FROM c2
+        |  UNION ALL SELECT 'Incremental Snapshot', 'COMPLETED', 'pinLsn=$SigPinCond chunks=2'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'STARTED', 'pinLsn=$SigPinAbort chunks=3'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'PAUSED', 'chunk=0/3'
+        |  UNION ALL SELECT 'Incremental Snapshot', 'ABORTED', 'stopped at chunk=0/3'
+        |) ORDER BY aggregate_type, "type", data""".stripMargin,
     // skipped.operations=d: LWW over c/u events ONLY (deletes never
     // ingested), seed joined with no delete exclusion anywhere
     "cdc_skip_ops" ->

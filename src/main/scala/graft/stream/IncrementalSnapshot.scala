@@ -57,7 +57,13 @@ object IncrementalSnapshot {
   def runChunk(tbl: IceLiteTable, source: DataFrame, pinLsn: Long,
       nChunks: Int, chunkIdx: Int): MergeApply.MergeStats = {
     val keyCol = tbl.current.keyCol
-    val chunk = source.where(pmod(hash(col(keyCol)), lit(nChunks)) === chunkIdx)
+    // chunk membership uses the PORTABLE hash (not Spark's murmur3) so
+    // the snapshot-progress notifications' per-chunk row counts are
+    // derivable by any engine from the source alone — same per-chunk
+    // scan cost, still a deterministic uniform partition of the keys
+    val chunk = source.where(
+      pmod(graft.ops.TextOps.portableHash(col(keyCol).cast("string")),
+        lit(nChunks.toLong)) === chunkIdx.toLong)
     // snapshot chunks ride their own idempotency channel so their ids
     // can never collide with (and never block) stream batch ids
     val batchId = tbl.refresh().summary.lastSignalBatchId + 1

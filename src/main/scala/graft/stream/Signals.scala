@@ -59,6 +59,7 @@ object Signals {
       nextChunk: Int, paused: Boolean, where: String = "")
 
   private val mapper = new ObjectMapper()
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Write a signal request (what the reference does with an INSERT
     * into the signal table).
@@ -72,7 +73,11 @@ object Signals {
     n.put("chunks", signal.chunks)
     if (signal.message.nonEmpty) n.put("message", signal.message)
     if (signal.where.nonEmpty) n.put("where", signal.where)
-    val p = Paths.get(signalDir, s"signal-${System.nanoTime()}.json")
+    // zero-padded time + a process-wide counter: lexicographic name
+    // order == request order even across a digit-count boundary, and two
+    // same-nanoTime requests can never collide on one filename
+    val p = Paths.get(signalDir,
+      f"signal-${System.nanoTime()}%020d-${seq.incrementAndGet()}%06d.json")
     Files.write(p, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
     p
   }
@@ -166,7 +171,7 @@ object Signals {
                 // running snapshot; under the single-table closed schema a
                 // second request is a duplicate — record and skip
                 table.appendNotification("Incremental Snapshot", "SKIPPED",
-                  s"snapshot already in flight — ignored ${p.getFileName}")
+                  "snapshot already in flight; duplicate request ignored")
               case None =>
                 val chunks = math.max(1, sig.chunks)
                 writeInflight(signalDir,

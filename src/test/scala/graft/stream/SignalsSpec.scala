@@ -161,7 +161,7 @@ class SignalsSpec extends SparkSpec {
   }
 
   test("a persisted cursor resumes from its chunk, not from scratch") {
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
     val (base, cdc, table, srcDir, _) = controlFixture("graft-sig-cursor", 103)
     val dir = cdc.signalDir.get
     // simulate a snapshot interrupted after 2 of 4 chunks (e.g. process
@@ -170,7 +170,8 @@ class SignalsSpec extends SparkSpec {
       Signals.Inflight(srcDir, 0L, chunks = 4, nextChunk = 2, paused = false))
     Signals.process(spark, table, dir)
     val expected = spark.read.parquet(srcDir)
-      .where(pmod(hash(col("doc_id")), lit(4)) >= 2)
+      .where(pmod(graft.ops.TextOps.portableHash(col("doc_id").cast("string")),
+        lit(4L)) >= 2L)
       .select("doc_id").collect().map(_.getString(0)).toSet
     val got = { table.refresh(); table.read() }.select("doc_id")
       .collect().map(_.getString(0)).toSet
