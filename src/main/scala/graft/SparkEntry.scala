@@ -72,6 +72,13 @@ object SparkEntry {
   // portable 56-bit hash (matches TextOps.portableHash)
   private def H(x: String) = s"(('0x' || substr(md5($x),1,14))::BIGINT)"
 
+  /** Context-window chunking operating point for the driver queries:
+    * sized to the testdata's 10-99-word docs so both the single-chunk
+    * (n <= maxLen) and multi-chunk (up to 4 windows) paths run.
+    */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+
   /** PQ oracle: replays the per-subspace integer k-means trainer
     * (m=4 subspaces, ksub=16, 2 iterations, vec_id%4 sample — the
     * [[graft.ops.Similarity.trainPqCodebooks]] defaults), the corpus
@@ -736,6 +743,25 @@ object SparkEntry {
       Packing.packEmit(docs, capacity = 2048, groups = 8)
         .orderBy(col("grp"), col("seq_id"))
     }),
+    // the SPLIT side of training layout: overlapping context-window
+    // chunks (sliding window, stride < maxLen) with order-sensitive
+    // per-chunk fingerprints; pure in-row projection, zero exchange
+    "chunk_emit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tokens", transform(TextOps.words(col("text")),
+          w => TextOps.portableHash(w)))
+      Chunking.chunkEmit(docs, maxLen = ChunkLen, stride = ChunkStride)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    // overlap cost of the (maxLen, stride) choice priced from doc
+    // lengths alone — closed form, no chunk materialized
+    "chunk_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("tokens", transform(TextOps.words(col("text")),
+          w => TextOps.portableHash(w)))
+      Chunking.chunkStats(docs, maxLen = ChunkLen, stride = ChunkStride)
+        .orderBy(col("source"))
+    }),
     // ---- training-data ops: curation (decontamination / sampling / mixing) ----
     // benchmark decontamination: train docs sharing any DF-capped word
     // trigram with the eval split (doc_id%20=0), with overlap counts
@@ -757,6 +783,10 @@ object SparkEntry {
     // token-budget mixture weights toward a uniform per-language target
     "mix_weights" -> ((s, d) =>
       Curation.mixtureWeights(t(s, d, "documents")).orderBy(col("lang"))),
+    // temperature sampling (p ∝ n^0.5): the power runs on exact integer
+    // square roots, so shares/boosts replay bit-for-bit — no pow() drift
+    "mix_temperature" -> ((s, d) =>
+      Curation.temperatureWeights(t(s, d, "documents")).orderBy(col("lang"))),
     // DSIR importance resampling: target-vs-corpus unigram-LM
     // log-ratio weights, threshold cut over the rounded-weight
     // histogram (target distribution = the corpus's 'en' stratum)
@@ -2194,6 +2224,38 @@ object SparkEntry {
         |SELECT grp, n_docs, total_tokens, n_seqs,
         |  round((total_tokens - (n_seqs-1)*2048)/2048.0, 4) AS tail_fill
         |FROM q ORDER BY grp""".stripMargin,
+    // context-window chunking: every boundary, overlap and byte order
+    // replayed from the layout arithmetic (n_chunks = ceil((n-L)/S)+1,
+    // chunk i = [i*S, min(i*S+L, n))); position-weighted fingerprints
+    "chunk_emit" ->
+      s"""WITH dd AS (SELECT doc_id,
+        |  list_transform(string_split_regex(trim(text),'\\s+'), x -> ${H("x")} % 1048576) AS tv,
+        |  CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n FROM documents),
+        |nc AS (SELECT *, CASE WHEN n <= $ChunkLen THEN 1
+        |    ELSE (n - $ChunkLen + $ChunkStride - 1)//$ChunkStride + 1 END AS n_chunks
+        |  FROM dd WHERE n > 0),
+        |ch AS (SELECT doc_id, tv, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM nc)
+        |SELECT doc_id, chunk_idx, chunk_idx*$ChunkStride AS start_tok,
+        |  least(chunk_idx*$ChunkStride + $ChunkLen, n) - chunk_idx*$ChunkStride AS chunk_tok,
+        |  CASE WHEN chunk_idx = 0 THEN least(CAST($ChunkLen AS BIGINT), n)
+        |       ELSE least(chunk_idx*$ChunkStride + $ChunkLen, n)
+        |          - least((chunk_idx-1)*$ChunkStride + $ChunkLen, n) END AS new_tok,
+        |  CAST(list_sum(list_transform(
+        |    tv[(chunk_idx*$ChunkStride + 1):least(chunk_idx*$ChunkStride + $ChunkLen, n)],
+        |    (x,i) -> i * x)) AS BIGINT) AS chunk_fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "chunk_stats" ->
+      s"""WITH dd AS (SELECT source, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n FROM documents),
+        |nc AS (SELECT source, n, CASE WHEN n <= $ChunkLen THEN 1
+        |    ELSE (n - $ChunkLen + $ChunkStride - 1)//$ChunkStride + 1 END AS n_chunks
+        |  FROM dd WHERE n > 0)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(max(n_chunks) AS BIGINT) AS max_chunks, CAST(sum(n) AS BIGINT) AS corpus_tok,
+        |  CAST(sum(n + (n_chunks-1)*(${ChunkLen - ChunkStride})) AS BIGINT) AS emitted_tok,
+        |  CAST(sum((n_chunks-1)*(${ChunkLen - ChunkStride})) AS BIGINT) AS overlap_tok,
+        |  round(CAST(sum(n + (n_chunks-1)*(${ChunkLen - ChunkStride})) AS DOUBLE)
+        |      / CAST(sum(n) AS DOUBLE), 4) AS dup_factor
+        |FROM nc GROUP BY source ORDER BY source""".stripMargin,
     "decontaminate" ->
       s"""WITH $SHINGLES,
         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
@@ -2310,6 +2372,21 @@ object SparkEntry {
         |SELECT lang, n_docs, total_tokens,
         |  round(total_tokens*1.0/tot, 4) AS actual_share,
         |  round(tot*1.0/(k*total_tokens), 4) AS weight
+        |FROM t ORDER BY lang""".stripMargin,
+    // temperature sampling: w = isqrt(total_tokens * 10^4) replayed
+    // exactly (floor(sqrt(x)) is exact isqrt below 2^52); shares and
+    // boost are single double divisions over integer sums
+    "mix_temperature" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(total_tokens * 10000 AS DOUBLE))) AS BIGINT) AS w FROM a),
+        |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS tw,
+        |  CAST(sum(total_tokens) OVER () AS BIGINT) AS tt FROM w)
+        |SELECT lang, n_docs, total_tokens,
+        |  round(CAST(total_tokens AS DOUBLE)/tt, 4) AS actual_share,
+        |  round(CAST(w AS DOUBLE)/tw, 4) AS temp_share,
+        |  round((CAST(w AS DOUBLE)*tt)/(CAST(tw AS DOUBLE)*total_tokens), 4) AS boost
         |FROM t ORDER BY lang""".stripMargin,
     // DSIR: both LMs from ONE vocabulary pass; add-one smoothing over
     // the shared vocab; weight rounded to 4dp (the text_lm_score

@@ -348,6 +348,49 @@ object Curation {
         countDistinct(col("source")).as("n_sources"),
         max(col("pos")).as("max_pos"))
 
+  /** Temperature-scaled mixture weights — the standard multilingual
+    * sampling rule (mT5/XLM-R): a stratum's sampling share is
+    * p_s ∝ n_s^α with α < 1, boosting low-resource strata without the
+    * head drowning the tail. α is restricted to 2^-alphaHalvings
+    * (0.5, 0.25, …) so the power is computed by repeated INTEGER
+    * square roots: floor(sqrt(x)) of an integer-valued double is the
+    * exact isqrt for x < 2^52 (sqrt is correctly rounded and
+    * consecutive squares are > 1 apart), so every engine reproduces
+    * the weights bit-for-bit — no libm pow() drift. `scale` stretches
+    * the integer domain before the first root for resolution;
+    * total_tokens * scale must stay < 2^52 (guarded).
+    *
+    * Scale shape: one map-side-combined groupBy to #strata rows; the
+    * empty-frame window runs over those #strata rows only.
+    */
+  def temperatureWeights(df: DataFrame, alphaHalvings: Int = 1,
+      scale: Long = 10000L, strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(alphaHalvings >= 1 && scale >= 1)
+    val agg = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col(textCol))).cast("long")).as("total_tokens"))
+    val guarded = when(col("total_tokens") * scale < lit(1L << 52),
+      col("total_tokens") * scale)
+      .otherwise(raise_error(lit("temperatureWeights: total_tokens*scale >= 2^52")))
+    val wRaw = (1 to alphaHalvings).foldLeft[Column](guarded) {
+      case (x, _) => floor(sqrt(x.cast("double"))).cast("long")
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    agg
+      .withColumn("__w", wRaw)
+      .withColumn("__tw", sum(col("__w")).over(w))
+      .withColumn("__tt", sum(col("total_tokens")).over(w))
+      .withColumn("actual_share",
+        round(col("total_tokens").cast("double") / col("__tt"), 4))
+      .withColumn("temp_share",
+        round(col("__w").cast("double") / col("__tw"), 4))
+      .withColumn("boost",
+        round((col("__w").cast("double") * col("__tt")) /
+          (col("__tw").cast("double") * col("total_tokens")), 4))
+      .drop("__w", "__tw", "__tt")
+  }
+
   /** Token-budget mixture weights: per-stratum document/token totals,
     * the stratum's share of the corpus tokens, and the resampling weight
     * that would equalize the mixture (target = uniform across strata).

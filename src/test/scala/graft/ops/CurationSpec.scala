@@ -187,6 +187,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature weights: tail boosted, head damped, isqrt power exact") {
+    import spark.implicits._
+    // skewed corpus: en 3 docs of 6 words, fr 1 doc of 2 words
+    val skew = Seq(
+      (0L, "a b c d e f", "en"), (1L, "g h i j k l", "en"),
+      (2L, "m n o p q r", "en"), (3L, "s t", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.temperatureWeights(skew)
+      .select("lang", "n_docs", "total_tokens", "actual_share", "temp_share", "boost")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val en = out("en"); val fr = out("fr")
+    assert(en._3 == 18L && fr._3 == 2L)
+    // exact isqrt replay: w_en = isqrt(18*10^4) = 424, w_fr = isqrt(2*10^4) = 141
+    val (wEn, wFr) = (424.0, 141.0)
+    assert(en._5 == math.rint(wEn / (wEn + wFr) * 1e4) / 1e4)
+    assert(fr._5 == math.rint(wFr / (wEn + wFr) * 1e4) / 1e4)
+    // α=0.5 flattens: the tail's sampled share rises above its raw share
+    assert(fr._5 > fr._4 && en._5 < en._4)
+    assert(fr._6 > 1.0 && en._6 < 1.0)
+    // shares still sum to 1
+    assert(math.abs(en._5 + fr._5 - 1.0) < 0.001)
+    // deeper halving flattens harder (α=0.25 closer to uniform)
+    val t2 = Curation.temperatureWeights(skew, alphaHalvings = 2)
+      .select("lang", "temp_share").as[(String, Double)].collect().toMap
+    assert(t2("fr") > fr._5 && t2("en") < en._5)
+  }
+
   test("sharding: a partition of the corpus, contiguous positions, reproducible") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"w$i", "en", s"src${i % 4}", 3L))
