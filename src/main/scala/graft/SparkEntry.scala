@@ -403,6 +403,13 @@ object SparkEntry {
     "replay_pack_emit" -> ((s, d) =>
       Packing.packEmit(engineReplayTokens(s), capacity = 256, groups = 4)
         .orderBy(col("grp"), col("seq_id"))),
+    // the SAME replayed state split into overlapping context windows
+    // (A x B crossover, the chunking counterpart of replay_pack_emit):
+    // maxLen 48 / stride 32 sized to the replay corpus's ~64-token docs
+    // so most docs produce 2 windows with a 16-token overlap
+    "replay_chunk_emit" -> ((s, d) =>
+      Chunking.chunkEmit(engineReplayTokens(s), maxLen = 48, stride = 32)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // token-level view of the SAME replayed final state (the memoized
     // pipeline run): corpus token histogram — occurrences + distinct
     // docs per token id. Scale shape: explode feeds a two-phase hash
@@ -720,6 +727,14 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) =>
       CdcRelational.sessionize(t(s, d, "events"))),
     "text_vocab" -> ((s, d) => TextOps.vocab(t(s, d, "documents"))),
+    // tokenizer sizing: corpus coverage of a top-k frequency vocab per
+    // lang (broadcast k-row vocab, corpus never shuffled)
+    "vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(t(s, d, "documents"), k = 10).orderBy(col("lang"))),
+    // dataloader bucketing: padding waste at power-of-two batch widths,
+    // bucket cap in integer bit arithmetic (no log2 drift)
+    "length_buckets" -> ((s, d) =>
+      TextOps.lengthBuckets(t(s, d, "documents")).orderBy(col("bucket_cap"))),
     // ---- training-data ops: sequence packing (concat-and-chunk at the
     // context length; parallel per hash group, integer-exact layout) ----
     "pack_offsets" -> ((s, d) => {
@@ -1836,6 +1851,29 @@ object SparkEntry {
         |SELECT grp, seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(f_tok) AS BIGINT) AS n_tok, CAST(sum(f_fp) AS BIGINT) AS seq_fp
         |FROM ag GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the replayed state's context-window chunk layout (L=48, S=32):
+    // same arithmetic as chunk_emit over the replay CTE's final rows
+    "replay_chunk_emit" ->
+      s"""WITH $ReplayCte,
+        |fin AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |               COALESCE(l.after.tokens, s.tokens) AS ws
+        |        FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |        WHERE COALESCE(l.op,'') <> 'd'),
+        |dd AS (SELECT doc_id, list_transform(ws, x -> CAST(x AS BIGINT) % 1048576) AS tv,
+        |  CAST(len(ws) AS BIGINT) AS n FROM fin),
+        |nc AS (SELECT *, CASE WHEN n <= 48 THEN 1
+        |    ELSE (n - 48 + 32 - 1)//32 + 1 END AS n_chunks
+        |  FROM dd WHERE n > 0),
+        |ch AS (SELECT doc_id, tv, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM nc)
+        |SELECT doc_id, chunk_idx, chunk_idx*32 AS start_tok,
+        |  least(chunk_idx*32 + 48, n) - chunk_idx*32 AS chunk_tok,
+        |  CASE WHEN chunk_idx = 0 THEN least(CAST(48 AS BIGINT), n)
+        |       ELSE least(chunk_idx*32 + 48, n)
+        |          - least((chunk_idx-1)*32 + 48, n) END AS new_tok,
+        |  CAST(list_sum(list_transform(
+        |    tv[(chunk_idx*32 + 1):least(chunk_idx*32 + 48, n)],
+        |    (x,i) -> i * x)) AS BIGINT) AS chunk_fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // token histogram over the same replayed final state: occurrences
     // and distinct docs per token id
     "replay_token_freq" ->
@@ -2190,6 +2228,27 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "text_vocab" ->
       """SELECT w AS word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, count(*) AS term_count FROM (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents) GROUP BY w ORDER BY word""",
+    // top-10 frequency vocab (ties cut on the word) -> per-lang corpus
+    // coverage; counts integer-exact, rate one double division
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w ORDER BY c DESC, w LIMIT 10)),
+        |j AS (SELECT lang, CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END AS inv FROM tok)
+        |SELECT lang, count(*) AS total_tok, CAST(sum(inv) AS BIGINT) AS covered_tok,
+        |  CAST(count(*) - sum(inv) AS BIGINT) AS oov_tok,
+        |  round(CAST(sum(inv) AS DOUBLE)/count(*), 4) AS coverage
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    // power-of-two bucket cap via binary-string bit length (1 << len(bin(n-1)))
+    // — the same integer arithmetic the Spark side runs
+    "length_buckets" ->
+      """WITH dd AS (SELECT CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT n, CASE WHEN n = 1 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END AS bucket_cap
+        |  FROM dd WHERE n > 0)
+        |SELECT bucket_cap, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tok,
+        |  CAST(sum(bucket_cap - n) AS BIGINT) AS pad_tok,
+        |  round(CAST(sum(bucket_cap - n) AS DOUBLE)/(sum(bucket_cap - n) + sum(n)), 4) AS waste
+        |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin,
     "pack_offsets" ->
       s"""WITH dd AS (SELECT doc_id, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n,
         |  ${H("CAST(doc_id AS VARCHAR)")} % 8 AS grp FROM documents),

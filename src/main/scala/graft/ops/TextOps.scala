@@ -58,6 +58,59 @@ object TextOps {
         count(lit(1)).as("term_count"))
       .orderBy(col("word"))
 
+  /** Vocabulary coverage / OOV rate per stratum for a top-k frequency
+    * vocabulary (the tokenizer-sizing question: "how much of the corpus
+    * does a k-entry vocab cover?"). Ties at the cut break on the word
+    * itself, so the vocabulary — and therefore every count — is
+    * deterministic in any engine.
+    *
+    * Scale shape: the vocabulary is a global top-k
+    * (TakeOrderedAndProject: per-partition partial top-k, k rows to the
+    * driver) over one map-side-combined word count; the corpus is then
+    * re-scanned once against the BROADCAST k-row vocab — corpus tokens
+    * are never shuffled, and the final groupBy ships #strata partials.
+    */
+  def vocabCoverage(df: DataFrame, k: Int = 10,
+      strataCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(k > 0)
+    def toks = df.select(col(strataCol), explode(words(col(textCol))).as("w"))
+    val vocabTop = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(k)
+      .select(col("w"), lit(1L).as("__in"))
+    toks.join(broadcast(vocabTop), Seq("w"), "left")
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("total_tok"),
+        sum(coalesce(col("__in"), lit(0L))).as("covered_tok"))
+      .withColumn("oov_tok", col("total_tok") - col("covered_tok"))
+      .withColumn("coverage",
+        round(col("covered_tok").cast("double") / col("total_tok"), 4))
+  }
+
+  /** Dataloader length bucketing: every document rounds UP to the
+    * smallest power-of-two window holding its token count, and each
+    * bucket reports the padding wasted if its docs are batched at the
+    * bucket width — the fixed-shape-batch packing tradeoff, priced
+    * from doc lengths alone. The bucket cap is computed in INTEGER
+    * arithmetic (1L << bitlength(n-1), via the binary-string length —
+    * no log2()/pow() float drift), so any engine replays it.
+    * One map-side-combined groupBy over ≤ 64 bucket keys.
+    */
+  def lengthBuckets(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(size(words(col(textCol))).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("bucket_cap",
+        when(col("__n") === 1, lit(1L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(__n - 1)))")))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tok"),
+        sum(col("bucket_cap") - col("__n")).as("pad_tok"))
+      .withColumn("waste",
+        round(col("pad_tok").cast("double") /
+          (col("pad_tok") + col("total_tok")), 4))
+      .select(col("bucket_cap"), col("n_docs"), col("total_tok"),
+        col("pad_tok"), col("waste"))
+
   /** Per-document top-k terms by TF-IDF — the salient-term extractor
     * (keyword labels, topic features, boilerplate triage) over the
     * corpus vocabulary.

@@ -364,6 +364,43 @@ class OpsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("vocab coverage: top-k cut breaks ties on the word; counts exact") {
+    import spark.implicits._
+    // freq: aa=3, bb=3, cc=2, dd=1 — k=2 vocab must be {aa, bb} (tie on
+    // cc excluded: count 2 < 3), and a k=3 cut between cc and nothing
+    val df = Seq(
+      (1L, "aa bb cc", "en"), (2L, "aa bb cc", "en"), (3L, "aa bb dd", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.vocabCoverage(df, k = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("en") == ((6L, 4L, 2L, 0.6667)))
+    assert(out("fr") == ((3L, 2L, 1L, 0.6667)))
+    // tie at the cut: ee and ff both freq 1 — k=5 must pick ee (word order)
+    val df2 = Seq((1L, "aa aa bb bb cc cc dd dd ee ff", "en")).toDF("doc_id", "text", "lang")
+    val o2 = TextOps.vocabCoverage(df2, k = 5).head()
+    assert(o2.getAs[Long]("covered_tok") == 9L, "ee in, ff out")
+  }
+
+  test("length buckets: exact power-of-two caps, padding accounted") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3, 4, 5, 8, 9, 1024, 1025))
+      .zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = TextOps.lengthBuckets(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // caps: 1→1, 2→2, 3,4→4, 5,8→8, 9→16, 1024→1024, 1025→2048
+    assert(out.keySet == Set(1L, 2L, 4L, 8L, 16L, 1024L, 2048L))
+    assert(out(4L) == ((2L, 7L, 1L)))     // n=3,4: pad 1+0
+    assert(out(8L) == ((2L, 13L, 3L)))    // n=5,8: pad 3+0
+    assert(out(16L) == ((1L, 9L, 7L)))
+    assert(out(2048L) == ((1L, 1025L, 1023L)))
+    val total = out.values.map(_._2).sum
+    assert(total == Seq(1, 2, 3, 4, 5, 8, 9, 1024, 1025).sum.toLong)
+  }
+
   test("plan shapes: filter/parse/unwrap are shuffle-free projections; sharding shuffles once") {
     import spark.implicits._
     def plan(df: org.apache.spark.sql.DataFrame) =
