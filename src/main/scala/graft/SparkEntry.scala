@@ -873,6 +873,14 @@ object SparkEntry {
         concat(col("doc_id").cast("string"), lit(":bpeeval"))), lit(10L))
       TokenOps.bpeEncode(docs.where(h =!= 7), docs.where(h === 7))
     }),
+    // tokenizer DECODE parity: encode the eval split, invert the merges
+    // in reverse rank order, assert sequence equality + decoded fp
+    "bpe_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val h = pmod(TextOps.portableHash(
+        concat(col("doc_id").cast("string"), lit(":bpeeval"))), lit(10L))
+      TokenOps.bpeRoundtrip(docs.where(h =!= 7), docs.where(h === 7))
+    }),
     "token_pmi" -> ((s, d) => TokenOps.collocationLift(t(s, d, "documents"))),
     // segment-level duplication (boilerplate detector): non-overlapping
     // 16-token windows, dup iff the window hash occurs in >= 2 docs
@@ -2653,6 +2661,50 @@ object SparkEntry {
         |  CAST(len(e$rounds.ws) AS BIGINT) AS n_tok,
         |  ${H(s"array_to_string(e$rounds.ws, ' ')")} AS out_fp
         |FROM e0 JOIN e$rounds USING(doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // the encode chain above + the DECODE chain in reverse rank order:
+    // d$r expands round r's merged token back to [a, b]; a degenerate
+    // (early-stopped) round left-joins null a/b -> identity, matching
+    // the engine's skipped stage
+    "bpe_roundtrip" -> {
+      val rounds = 3
+      val evalPred = s"(${H("CAST(doc_id AS VARCHAR) || ':bpeeval'")} % 10) = 7"
+      val ctes = new StringBuilder(
+        s"""r0 AS (SELECT string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE NOT $evalPred),
+          |e0 AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE $evalPred)""".stripMargin)
+      def rewrite(src: String, cols: String): String =
+        s"""(SELECT $cols list_filter(list_transform(ws, (t, i) ->
+          |    CASE WHEN t = a AND i < len(ws) AND ws[i+1] = b THEN a || '_' || b
+          |         WHEN i > 1 AND ws[i-1] = a AND t = b THEN NULL
+          |         ELSE t END), x -> x IS NOT NULL) AS ws
+          |  FROM $src)""".stripMargin
+      (1 to rounds).foreach { r =>
+        ctes ++= s""",
+          |p$r AS (SELECT ws[i] AS a, ws[i+1] AS b FROM r${r - 1}, unnest(generate_series(1, len(ws)-1)) t(i)),
+          |t$r AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM p$r WHERE a <> b GROUP BY 1,2)
+          |  ORDER BY n DESC, a, b LIMIT 1),
+          |r$r AS ${rewrite(s"r${r - 1} LEFT JOIN t$r ON TRUE", "")},
+          |e$r AS ${rewrite(s"e${r - 1} LEFT JOIN t$r ON TRUE", "doc_id,")}""".stripMargin
+      }
+      // decode stages: d(rounds) = encoded, then invert merge r for
+      // r = rounds..1; d0 is the fully decoded sequence
+      ctes ++= s""",
+        |d$rounds AS (SELECT doc_id, ws FROM e$rounds)""".stripMargin
+      (rounds to 1 by -1).foreach { r =>
+        ctes ++= s""",
+          |d${r - 1} AS (SELECT doc_id, flatten(list_transform(ws, t ->
+          |    CASE WHEN a IS NOT NULL AND t = a || '_' || b THEN [a, b]
+          |         ELSE [t] END)) AS ws
+          |  FROM d$r LEFT JOIN t$r ON TRUE)""".stripMargin
+      }
+      s"""WITH $ctes
+        |SELECT e0.doc_id, CAST(len(e0.ws) AS BIGINT) AS n_raw,
+        |  CAST(len(e$rounds.ws) AS BIGINT) AS n_tok,
+        |  CAST(len(d0.ws) AS BIGINT) AS n_dec,
+        |  d0.ws = e0.ws AS roundtrip_ok,
+        |  ${H("array_to_string(d0.ws, ' ')")} AS dec_fp
+        |FROM e0 JOIN e$rounds USING(doc_id) JOIN d0 USING(doc_id)
+        |ORDER BY doc_id""".stripMargin
     },
     "token_pmi" ->
       """WITH tk AS (SELECT unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),

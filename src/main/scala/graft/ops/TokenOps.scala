@@ -206,8 +206,14 @@ object TokenOps {
     * be an identity rewrite by the same argument as [[bpeMergeApply]]'s
     * degenerate contract).
     */
-  def bpeEncode(train: DataFrame, evalDf: DataFrame, rounds: Int = 3,
-                textCol: String = "text"): DataFrame = {
+  /** The trainer loop's driver state: the learned merge pairs in rank
+    * order (early-stop when no a != b pair remains — later rounds are
+    * identities). O(1)-row driver collects per round (model state, the
+    * k-means-centroid class); the corpus stays distributed and never
+    * shuffles in any round.
+    */
+  def learnMerges(train: DataFrame, rounds: Int = 3,
+      textCol: String = "text"): Seq[(String, String)] = {
     var cur = train.select(words(col(textCol)).as("ws"))
     var live: Seq[DataFrame] = Nil
     val learned = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -241,6 +247,12 @@ object TokenOps {
       }
     }
     live.foreach(_.unpersist())
+    learned.toSeq
+  }
+
+  def bpeEncode(train: DataFrame, evalDf: DataFrame, rounds: Int = 3,
+                textCol: String = "text"): DataFrame = {
+    val learned = learnMerges(train, rounds, textCol)
     // encode: replay the learned merges over the eval rows in rank
     // order, entirely inside the row (literal pairs — no join, no
     // shuffle). One Project STAGE per merge, never one nested
@@ -262,6 +274,42 @@ object TokenOps {
       size(col("__ws")).cast("long").as("n_tok"),
       when(col("__raw").isNull, lit(null).cast("long"))
         .otherwise(portableHash(concat_ws(" ", col("__ws")))).as("out_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer DECODE parity: encode the eval split with the learned
+    * merges, then invert them in REVERSE rank order — each merged
+    * token "a_b" expands back to [a, b] (one flatten(transform) stage
+    * per merge, inside the row) — and report whether the decoded
+    * sequence equals the original, with a fingerprint of the decoded
+    * text so the equality is value-anchored, not just boolean. The
+    * inverse is exact whenever base tokens don't collide with a
+    * merge's literal spelling; a collision flips `roundtrip_ok`
+    * identically in any engine (the oracle replays the same CASE), so
+    * the check stays deterministic either way.
+    */
+  def bpeRoundtrip(train: DataFrame, evalDf: DataFrame, rounds: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val learned = learnMerges(train, rounds, textCol)
+    val ws0 = words(col(textCol))
+    val enc = learned.foldLeft(
+      evalDf.select(col("doc_id"), ws0.as("__raw"), ws0.as("__ws"))) {
+      case (df, (a, b)) =>
+        df.withColumn("__ws", mergeRewrite(col("__ws"), lit(a), lit(b)))
+    }
+    val dec = learned.reverse.foldLeft(enc.withColumn("__dec", col("__ws"))) {
+      case (df, (a, b)) =>
+        df.withColumn("__dec", flatten(transform(col("__dec"), t =>
+          when(t === lit(s"${a}_$b"), array(lit(a), lit(b)))
+            .otherwise(array(t)))))
+    }
+    dec.select(col("doc_id"),
+      size(col("__raw")).cast("long").as("n_raw"),
+      size(col("__ws")).cast("long").as("n_tok"),
+      size(col("__dec")).cast("long").as("n_dec"),
+      (col("__dec") === col("__raw")).as("roundtrip_ok"),
+      when(col("__raw").isNull, lit(null).cast("long"))
+        .otherwise(portableHash(concat_ws(" ", col("__dec")))).as("dec_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -184,6 +184,28 @@ class TokenOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeRoundtrip: reverse-order inverse restores every sequence; collision detected") {
+    val train = docs((1L to 3L).map(i => i -> "a b c a b c"): _*)
+    val eval = docs(
+      1L -> "a b c",      // encodes to [a_b_c], decodes back
+      2L -> "b c a",      // untouched by encode, untouched by decode
+      3L -> "a b b c a")  // [a_b, b, c, a] -> restored
+    val out = TokenOps.bpeRoundtrip(train, eval, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.values.foreach { r =>
+      assert(r.getBoolean(4), s"roundtrip must restore doc ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(1), "decoded length == raw length")
+    }
+    assert(out(1L).getLong(2) == 1L && out(1L).getLong(1) == 3L)
+    // a base token spelled like a merge ("a_b" in the RAW text) is
+    // expanded by the inverse too — roundtrip_ok must flag it, and the
+    // flag is deterministic (the oracle replays the same CASE)
+    val collide = TokenOps.bpeRoundtrip(train, docs(9L -> "a_b c"), rounds = 5)
+      .collect().head
+    assert(!collide.getBoolean(4), "collision must flip roundtrip_ok")
+    assert(collide.getLong(3) == 3L) // [a_b, c] -> [a, b, c]
+  }
+
   test("collocationLift: integer-exact lift, min-pair floor") {
     // corpus: "p q" x5 and filler "r r" x5 -> T = 20 unigrams
     val d = docs((1L to 5L).map(i => i -> "p q").toSeq ++
