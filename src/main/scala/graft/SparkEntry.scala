@@ -157,6 +157,27 @@ object SparkEntry {
       |v AS (SELECT *, NOT (too_short OR too_long OR low_stop OR rep_top_word OR dup_words OR word_shape) AS kept FROM v0)""".stripMargin
   }
 
+  /** The composed curation-funnel chain (mirrors
+    * Curation.curationPipeline): QUALITY_VERDICTS + suffixed shingles
+    * + contamination + survivor-scoped exact-dup canonical + the
+    * sampling decision, ending in `vr(doc_id, lang, verdict)`. Shared
+    * by the per-doc and funnel oracles so one fix reaches both.
+    */
+  private lazy val CURATION_CHAIN: String =
+    QUALITY_VERDICTS + ",\n" + SHINGLES_F("c", "TRUE") + s""",
+      |evs AS (SELECT DISTINCT s FROM shc WHERE doc_id % 20 = 0),
+      |dirty AS (SELECT DISTINCT doc_id FROM shc WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM evs)),
+      |fp AS (SELECT doc_id, lang, ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS f,
+      |  ($SAMPLE_KEEP) AS keepq FROM documents WHERE doc_id % 20 <> 0),
+      |canon AS (SELECT f, min(fp.doc_id) AS cid FROM fp JOIN v USING(doc_id) WHERE v.kept GROUP BY f),
+      |vr AS (SELECT fp.doc_id, fp.lang,
+      |  CASE WHEN NOT v.kept THEN 'quality'
+      |       WHEN fp.doc_id <> c.cid THEN 'exact_dup'
+      |       WHEN fp.doc_id IN (SELECT doc_id FROM dirty) THEN 'contaminated'
+      |       WHEN NOT fp.keepq THEN 'sampled_out'
+      |       ELSE 'kept' END AS verdict
+      |  FROM fp JOIN v ON v.doc_id = fp.doc_id LEFT JOIN canon c ON c.f = fp.f)""".stripMargin
+
   // ---- generated SQL fragments that mirror graft.ops constants ----
 
   /** DF-capped distinct word-trigram shingles (mirrors
@@ -783,6 +804,15 @@ object SparkEntry {
     "decontaminate" -> ((s, d) =>
       Curation.contamination(t(s, d, "documents"), col("doc_id") % 20 === 0)
         .orderBy(col("doc_id"))),
+    // the COMPOSED curation funnel (quality -> exact dedup ->
+    // decontaminate -> sample -> shard) with first-failing-stage
+    // attribution per doc; every stage = the proven single-op semantics
+    "curation_pipeline" -> ((s, d) =>
+      Curation.curationPipeline(t(s, d, "documents"), col("doc_id") % 20 === 0)
+        .orderBy(col("doc_id"))),
+    "curation_funnel" -> ((s, d) =>
+      Curation.curationFunnel(t(s, d, "documents"), col("doc_id") % 20 === 0)
+        .orderBy(col("verdict"))),
     "decontaminate_apply" -> ((s, d) =>
       Curation.decontaminateApply(t(s, d, "documents"), col("doc_id") % 20 === 0)
         .select(col("doc_id"), col("n_chars"), col("source"))
@@ -2329,6 +2359,19 @@ object SparkEntry {
         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
         |SELECT tr.doc_id, count(*) AS n_overlap FROM tr JOIN ev USING(s)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // the composed funnel: per-doc first-failing-stage verdict + shard
+    "curation_pipeline" ->
+      s"""$CURATION_CHAIN
+        |SELECT doc_id, lang, verdict,
+        |  CASE WHEN verdict = 'kept'
+        |       THEN ${H("CAST(doc_id AS VARCHAR) || ':shard'")} % 8
+        |       ELSE NULL END AS shard
+        |FROM vr ORDER BY doc_id""".stripMargin,
+    "curation_funnel" ->
+      s"""$CURATION_CHAIN,
+        |nn AS (SELECT doc_id, CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS n FROM documents)
+        |SELECT verdict, count(*) AS n_docs, CAST(sum(nn.n) AS BIGINT) AS n_tokens
+        |FROM vr JOIN nn USING(doc_id) GROUP BY verdict ORDER BY verdict""".stripMargin,
     "decontaminate_apply" ->
       s"""WITH $SHINGLES,
         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),

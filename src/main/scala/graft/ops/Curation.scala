@@ -492,4 +492,69 @@ object Curation {
       .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_words"), col("logratio"))
   }
+
+  /** The COMPOSED curation funnel — the FineWeb/CCNet-style pipeline a
+    * production crawl runs, in its standard order, as ONE dataflow with
+    * per-document FIRST-FAILING-STAGE attribution:
+    *
+    *   quality rules → exact dedup (canonical among quality survivors)
+    *   → benchmark decontamination → stratified sampling → sharding
+    *
+    * Output: one row per corpus (non-eval) document with its verdict
+    * (`quality` / `exact_dup` / `contaminated` / `sampled_out` /
+    * `kept`) and, for kept docs, the export shard. Every stage reuses
+    * the proven single-op semantics (thresholds, hashes, DF caps,
+    * sample rates), so the funnel's SQL oracle is the stacked chain of
+    * the already-verified fragments.
+    *
+    * Scale shape: the quality verdict and the sample decision are
+    * per-row projections; the dedup canonical is one fingerprint
+    * groupBy (among quality survivors) joined back on the fingerprint
+    * (hash equi-join, skew-free keys); contamination is the
+    * established broadcast eval-shingle semi-join. The corpus text
+    * shuffles only for the fingerprint join — shingle/verdict frames
+    * ship hashes and booleans.
+    */
+  def curationPipeline(df: DataFrame, evalPred: Column, nShards: Int = 8,
+      textCol: String = "text", strataCol: String = "lang"): DataFrame = {
+    val q = TextOps.qualityFilter(df.where(!evalPred), textCol)
+      .select(col("doc_id"), col("kept").as("__q"))
+    val base = df.where(!evalPred)
+      .select(col("doc_id"), col(strataCol), col(textCol))
+      .join(q, Seq("doc_id"))
+      .withColumn("__fp", TextOps.portableHash(TextOps.normalized(col(textCol))))
+    val canon = base.where(col("__q"))
+      .groupBy(col("__fp")).agg(min(col("doc_id")).as("__cid"))
+    val dirty = contamination(df, evalPred, 3, textCol)
+      .select(col("doc_id"), lit(true).as("__dirty"))
+    val keep = sampleKeep(col("doc_id"), col(strataCol))
+    val verdict =
+      when(!col("__q"), lit("quality"))
+        .when(col("doc_id") =!= col("__cid"), lit("exact_dup"))
+        .when(coalesce(col("__dirty"), lit(false)), lit("contaminated"))
+        .when(!keep, lit("sampled_out"))
+        .otherwise(lit("kept"))
+    base
+      .join(canon, Seq("__fp"), "left")
+      .join(dirty, Seq("doc_id"), "left")
+      .withColumn("verdict", verdict)
+      .select(col("doc_id"), col(strataCol), col("verdict"),
+        when(col("verdict") === "kept",
+          pmod(portableHash(concat(col("doc_id").cast("string"), lit(":shard"))),
+            lit(nShards.toLong)))
+          .otherwise(lit(null).cast("long")).as("shard"))
+  }
+
+  /** Funnel report over [[curationPipeline]]: per-verdict document and
+    * token totals — the attrition table a curation run publishes.
+    */
+  def curationFunnel(df: DataFrame, evalPred: Column, nShards: Int = 8,
+      textCol: String = "text", strataCol: String = "lang"): DataFrame = {
+    val n = df.select(col("doc_id"),
+      size(TextOps.words(col(textCol))).cast("long").as("__n"))
+    curationPipeline(df, evalPred, nShards, textCol, strataCol)
+      .join(n, Seq("doc_id"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+  }
 }

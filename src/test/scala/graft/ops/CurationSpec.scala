@@ -215,6 +215,42 @@ class CurationSpec extends SparkSpec {
     assert(t2("fr") > fr._5 && t2("en") < en._5)
   }
 
+  test("curation pipeline: first-failing stage attributed, all five verdicts reachable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // eval doc 0; every other doc designed to die at a specific stage:
+    //  1 too short (quality), 2/3 exact dups (3 loses to 2),
+    //  4 shares doc 0's trigram (contaminated), 5..N kept-or-sampled
+    val good = "the quick brown fox jumps over a lazy dog of unusual size and in fine form today"
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa the of and in to a", "en"),
+      (1L, "tiny", "en"),
+      (2L, good + " one", "fr"),
+      (3L, good + " one", "fr"),
+      (4L, "zz alpha beta gamma yy the of and in to a b c d e f g h", "en")
+    ) ++ (0 until 36).map(i => (101L + 2 * i, good + s" extra$i", "fr")) // odd ids: never eval
+    val df = rows.toDF("doc_id", "text", "lang")
+    val out = Curation.curationPipeline(df, c("doc_id") % 20 === 0, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(!out.contains(0L), "eval doc excluded")
+    assert(out(1L)._1 == "quality")
+    // 2 and 3 are identical; the canonical (min id) survives dedup
+    assert(out(3L)._1 == "exact_dup" && out(2L)._1 != "exact_dup")
+    assert(out(4L)._1 == "contaminated")
+    val verdicts = out.values.map(_._1).toSet
+    assert(verdicts.contains("kept") && verdicts.contains("sampled_out"),
+      s"fr docs sample at the default rate: $verdicts")
+    // shard only on kept; shard id in range
+    out.values.foreach { case (v, s) =>
+      if (v == "kept") assert(s >= 0 && s < 4) else assert(s == -1L)
+    }
+    // funnel totals agree with the per-doc verdicts
+    val funnel = Curation.curationFunnel(df, c("doc_id") % 20 === 0, nShards = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel == out.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+  }
+
   test("sharding: a partition of the corpus, contiguous positions, reproducible") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"w$i", "en", s"src${i % 4}", 3L))
