@@ -576,6 +576,40 @@ object SparkEntry {
       NearDupIndex.probe(idx, docs.where(col("doc_id") % 2 === 1))
         .orderBy(col("doc_id"))
     }),
+    // STREAMING curation: the funnel's gates run per micro-batch with
+    // cross-batch state — quality (per-row), incremental exact dedup
+    // against a DedupIndex that GROWS batch to batch (first owner =
+    // stream order: min (batch, doc_id), NOT the batch pipeline's
+    // global min), then the sampling gate. Docs failing the sample
+    // still register their fingerprints (a later copy of a
+    // sampled-out doc is still a dup) — the oracle mirrors exactly
+    // that: first-owner over quality survivors, sample applied last.
+    "stream_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nBatches = 4
+      val root = s"${sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))}" +
+        s"/graft-scur-${ProcessHandle.current.pid}"
+      graft.util.Fs.deleteRecursively(root)
+      val idx = DedupIndex.create(s, s"$root/idx", docs.limit(0), numBuckets = 16)
+      val batchOf = pmod(TextOps.portableHash(
+        concat(col("doc_id").cast("string"), lit(":streambatch"))), lit(nBatches.toLong))
+      val parts = (0 until nBatches).map { b =>
+        val batch = docs.where(batchOf === b.toLong)
+        val q = TextOps.qualityFilter(batch).where(col("kept")).select("doc_id")
+        val qb = batch.join(q, Seq("doc_id"), "left_semi")
+        // commitLsn must EXCEED the index's snapshot floor (0): a
+        // commit at the floor is replay-skipped by R1 semantics — a
+        // batch-0 registration at lsn 0 would silently vanish
+        val clean = DedupIndex.dedupAndUpdate(idx, qb, batchId = b.toLong,
+          commitLsn = b.toLong + 1L)
+        // pin THIS batch's probe result before the next update mutates
+        // the index (the lazy plan would otherwise re-probe new state)
+        clean.where(Curation.sampleKeep(col("doc_id"), col("lang")))
+          .select(col("doc_id"), col("lang"), lit(b.toLong).as("batch"))
+          .localCheckpoint(true)
+      }
+      parts.reduce(_ unionAll _).orderBy(col("doc_id"))
+    }),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -2359,6 +2393,20 @@ object SparkEntry {
         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
         |SELECT tr.doc_id, count(*) AS n_overlap FROM tr JOIN ev USING(s)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // streaming curation: quality survivors, first-owner per
+    // fingerprint in STREAM order (batch, doc_id), sample gate last
+    "stream_curation" ->
+      s"""$QUALITY_VERDICTS,
+        |bb AS (SELECT doc_id, lang,
+        |  ${H("CAST(doc_id AS VARCHAR) || ':streambatch'")} % 4 AS batch,
+        |  ${H("lower(regexp_replace(trim(text),'\\s+',' ','g'))")} AS f,
+        |  ($SAMPLE_KEEP) AS keepq FROM documents),
+        |qv AS (SELECT bb.* FROM bb JOIN v USING(doc_id) WHERE v.kept),
+        |own AS (SELECT doc_id FROM (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY f ORDER BY batch, doc_id) AS rn FROM qv)
+        |  WHERE rn = 1)
+        |SELECT qv.doc_id, qv.lang, CAST(qv.batch AS BIGINT) AS batch
+        |FROM qv JOIN own USING(doc_id) WHERE qv.keepq ORDER BY doc_id""".stripMargin,
     // the composed funnel: per-doc first-failing-stage verdict + shard
     "curation_pipeline" ->
       s"""$CURATION_CHAIN

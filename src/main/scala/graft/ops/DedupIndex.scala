@@ -86,6 +86,13 @@ object DedupIndex {
     */
   def update(index: IceLiteTable, newDocs: DataFrame, batchId: Long,
       commitLsn: Long, textCol: String = "text"): MergeApply.MergeStats = {
+    // a commit at or below the replay floor is SKIPPED by R1 semantics —
+    // a registration there would vanish silently (no error, just dups
+    // surviving later probes); fail loudly instead of losing state
+    val floor = index.refresh().summary.floorCommit
+    require(commitLsn > floor,
+      s"DedupIndex.update: commitLsn=$commitLsn must exceed the index's " +
+        s"replay floor ($floor) or the registration is replay-skipped")
     val fps = fingerprints(newDocs, textCol)
       .groupBy(col(FpCol)).agg(min(col("doc_id")).as("doc_id"))
     val events = fps.select(

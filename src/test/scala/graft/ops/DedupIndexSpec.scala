@@ -100,6 +100,12 @@ class DedupIndexSpec extends SparkSpec {
     val owner = DedupIndex.probe(index, docs(999L -> "fresh text alpha"))
       .select("dup_of").as[Long].collect()
     assert(owner.toSeq == Seq(201L))
+    // STREAM-order ownership beats global-min: a LATER batch arriving
+    // with a SMALLER doc_id is the dup — the registered owner keeps the
+    // fingerprint (the stream_curation oracle's min-(batch, doc_id) rule)
+    val late = DedupIndex.probe(index, docs(50L -> "fresh text alpha"))
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toMap
+    assert(late == Map(50L -> 201L), s"got $late")
     Fs.deleteRecursively(base)
   }
 }
