@@ -771,6 +771,14 @@ object SparkEntry {
     "pq_code_hist" -> ((s, d) =>
       Similarity.pqCodeHist(t(s, d, "embeddings"))
         .orderBy(col("sub"), col("code"))),
+    // FAISS IndexIVFPQ composition: coarse IVF cells + PQ over the
+    // RESIDUAL + per-cell ADC over the nprobe probed lists — the
+    // billion-vector layout; corpus side is ONE compiled projection
+    "ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // per-label diversity: mean pairwise dot in ONE linear pass
     // (sum-of-vectors identity; no pair join)
     "emb_diversity" -> ((s, d) =>
@@ -2260,6 +2268,56 @@ object SparkEntry {
     },
     "ann_pq_adc" -> pqOracleSql(hist = false),
     "pq_code_hist" -> pqOracleSql(hist = true),
+    // full replay of the IVFPQ composition: the ann_ivf_trained coarse
+    // k-means (c0..c2) -> per-vector residual vs the assigned cell ->
+    // the pqOracleSql trainer over residual subvectors (p0..p2) ->
+    // encode -> nprobe=2 probes -> per-(query, cell) residual ADC
+    "ann_ivfpq" -> {
+      def dist(vecs: String, cents: String): String =
+        s"SELECT s.vec_id, s.qv, c.cid, CAST(list_sum(list_transform(range(1, len(s.qv)+1), i -> (s.qv[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)])*(s.qv[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)]))) AS BIGINT) AS d FROM $vecs s, $cents c"
+      def iter(i: Int, prev: String): String =
+        s"""d$i AS (${dist("samp", prev)}),
+          |a$i AS (SELECT vec_id, qv, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$i) WHERE rn = 1),
+          |u$i AS (SELECT cid, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n FROM (SELECT cid, unnest(range(1, len(qv)+1)) AS pos, unnest(qv) AS v FROM a$i) GROUP BY 1,2),
+          |n$i AS (SELECT cid, list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT) ORDER BY pos) AS c FROM u$i GROUP BY cid),
+          |c$i AS (SELECT $prev.cid, COALESCE(n$i.c, $prev.c) AS c FROM $prev LEFT JOIN n$i USING(cid))""".stripMargin
+      def pdist(vecs: String, cents: String): String =
+        s"SELECT s.vec_id, s.sub, s.q, c.cid, CAST(list_sum(list_transform(range(1, len(s.q)+1), i -> (s.q[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)])*(s.q[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)]))) AS BIGINT) AS d FROM $vecs s JOIN $cents c USING (sub)"
+      def piter(i: Int, prev: String): String =
+        s"""pd$i AS (${pdist("sampr", prev)}),
+          |pa$i AS (SELECT vec_id, sub, q, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM pd$i) WHERE rn = 1),
+          |pu$i AS (SELECT sub, cid, pos, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n FROM (SELECT sub, cid, unnest(range(1, len(q)+1)) AS pos, unnest(q) AS v FROM pa$i) GROUP BY 1,2,3),
+          |pn$i AS (SELECT sub, cid, list(CAST((sv - (((sv % n) + n) % n)) / n AS BIGINT) ORDER BY pos) AS c FROM pu$i GROUP BY 1,2),
+          |p$i AS (SELECT $prev.sub, $prev.cid, COALESCE(pn$i.c, $prev.c) AS c FROM $prev LEFT JOIN pn$i USING (sub, cid))""".stripMargin
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |samp AS (SELECT vec_id, qv FROM q WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS c FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT 8)),
+        |${iter(1, "c0")},
+        |${iter(2, "c1")},
+        |dq AS (${dist("q", "c2")}),
+        |rnq AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dq),
+        |cellof AS (SELECT vec_id, cid AS cell FROM rnq WHERE rn = 1),
+        |rv AS (SELECT q.vec_id, list_transform(range(1, len(q.qv)+1), i -> q.qv[CAST(i AS INTEGER)] - c2.c[CAST(i AS INTEGER)]) AS rq
+        |       FROM q JOIN cellof ce ON q.vec_id = ce.vec_id JOIN c2 ON c2.cid = ce.cell),
+        |sv AS (SELECT vec_id, sub, list_slice(rq, sub*(len(rq)//4)+1, (sub+1)*(len(rq)//4)) AS q FROM rv, (SELECT unnest(range(4)) AS sub) subs),
+        |sampr AS (SELECT * FROM sv WHERE vec_id % 4 = 0),
+        |p0 AS (SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, q AS c FROM (SELECT sub, q, row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn FROM sampr) WHERE rn <= 16),
+        |${piter(1, "p0")},
+        |${piter(2, "p1")},
+        |de AS (${pdist("sv", "p2")}),
+        |code AS (SELECT vec_id, sub, cid AS code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM de) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid AS cell FROM rnq WHERE vec_id < 5 AND rn <= 2),
+        |qr AS (SELECT p.query_id, p.cell, list_transform(range(1, len(q.qv)+1), i -> q.qv[CAST(i AS INTEGER)] - c2.c[CAST(i AS INTEGER)]) AS rq
+        |       FROM probes p JOIN q ON q.vec_id = p.query_id JOIN c2 ON c2.cid = p.cell),
+        |qsv AS (SELECT query_id, cell, sub, list_slice(rq, sub*(len(rq)//4)+1, (sub+1)*(len(rq)//4)) AS q FROM qr, (SELECT unnest(range(4)) AS sub) subs),
+        |dtt AS (SELECT s.query_id, s.cell, s.sub, c.cid, CAST(list_sum(list_transform(range(1, len(s.q)+1), i -> (s.q[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)])*(s.q[CAST(i AS INTEGER)]-c.c[CAST(i AS INTEGER)]))) AS BIGINT) AS d FROM qsv s JOIN p2 c USING (sub)),
+        |adc AS (SELECT t.query_id, co.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_d
+        |        FROM code co JOIN cellof ce ON co.vec_id = ce.vec_id
+        |        JOIN dtt t ON ce.cell = t.cell AND co.sub = t.sub AND co.code = t.cid AND co.vec_id <> t.query_id
+        |        GROUP BY 1, 2),
+        |rk AS (SELECT query_id, vec_id, adc_d, row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id) AS rank FROM adc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
     "s3_schema_discovery" ->
       "SELECT * FROM (VALUES ('doc_id','bigint'),('lang','string'),('n_chars','bigint'),('source','string'),('text','string')) AS t(column_name, data_type) ORDER BY column_name",
     "ann_topk" ->

@@ -314,10 +314,16 @@ object Similarity {
     * `[sub*d/m, (sub+1)*d/m)`. Pure projection + bounded explode (m
     * rows per vector) — no shuffle.
     */
-  private def subvectors(df: DataFrame, m: Int): DataFrame = {
+  private def subvectors(df: DataFrame, m: Int): DataFrame =
+    subvectorsOf(df.select(col("vec_id"), quantized(col("embedding")).as("q")), m)
+
+  /** Subvector split of an already-quantized frame (vec_id, q:
+    * array<long>) — shared by the raw-vector and residual (IVFPQ)
+    * trainers.
+    */
+  private def subvectorsOf(qdf: DataFrame, m: Int): DataFrame = {
     val dsub = (size(col("q")) / lit(m)).cast("int")
-    df.select(col("vec_id"), quantized(col("embedding")).as("q"))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
+    qdf.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
       .select(col("vec_id"), col("sub"),
         slice(col("q"), col("sub") * dsub + 1, dsub).as("q"))
   }
@@ -338,9 +344,20 @@ object Similarity {
     * (see [[pqCodes]]).
     */
   def trainPqCodebooks(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
-      iters: Int = 2, sampleMod: Int = 4): DataFrame = {
-    val sample = subvectors(
-      corpus.where(pmod(col("vec_id"), lit(sampleMod)) === 0), m)
+      iters: Int = 2, sampleMod: Int = 4): DataFrame =
+    trainPqCodebooksOn(
+      corpus.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+        .select(col("vec_id"), quantized(col("embedding")).as("q")),
+      m, ksub, iters)
+
+  /** The [[trainPqCodebooks]] trainer over an already-quantized sample
+    * frame (vec_id, q: array<long>) — no internal sampling or
+    * quantization, so the IVFPQ path can feed it coarse-quantizer
+    * RESIDUALS. Identical arithmetic and tie-breaks.
+    */
+  def trainPqCodebooksOn(sampleQ: DataFrame, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    val sample = subvectorsOf(sampleQ, m)
     val wInit = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
     var centroids = sample
       .withColumn("rn", row_number().over(wInit))
@@ -448,6 +465,124 @@ object Similarity {
         x => x.getField("d")).as("dt"))
       .select(col("vec_id").as("query_id"), col("dt"))
     val scored = codes.join(broadcast(dt), col("query_id") =!= col("vec_id"))
+      .withColumn("adc_d", expr(s"$adcName(codes, dt)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d"))
+  }
+
+  /** IVFPQ top-k — the FAISS IndexIVFPQ composition (Jegou et al. §IV,
+    * the layout billion-vector ANN deployments actually run): a trained
+    * coarse quantizer partitions the corpus into `kCells` inverted
+    * lists, product quantization compresses each vector's RESIDUAL
+    * (vector minus its cell centroid), and queries scan only their
+    * `nprobe` nearest cells with per-cell ADC tables built from the
+    * QUERY residual against the shared codebooks.
+    *
+    * vs [[pqTopK]]: the ADC scan shrinks from the whole corpus to
+    * ~nprobe/kCells of it (the join is an equi-join on `cell` against a
+    * broadcast probe set), and residual quantization spends the
+    * codebook's bits on within-cell variance instead of global
+    * position. vs [[ivfTrainedTopK]]: the probed cells are scored from
+    * m-int codes (m table lookups each), never the original floats.
+    *
+    * Corpus-side plan at 10^10 vectors: ONE shuffle-free compiled
+    * projection ([[graft.plans.IvfPqEncode]]: quantize -> nearest cell
+    * -> residual -> m argmin codes, both models baked in) + one
+    * broadcast equi-join + one per-query top-k window. Training is
+    * sample-bounded; both models are O(kCells*d + ksub*d) longs of
+    * driver/broadcast state. Integer-exact end to end — cell choice,
+    * residuals, codebooks and ADC sums are bit-reproducible across
+    * engines and partitionings, so the SQL oracle replays training,
+    * encode and scoring exactly.
+    */
+  /** Train both IVFPQ models (coarse centroids + residual codebooks),
+    * register the compiled probe/encode functions on the session, and
+    * return (centroid table, codebooks, probe fn name, encode fn name).
+    */
+  private def ivfPqModels(corpus: DataFrame, kCells: Int, m: Int, ksub: Int,
+      iters: Int, sampleMod: Int): (Seq[Seq[Long]], Seq[Seq[Seq[Long]]], String, String) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // coarse quantizer (shared trainer with ivfTrainedTopK)
+    val cents: Array[(Int, Seq[Long])] =
+      trainIvfCentroids(corpus, kCells, iters, sampleMod).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .sortBy(_._1)
+    val centSeqs: Seq[Seq[Long]] = cents.map(_._2).toSeq
+    val probeName = s"ivf_probes_k${centSeqs.size}_" +
+      (scala.util.hashing.MurmurHash3.seqHash(centSeqs.flatten) & Int.MaxValue)
+    graft.plans.VecMath.registerIvfProbes(spark, probeName, centSeqs)
+    val centsDf = cents.toSeq.toDF("cell", "c")
+    // PQ codebooks trained on the SAMPLE's residuals (sample-bounded)
+    val sampleRes = corpus.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), quantized(col("embedding")).as("q"),
+        element_at(expr(s"$probeName(embedding)"), 1).as("cell"))
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("vec_id"), zip_with(col("q"), col("c"), (x, y) => x - y).as("q"))
+    val books = collectBooks(trainPqCodebooksOn(sampleRes, m, ksub, iters), m)
+    val encName = s"ivfpq_encode_k${centSeqs.size}_m${m}_" +
+      (scala.util.hashing.MurmurHash3.seqHash(
+        centSeqs.flatten ++ books.flatten.flatten) & Int.MaxValue)
+    graft.plans.VecMath.registerIvfPqEncode(spark, encName, centSeqs, books)
+    (centSeqs, books, probeName, encName)
+  }
+
+  /** The IVFPQ index build: train both models, then encode the corpus
+    * as (vec_id, cell, codes) in ONE shuffle-free compiled projection —
+    * the inverted-list key plus the m-int compressed payload a
+    * 10^10-vector index persists (see [[ivfPqTopK]] for search).
+    */
+  def ivfPqCodes(corpus: DataFrame, kCells: Int = 8, m: Int = 4,
+      ksub: Int = 16, iters: Int = 2, sampleMod: Int = 4): DataFrame = {
+    val (_, _, _, encName) = ivfPqModels(corpus, kCells, m, ksub, iters, sampleMod)
+    corpus.select(col("vec_id"), expr(s"$encName(embedding)").as("e"))
+      .select(col("vec_id"), col("e.cell").as("cell"), col("e.codes").as("codes"))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      kCells: Int = 8, m: Int = 4, ksub: Int = 16, nprobe: Int = 2,
+      iters: Int = 2, sampleMod: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centSeqs, books, probeName, encName) =
+      ivfPqModels(corpus, kCells, m, ksub, iters, sampleMod)
+    def probeOrder(embCol: String): Column = expr(s"$probeName(`$embCol`)")
+    val centsDf = centSeqs.zipWithIndex.map { case (c, cid) => (cid, c) }
+      .toDF("cell", "c") // kCells rows of model state
+    def residual(q: Column, c: Column): Column = zip_with(q, c, (x, y) => x - y)
+    val ksubEff = books.head.size
+
+    // the whole index build as one compiled projection: (cell, codes)
+    val codes = corpus.select(col("vec_id"), expr(s"$encName(embedding)").as("e"))
+      .select(col("vec_id"), col("e.cell").as("cell"), col("e.codes").as("codes"))
+
+    // per-(query, probed cell) ADC table from the QUERY's residual
+    // against that cell — tiny (|Q| * nprobe * m * ksub integer L2s)
+    val cbLocal = books.zipWithIndex.flatMap { case (cs, sub) =>
+      cs.zipWithIndex.map { case (c, cid) => (sub, cid, c) }
+    }.toDF("sub", "cid", "c")
+    val dsub = (size(col("q")) / lit(m)).cast("int")
+    val dt = queries
+      .select(col("vec_id").as("query_id"), quantized(col("embedding")).as("q"),
+        explode(slice(probeOrder("embedding"), 1, nprobe)).as("cell"))
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("query_id"), col("cell"), residual(col("q"), col("c")).as("q"))
+      .select(col("query_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("q"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        slice(col("q"), col("sub") * dsub + 1, dsub).as("q"))
+      .join(broadcast(cbLocal), Seq("sub"))
+      .withColumn("d", l2(col("q"), col("c")))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid"), col("d")))),
+        x => x.getField("d")).as("dt"))
+
+    val adcName = s"pq_adc_k$ksubEff"
+    graft.plans.VecMath.registerPqAdc(spark, adcName, ksubEff)
+    val scored = codes.join(broadcast(dt), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
       .withColumn("adc_d", expr(s"$adcName(codes, dt)"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -382,6 +382,105 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `<name>(emb)` -> struct(cell: int, codes: array<int>) — the FAISS
+  * IVFPQ corpus representation (Jegou et al. §IV: coarse quantizer +
+  * product quantization of the RESIDUAL), produced in ONE compiled
+  * pass with both models baked in: quantize each float once
+  * (Spark-exact HALF_UP), pick the nearest coarse centroid by integer
+  * squared L2 with the (distance, cid) tie-break (identical rule to
+  * [[IvfProbeOrder]] element 1), subtract that centroid to form the
+  * integer residual, then per contiguous subspace take the argmin
+  * codebook entry over the residual (identical rule to [[PqEncode]]).
+  *
+  * This is the whole per-vector index-build path for a 10^10-vector
+  * IVFPQ index as a single shuffle-free projection: the corpus is
+  * read once and lands as (cell, m codes) — the inverted-list key and
+  * the compressed payload — with no join against the centroid table
+  * and no second pass for the residual. CodegenFallback for the same
+  * reason as [[PqEncode]]: one virtual call per row around tight
+  * JIT-compiled loops.
+  */
+case class IvfPqEncode(child: Expression, centroids: Seq[Seq[Long]],
+    books: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "ivfpq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ivfpq_encode requires array<float>, got ${dt.simpleString}")
+    }
+
+  @transient private lazy val centArr: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val bookArr: Array[Array[Array[Long]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = VecMath.roundHalfUp(arr.getFloat(i).toDouble * 10000.0)
+      i += 1
+    }
+    // nearest coarse cell: argmin integer L2, lowest cid on ties
+    var cell = 0
+    var cellD = Long.MaxValue
+    var cid = 0
+    while (cid < centArr.length) {
+      val c = centArr(cid)
+      var s = 0L
+      var j = 0
+      val lim = math.min(n, c.length)
+      while (j < lim) { val diff = q(j) - c(j); s += diff * diff; j += 1 }
+      if (s < cellD) { cellD = s; cell = cid }
+      cid += 1
+    }
+    // residual in place
+    val cent = centArr(cell)
+    var r = 0
+    val rl = math.min(n, cent.length)
+    while (r < rl) { q(r) -= cent(r); r += 1 }
+    // per-subspace argmin over the residual, lowest cid on ties
+    val m = bookArr.length
+    val dsub = n / m
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cents = bookArr(sub)
+      val off = sub * dsub
+      var best = 0
+      var bestD = Long.MaxValue
+      var k = 0
+      while (k < cents.length) {
+        val c = cents(k)
+        var s = 0L
+        var j = 0
+        val lim = math.min(dsub, c.length)
+        while (j < lim) { val diff = q(off + j) - c(j); s += diff * diff; j += 1 }
+        if (s < bestD) { bestD = s; best = k }
+        k += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(cell,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfPqEncode =
+    copy(child = newChild)
+}
+
 object VecMath {
   /** Spark-exact HALF_UP rounding of a double to a long — the same
     * BigDecimal path `round()` takes, so quantization never drifts from
@@ -430,6 +529,16 @@ object VecMath {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => PqEncode(exprs(0), books),
+      "built-in")
+
+  /** Register an IVFPQ residual encoder with both models baked in
+    * (name must encode them — the registry closure captures them).
+    */
+  def registerIvfPqEncode(spark: SparkSession, name: String,
+      centroids: Seq[Seq[Long]], books: Seq[Seq[Seq[Long]]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => IvfPqEncode(exprs(0), centroids, books),
       "built-in")
 
   /** Register a PQ ADC scorer for a given per-subspace codebook size

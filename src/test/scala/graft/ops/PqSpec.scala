@@ -107,6 +107,117 @@ class PqSpec extends SparkSpec {
     hist.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < ksub))
   }
 
+  // ------------------------------------------------------------------
+  // IVFPQ (coarse cells + PQ over residuals + per-cell ADC)
+  // ------------------------------------------------------------------
+
+  /** Pure-Scala IVFPQ replay from the collected models: quantize,
+    * nearest cell by integer L2 with (d, cid) tie-break, residual,
+    * per-subspace argmin codes, probe order, per-cell ADC — an
+    * independent straight-line implementation of the whole search.
+    */
+  private def ivfPqExpected(df: DataFrame, queryIds: Seq[Long], k: Int,
+      kCells: Int, nprobe: Int): Map[Long, Seq[(Long, Long)]] = {
+    import graft.plans.VecMath.roundHalfUp
+    val vecs = df.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => roundHalfUp(v.toDouble * 10000.0)).toArray)
+      .sortBy(_._1)
+    val cents = Similarity.trainIvfCentroids(df, kCells).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).map(_._2)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    def cellOrder(q: Array[Long]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, cid) => (l2(q, c), cid) }.sorted.map(_._2).toSeq
+    def resid(q: Array[Long], cell: Int): Array[Long] =
+      q.zip(cents(cell)).map { case (x, y) => x - y }
+    // residual-sample codebooks via the engine trainer (the trainer
+    // itself is pinned by the PQ tests above)
+    val session = df.sparkSession
+    import session.implicits._
+    val sampleRes = vecs.filter(_._1 % 4 == 0)
+      .map { case (id, q) => (id, resid(q, cellOrder(q).head).toSeq) }.toSeq
+      .toDF("vec_id", "q")
+    val books = Similarity.trainPqCodebooksOn(sampleRes, m, ksub, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+    val ksubEff = books.keys.map(_._2).max + 1
+    val dsub = dims / m
+    def codesOf(r: Array[Long]): Array[Int] = (0 until m).map { s =>
+      val qs = r.slice(s * dsub, (s + 1) * dsub)
+      (0 until ksubEff).map(cid => (l2(qs, books((s, cid))), cid)).min._2
+    }.toArray
+    val enc = vecs.map { case (id, q) =>
+      val cell = cellOrder(q).head
+      (id, cell, codesOf(resid(q, cell)))
+    }
+    queryIds.map { qid =>
+      val q = vecs.find(_._1 == qid).get._2
+      val probed = cellOrder(q).take(nprobe)
+      val scored = probed.flatMap { cell =>
+        val rq = resid(q, cell)
+        val dt = (0 until m).map { s =>
+          val qs = rq.slice(s * dsub, (s + 1) * dsub)
+          (0 until ksubEff).map(cid => l2(qs, books((s, cid)))).toArray
+        }
+        enc.filter(e => e._2 == cell && e._1 != qid).map { case (id, _, codes) =>
+          (id, (0 until m).map(s => dt(s)(codes(s))).sum)
+        }
+      }
+      qid -> scored.sortBy(p => (p._2, p._1)).take(k).toSeq
+    }.toMap
+  }
+
+  test("ivfPqTopK equals a pure-Scala IVFPQ replay from the collected models") {
+    val df = clustered(160, 8, seed = 11).cache()
+    val q = df.where(col("vec_id") < 4)
+    val got = Similarity.ivfPqTopK(df, q, k = 3, kCells = 8, m, ksub)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq }
+    val want = ivfPqExpected(df, Seq(0L, 1L, 2L, 3L), k = 3, kCells = 8, nprobe = 2)
+    assert(got.keySet == want.keySet.filter(want(_).nonEmpty))
+    got.foreach { case (id, rs) => assert(rs == want(id), s"query $id") }
+  }
+
+  test("ivfPqTopK is partitioning-invariant") {
+    val df = clustered(160, 8, seed = 7)
+    val q = df.where(col("vec_id") < 8)
+    def run(c: DataFrame) = Similarity.ivfPqTopK(c, q, k = 3, kCells = 8, m, ksub)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(7)))
+  }
+
+  test("top-1 IVFPQ neighbor shares the query's cluster") {
+    val df = clustered(200, 8, seed = 21).cache()
+    val q = df.where(col("vec_id") < 8)
+    val res = Similarity.ivfPqTopK(df, q, k = 1, kCells = 8, m, ksub)
+      .join(df.select(col("vec_id"), col("cluster").as("n_cluster")), Seq("vec_id"))
+      .join(df.select(col("vec_id").as("query_id"), col("cluster").as("q_cluster")),
+        Seq("query_id"))
+    assert(res.where(col("n_cluster") =!= col("q_cluster")).count() == 0)
+  }
+
+  test("IVFPQ plans: index build is one shuffle-free projection; scoring joins on cell without shuffling the corpus") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-plan").toString
+      clustered(160, 8, seed = 7).write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+      val q = df.where(col("vec_id") < 8)
+      val codesPlan = Similarity.ivfPqCodes(df, kCells = 8, m = m, ksub = ksub)
+        .queryExecution.executedPlan.toString
+      assert(codesPlan.contains("ivfpq_encode"), codesPlan)
+      assert(!codesPlan.contains("Exchange"),
+        s"IVFPQ index build must not shuffle:\n$codesPlan")
+      val plan = Similarity.ivfPqTopK(df, q, k = 3, kCells = 8, m, ksub)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast equi-join on cell:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"corpus must not shuffle into the join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("scoring plan: corpus side never shuffles before scoring (broadcast join)") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
