@@ -397,6 +397,13 @@ object SparkEntry {
     // (stream-only final state, seed absent) and initial_only (seed
     // only, stream never runs), both value-checked from one log
     "cdc_snapshot_modes" -> ((s, d) => snapshotModesReplay(s)),
+    // multi-table routing E2E: ONE logical log carrying three tables'
+    // changes (table = portable-hash route of the doc key), fanned by
+    // MultiTable.processBatch into three independent sinks across two
+    // micro-batches — the union of per-sink final states must equal the
+    // SQL replay partitioned by the same routing rule (leaked, lost or
+    // duplicated routing breaks the hash)
+    "cdc_multitable" -> ((s, d) => multiTableReplay(s)),
     // skipped.operations=d: deletes dropped before assembly — deleted
     // keys keep their last surviving c/u state (or their seed row)
     "cdc_skip_ops" -> ((s, d) => skipOpsReplay(s)),
@@ -1215,6 +1222,55 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** Multi-table routing end-to-end: the reference tails ONE logical
+    * log for MANY tables (`table.include.list`, per-table topics —
+    * `InformixConnectorIT` multi-table cases); the engine analog is
+    * [[graft.stream.MultiTable.processBatch]] fanning one micro-batch
+    * into N independent sinks. The deterministic log's data events are
+    * re-labelled `tbl0/tbl1/tbl2` by a portable hash of the doc key
+    * (per-doc-stable, so each sink's LWW sees every version of its
+    * docs), the seed splits by the same rule, and the log applies in
+    * TWO micro-batches. The union of per-sink final states must equal
+    * the shared SQL replay partitioned by the identical routing rule —
+    * an event leaked to a sibling sink, dropped at the fan-out, or
+    * double-applied shows up as a row/hash mismatch.
+    */
+  private def multiTableReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-mtq")
+    try {
+      val cfg = EngineReplayCfg
+      ChangeLogGen.writeLog(spark, cfg, s"$base/log", numFiles = 2)
+      def routeOf(key: org.apache.spark.sql.Column) =
+        concat(lit("tbl"), pmod(TextOps.portableHash(key), lit(3L)).cast("string"))
+      def remap(raw: DataFrame): DataFrame = raw.withColumn("table",
+        when(col("op").isin("c", "u", "d"),
+          routeOf(coalesce(col("after").getField("doc_id"),
+            col("before").getField("doc_id"))))
+          .otherwise(col("table")))
+      val seed = ChangeLogGen.initialTable(spark, cfg).toDF()
+      val sinks = (0 until 3).map { i =>
+        val name = s"tbl$i"
+        val cdc = CdcConfig(s"$base/log", s"$base/table-$name", s"$base/ckpt-$name",
+          numBuckets = 8)
+        name -> CdcJob.snapshot(spark,
+          seed.where(routeOf(col("doc_id")) === name), cdc, ChangeLogGen.snapshotLsn)
+      }.toMap
+      val files = new java.io.File(s"$base/log").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      files.zipWithIndex.foreach { case (f, i) =>
+        MultiTable.processBatch(sinks, remap(spark.read.parquet(f)), i.toLong)
+      }
+      val out = sinks.toSeq.sortBy(_._1).map { case (name, tbl) =>
+        tbl.read().select(lit(name).as("tbl"), col("doc_id"), col("n_tok"),
+          col("source"), tokFpCol(col("tokens")).as("tok_fp"))
+      }.reduce(_ unionByName _).orderBy(col("tbl"), col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** The REAL Structured Streaming ingest path end-to-end — the north
     * rule's checkpoint-resume claim under the driver's value gate. The
     * deterministic log is revealed in two halves: a first
@@ -1718,6 +1774,19 @@ object SparkEntry {
     // final state: oracle identical to cdc_engine_replay
     "cdc_replica" ->
       ReplayStateSql,
+    // multi-table fan-out: the same replayed final state, partitioned
+    // by the portable-hash routing rule the engine used — per-sink
+    // content must match per-route content exactly
+    "cdc_multitable" ->
+      s"""WITH $ReplayCte
+        |SELECT 'tbl' || CAST(${H("COALESCE(l.after.doc_id, s.doc_id)")} % 3 AS VARCHAR) AS tbl,
+        |       COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+        |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+        |       COALESCE(l.after.source, s.source) AS source,
+        |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+        |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+        |WHERE COALESCE(l.op,'') <> 'd'
+        |ORDER BY tbl, doc_id""".stripMargin,
     // the incrementally-maintained view must equal the full recompute
     // over the replayed final state (same committed-event CTE)
     "cdc_ivm_agg" ->
