@@ -738,6 +738,39 @@ object SparkEntry {
           col("after").getField("k2").as("a_k2"))
         .orderBy(col("commit_lsn"))
     }),
+    // the BINARY wire twin (schema-driven framing, Avro-converter
+    // analog): fromWire(toWire(x)) over the same emitted stream must
+    // reproduce every committed data event exactly — same oracle as
+    // e_wire_roundtrip (no JSON or binary anywhere in the SQL)
+    "e_wirebin_roundtrip" -> ((s, d) => {
+      val log = CdcRelational.changeLog(t(s, d, "events"))
+        .where(col("lsn") < 2000)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tx_id"))
+      val img = struct(col("key_id").cast("string").as("k1"),
+        col("event_type").as("k2"))
+      val input = log.select(
+        col("op"), concat(lit("tab"), (col("tx_id") % 3 + 1).cast("string")).as("table"),
+        when(col("op") === "d", img).as("before"),
+        when(col("op") =!= "d", img).as("after"),
+        col("lsn").as("commit_lsn"), col("lsn").as("change_lsn"),
+        col("tx_id"), lit(0L).as("ts_ms"))
+        .withColumn("begin_lsn", min(col("commit_lsn")).over(w))
+      val emitted = graft.stream.TxAssembler.emitRecords(input,
+        tombstonesOnDelete = true, keyCol = "k1",
+        keepBefore = true, keepSource = true)
+      val payload = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k2",
+          org.apache.spark.sql.types.StringType)))
+      WireBinary.fromWire(WireBinary.toWire(emitted, keyCol = "k1"), payload)
+        .select(col("commit_lsn"), col("change_lsn"), col("tx_id"),
+          col("begin_lsn"), col("op"), col("table").as("tbl"),
+          col("before").getField("k1").as("b_k1"),
+          col("after").getField("k1").as("a_k1"),
+          col("after").getField("k2").as("a_k2"))
+        .orderBy(col("commit_lsn"))
+    }),
     // ---- training-data ops: similarity search ----
     "ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2170,6 +2203,18 @@ object SparkEntry {
     // itself — any serialization drift (a lost field, a re-typed lsn, a
     // tombstone leaking through ingest) breaks the hash
     "e_wire_roundtrip" ->
+      s"""$LOG,
+        |x AS (SELECT lsn, tx_id, op, key_id, event_type,
+        |  'tab' || CAST(tx_id % 3 + 1 AS VARCHAR) AS tbl FROM log WHERE lsn < 2000),
+        |w AS (SELECT *, min(lsn) OVER (PARTITION BY tx_id) AS begin_lsn FROM x)
+        |SELECT lsn AS commit_lsn, lsn AS change_lsn, tx_id, begin_lsn, op, tbl,
+        |  CASE WHEN op = 'd' THEN CAST(key_id AS VARCHAR) END AS b_k1,
+        |  CASE WHEN op <> 'd' THEN CAST(key_id AS VARCHAR) END AS a_k1,
+        |  CASE WHEN op <> 'd' THEN event_type END AS a_k2
+        |FROM w ORDER BY commit_lsn""".stripMargin,
+    // binary wire: round trip must be the identity on committed data
+    // events — the oracle is the SAME plain committed stream
+    "e_wirebin_roundtrip" ->
       s"""$LOG,
         |x AS (SELECT lsn, tx_id, op, key_id, event_type,
         |  'tab' || CAST(tx_id % 3 + 1 AS VARCHAR) AS tbl FROM log WHERE lsn < 2000),

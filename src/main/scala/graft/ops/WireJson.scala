@@ -59,8 +59,12 @@ object WireJson {
     *   - absent source fields (an input without tx metadata) serialize
     *     as JSON nulls.
     */
-  def toWire(emitted: DataFrame, keyCol: String = "doc_id",
-      db: String = "graft"): DataFrame = {
+  /** The Debezium value envelope as a struct Column over an emitted
+    * record stream — shared by the JSON ([[toWire]]) and binary
+    * ([[WireBinary.toWire]]) serializers so both wires carry the
+    * identical logical record.
+    */
+  private[ops] def envelopeCol(emitted: DataFrame, db: String): Column = {
     def opt(c: String, t: DataType): Column =
       if (emitted.columns.contains(c)) col(c).cast(t) else lit(null).cast(t)
     // Rebuild `before` by FIELD NAME against the after schema: the
@@ -88,12 +92,17 @@ object WireJson {
       col("change_lsn").as("change_lsn"),
       opt("begin_lsn", LongType).as("begin_lsn"),
       opt("tx_id", LongType).as("txId"))
-    val envelope = struct(
+    struct(
       beforeCol.as("before"),
       col("after").as("after"),
       source.as("source"),
       col("op").as("op"),
       col("ts_ms").as("ts_ms"))
+  }
+
+  def toWire(emitted: DataFrame, keyCol: String = "doc_id",
+      db: String = "graft"): DataFrame = {
+    val envelope = envelopeCol(emitted, db)
     emitted.select(
       col("topic"),
       to_json(struct(col("key").as(keyCol))).as("key"),
