@@ -371,6 +371,10 @@ object SparkEntry {
     // consumes the first one's topic dump (WireSource) and must land on
     // the same oracle-replayed final state, token fingerprints included
     "cdc_wire_replay" -> ((s, d) => engineReplayWire(s)),
+    // engine -> BINARY wire -> engine (emitWireBinary producer, the
+    // same WireSource consumer dispatching on the dump's value type):
+    // must refold to the same oracle-replayed final state
+    "cdc_wirebin_replay" -> ((s, d) => binWireReplay(s)),
     // table-as-topic: a downstream consumer drains the sink's change
     // feed via the DSv2 micro-batch stream and refolds the final state
     // — must match the same replay oracle (the feed is complete)
@@ -1255,6 +1259,41 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** Engine -> BINARY wire -> engine: the producer engine emits its
+    * committed record stream as [[graft.ops.WireBinary]] frames
+    * (`emitWireBinary`), a second engine instance consumes the dump
+    * through the SAME [[graft.stream.WireSource]] path (format
+    * dispatched off the dump's `value` type; binary topics are
+    * fixed-schema, no inference pass) and must land on the identical
+    * oracle-replayed final state, token fingerprints included — the
+    * binary twin of `cdc_wire_replay`.
+    */
+  private def binWireReplay(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-wbq")
+    try {
+      val cfg = EngineReplayCfg
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8,
+        emitDir = Some(s"$base/emit"), emitWireBinary = true)
+      ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 2)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+      val cdcWire = CdcConfig(s"$base/emit/batch-*", s"$base/tableW", s"$base/ckptW",
+        numBuckets = 8)
+      val tableW = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdcWire, ChangeLogGen.snapshotLsn)
+      WireSource.runIncremental(spark, tableW, cdcWire, filesPerBatch = 2)
+      val out = tableW.read()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          tokFpCol(col("tokens")).as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** Multi-table routing end-to-end: the reference tails ONE logical
     * log for MANY tables (`table.include.list`, per-table topics —
     * `InformixConnectorIT` multi-table cases); the engine analog is
@@ -1798,6 +1837,9 @@ object SparkEntry {
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving
     "cdc_wire_replay" ->
+      ReplayStateSql,
+    // the binary wire round trip must land on the SAME replayed state
+    "cdc_wirebin_replay" ->
       ReplayStateSql,
     // the change feed drained through the DSv2 micro-batch stream must
     // refold to the SAME final state: oracle identical to cdc_engine_replay

@@ -53,13 +53,20 @@ object WireBinary {
       col("commit_lsn"), col("change_lsn"), col("emit_seq"))
   }
 
-  private def decoded(wire: DataFrame, payload: DataType): DataFrame = {
+  /** The decoded envelope as a Column over a `value: binary` frame
+    * column (null on malformed frames) — the binary analog of
+    * `from_json(col("value"), valueSchema(payload))`.
+    */
+  def decodeCol(df: DataFrame, payload: DataType): Column = {
     val schema = valueSchema(payload)
     val (enc, dec) = fnNames(schema)
-    WireBin.register(wire.sparkSession, enc, dec, schema)
-    wire.where(col("value").isNotNull)
-      .withColumn("__env", expr(s"$dec(value)"))
+    WireBin.register(df.sparkSession, enc, dec, schema)
+    expr(s"$dec(value)")
   }
+
+  private def decoded(wire: DataFrame, payload: DataType): DataFrame =
+    wire.where(col("value").isNotNull)
+      .withColumn("__env", decodeCol(wire, payload))
 
   /** Parse binary wire records back into committed change events (the
     * same output shape as [[WireJson.fromWire]]). Null values

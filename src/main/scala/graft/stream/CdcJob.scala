@@ -177,6 +177,15 @@ final case class CdcConfig(
       * unchanged; [[graft.ops.WireJson.fromWire]] ingests it back.
       * Mutually exclusive with [[emitFlatten]]. */
     emitWire: Boolean = false,
+    /** Emit wire records with the BINARY value framing
+      * ([[graft.ops.WireBinary]] — the Avro-converter analog: ~0.6x
+      * the JSON bytes, positional decode). Same topics/keys/tombstone
+      * contract as [[emitWire]]. The frames are schema-driven and NOT
+      * self-describing: consumers decode with the producer's payload
+      * schema, so additive evolution must be coordinated out-of-band
+      * (the JSON wire stays the self-describing option). Mutually
+      * exclusive with [[emitWire]] and [[emitFlatten]]. */
+    emitWireBinary: Boolean = false,
     /** Wire-source schema evolution ([[WireSource]] consumers only):
       * infer additive after-image fields from each micro-batch's JSON
       * and propagate them to the sink schema (E4 over the wire). Costs
@@ -602,6 +611,7 @@ object CdcJob {
       returnEmptyTransactions: Boolean = false,
       emitFlatten: Boolean = false,
       emitWire: Boolean = false,
+      emitWireBinary: Boolean = false,
       filters: CaptureFilters = CaptureFilters.none,
       inlineCompact: Boolean = true,
       rowFilter: Option[Column] = None,
@@ -616,8 +626,9 @@ object CdcJob {
     // before field), so the before-image pruning keeps all payload
     // fields when that sink is configured; otherwise just the merge key
     // plus any message.key.columns override fields.
+    val anyWire = emitWire || emitWireBinary
     val wireBefore: Seq[String] =
-      if (!emitWire) Nil
+      if (!anyWire) Nil
       else rawBatch.schema("after").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
     val transformed = prepareRaw(rawBatch, keyCol, tableInclude, columnTransforms,
@@ -669,17 +680,18 @@ object CdcJob {
     // transaction-metadata stream, with the reference's switches applied.
     // Envelope-complete assembly (slim = false) so ts_ms/begin_lsn are
     // populated on the emitted records.
-    require(!(emitFlatten && emitWire),
-      "emitFlatten and emitWire are mutually exclusive emission formats")
+    require(Seq(emitFlatten, emitWire, emitWireBinary).count(identity) <= 1,
+      "emitFlatten / emitWire / emitWireBinary are mutually exclusive emission formats")
     emitDir.foreach { dir =>
       val full =
         if (broadcastAssembly) TxAssembler.assembleBroadcast(input)
         else events
       val recs = TxAssembler.emitRecords(full, tombstonesOnDelete, keyCol,
         messageKeyColumns, topicRouting, contentRouting,
-        keepBefore = emitFlatten || emitWire, keepSource = emitWire)
+        keepBefore = emitFlatten || anyWire, keepSource = anyWire)
       val outRecs =
         if (emitWire) graft.ops.WireJson.toWire(recs, keyCol)
+        else if (emitWireBinary) graft.ops.WireBinary.toWire(recs, keyCol)
         else if (!emitFlatten) recs
         else graft.ops.Unwrap.flatten(recs, addFields = Seq(
           "op" -> "op", "topic" -> "topic", "key" -> "key",
@@ -738,7 +750,8 @@ object CdcJob {
         processBatch(table, df, batchId, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions,
-          emitFlatten = cfg.emitFlatten, emitWire = cfg.emitWire, filters = cfg.filters,
+          emitFlatten = cfg.emitFlatten, emitWire = cfg.emitWire,
+          emitWireBinary = cfg.emitWireBinary, filters = cfg.filters,
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,
@@ -828,7 +841,8 @@ object CdcJob {
         out += processBatch(table, raw, from + j, cfg.broadcastAssembly, cfg.tableInclude,
           cfg.columnTransforms, cfg.txCarryover, cfg.emitDir,
           cfg.tombstonesOnDelete, cfg.returnEmptyTransactions,
-          emitFlatten = cfg.emitFlatten, emitWire = cfg.emitWire, filters = cfg.filters,
+          emitFlatten = cfg.emitFlatten, emitWire = cfg.emitWire,
+          emitWireBinary = cfg.emitWireBinary, filters = cfg.filters,
           inlineCompact = daemon.isEmpty, rowFilter = cfg.rowFilter,
           skippedOperations = cfg.skippedOperations,
           messageKeyColumns = cfg.messageKeyColumns,

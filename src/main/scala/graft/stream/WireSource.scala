@@ -63,6 +63,22 @@ object WireSource {
     StructField("key", StringType),
     StructField("value", StringType)))
 
+  /** The binary-wire record shape ([[graft.ops.WireBinary]] frames).
+    * Consumption dispatches on the `value` column's type, so one
+    * consumer code path serves both wires; binary topics are
+    * fixed-schema (frames are not self-describing — no JSON-style
+    * evolution inference; coordinate additive evolution out-of-band). */
+  val wireBinSchema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("key", StringType),
+    StructField("value", BinaryType)))
+
+  /** Sniff a dump's wire format from its parquet footer (one metadata
+    * read, no data scan). */
+  private def dumpIsBinary(spark: SparkSession, files: Seq[String]): Boolean =
+    spark.read.parquet(files.head).schema.fields
+      .find(_.name == "value").exists(_.dataType == BinaryType)
+
   /** Position-only value schema: enough of the envelope to read the
     * source coordinates without committing to a payload schema. */
   private val posSchema: StructType = StructType(Seq(
@@ -110,10 +126,14 @@ object WireSource {
     }
     // inference and/or DLQ mean a second full pass over the batch —
     // persist once (the MultiTable lesson: never re-scan a shared batch)
-    val multiPass = inferEvolution || dlqDir.nonEmpty
+    // binary frames carry no self-describing schema: reader schema =
+    // the sink's (no inference pass — see wireBinSchema)
+    val isBinary = scoped.schema("value").dataType == BinaryType
+    val infer = inferEvolution && !isBinary
+    val multiPass = infer || dlqDir.nonEmpty
     val wire = if (multiPass) scoped.persist(StorageLevel.MEMORY_AND_DISK) else scoped
     try {
-      val payload = payloadSchema(wire, table.refresh().schema, inferEvolution)
+      val payload = payloadSchema(wire, table.refresh().schema, infer)
       // Quarantine layout: ONE dataset partitioned per SOURCE FILE with
       // dynamic partition overwrite — dump files are immutable, so
       // re-delivery of a file (SS re-trigger, resume-renumbered batch,
@@ -123,13 +143,16 @@ object WireSource {
       // files' quarantined records. `src_path` rides inside the rows
       // for humans; the partition key is its hash (path-safe).
       dlqDir.foreach { d =>
-        WireJson.badRecords(wire, payload)
+        (if (isBinary) graft.ops.WireBinary.badRecords(wire, payload)
+         else WireJson.badRecords(wire, payload))
           .withColumn("src_path", input_file_name())
           .withColumn("src_part", abs(xxhash64(input_file_name())).cast("string"))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("src_part").parquet(s"$d/wire-records")
       }
-      val events = WireJson.fromWire(wire, payload)
+      val events =
+        if (isBinary) graft.ops.WireBinary.fromWire(wire, payload)
+        else WireJson.fromWire(wire, payload)
       MergeApply.applyBatch(table, events, batchId, inlineCompact = inlineCompact)
     } finally if (multiPass) { wire.unpersist(); () }
   }
@@ -143,7 +166,8 @@ object WireSource {
       table: IceLiteTable,
       cfg: CdcConfig,
       trigger: Trigger = Trigger.AvailableNow(),
-      topicInclude: Option[Seq[String]] = None
+      topicInclude: Option[Seq[String]] = None,
+      binaryWire: Boolean = false
   ): StreamingQuery = {
     graft.plans.LwwMaxBy.register(spark)
     // R4 analog on restart: a resumed consumer over a truncated dump
@@ -157,7 +181,7 @@ object WireSource {
         clusterBy = MergeApply.clusterBy,
         maxRowsPerFile = MergeApply.clusterMaxRowsPerFile))
     spark.readStream
-      .schema(wireSchema)
+      .schema(if (binaryWire) wireBinSchema else wireSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.logDir)
       .writeStream
@@ -192,26 +216,36 @@ object WireSource {
   }
 
   /** Max (commit_lsn, change_lsn) present in each file of the dump —
-    * one position-only parse, no payload schema needed. Files with no
-    * parseable positions (garbage-only, metadata dumps) are absent. */
-  private def positionScan(spark: SparkSession, files: Seq[String])
-      : Map[String, (Long, Long)] =
-    spark.read
-      .schema(wireSchema).parquet(files: _*)
+    * one position-only parse. JSON wires need no payload schema
+    * (partial from_json); binary frames decode with the sink's
+    * payload schema (frames are positional — there is no
+    * schema-free partial read). Files with no parseable positions
+    * (garbage-only, metadata dumps) are absent. */
+  private def positionScan(spark: SparkSession, files: Seq[String],
+      payload: StructType): Map[String, (Long, Long)] = {
+    val isBin = dumpIsBinary(spark, files)
+    val raw = spark.read
+      .schema(if (isBin) wireBinSchema else wireSchema).parquet(files: _*)
+    val env =
+      if (isBin) graft.ops.WireBinary.decodeCol(raw, payload)
+      else from_json(col("value"), posSchema)
+    raw
       .select(input_file_name().as("f"),
-        from_json(col("value"), posSchema).as("p"))
-      .where(col("p.source.commit_lsn").isNotNull)
+        env.getField("source").getField("commit_lsn").as("c"),
+        env.getField("source").getField("change_lsn").as("l"))
+      .where(col("c").isNotNull)
       .groupBy(col("f"))
-      .agg(max(struct(col("p.source.commit_lsn").as("c"),
-        col("p.source.change_lsn").as("l"))).as("m"))
+      .agg(max(struct(col("c"), col("l"))).as("m"))
       .collect()
       .map { r =>
-        val raw = r.getString(0)
+        val rawPath = r.getString(0)
         val p =
-          if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+          if (rawPath.startsWith("file:")) new java.net.URI(rawPath).getPath
+          else rawPath
         val m = r.getStruct(1)
         p -> (m.getLong(0), m.getLong(1))
       }.toMap
+  }
 
   private val BatchDirName = "^batch-(\\d+)$".r
 
@@ -265,7 +299,8 @@ object WireSource {
         if (sm.watermarkCommit >= sm.floorCommit)
           (sm.watermarkCommit, sm.watermarkChange)
         else (sm.floorCommit, Long.MaxValue)
-      val maxPerFile = positionScan(spark, files)
+      val maxPerFile = positionScan(spark, files,
+        MergeApply.asNullable(table.current.schema).asInstanceOf[StructType])
       def beyond(pos: (Long, Long)): Boolean =
         pos._1 > rc || (pos._1 == rc && pos._2 > rl)
       Some { g =>
@@ -335,6 +370,8 @@ object WireSource {
       topicInclude: Option[Seq[String]] = None
   ): Seq[MergeApply.MergeStats] = {
     val (root, files) = listDump(cfg.logDir)
+    val readSchema =
+      if (files.nonEmpty && dumpIsBinary(spark, files)) wireBinSchema else wireSchema
     val groups = groupsOf(root, files)
     val chunks: Seq[Seq[Group]] = groups.grouped(filesPerBatch).toSeq
     val from = table.refresh().summary.lastBatchId + 1
@@ -353,7 +390,7 @@ object WireSource {
     val out = scala.collection.mutable.ArrayBuffer[MergeApply.MergeStats]()
     todo.zipWithIndex.foreach { case (chunk, j) =>
       if (j < stopAfterBatches) {
-        val raw = spark.read.schema(wireSchema).parquet(chunk.flatMap(_.files): _*)
+        val raw = spark.read.schema(readSchema).parquet(chunk.flatMap(_.files): _*)
         out += applyWireBatch(table, raw, from + j,
           inferEvolution = cfg.wireInferEvolution, dlqDir = cfg.dlqDir,
           topicInclude = topicInclude, inlineCompact = daemon.isEmpty)
