@@ -146,6 +146,30 @@ class WireBinarySpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("binary wire ingest: streaming path (SS checkpoint) converges to the producer state") {
+    import spark.implicits._
+    import graft.stream.{CdcConfig, WireSource}
+    val cfg = ChangeLogConfig(nTx = 100, nDocs = 60, seed = 94)
+    val base = Fs.tempDir("graft-wbin-ss")
+    val pcdc = CdcConfig(s"$base/log", s"$base/ptable", s"$base/pckpt", numBuckets = 4,
+      emitDir = Some(s"$base/emit"), emitWireBinary = true)
+    ChangeLogGen.writeLog(spark, cfg, pcdc.logDir, 3)
+    val pt = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      pcdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, pt, pcdc, filesPerBatch = 1)
+    val producer = pt.read().as[TokenDoc].collect().map(d => d.doc_id -> d.tokens).toMap
+    val ccdc = CdcConfig(s"$base/emit/batch-*", s"$base/ctable", s"$base/cckpt",
+      numBuckets = 4, maxFilesPerTrigger = 2)
+    val ct = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      ccdc, ChangeLogGen.snapshotLsn)
+    WireSource.stream(spark, ct,
+      ccdc, org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      binaryWire = true).awaitTermination()
+    val state = ct.read().as[TokenDoc].collect().map(d => d.doc_id -> d.tokens).toMap
+    assert(state == producer)
+    Fs.deleteRecursively(base)
+  }
+
   test("golden frame: the byte layout is pinned (format stability)") {
     import spark.implicits._
     // one fully-known record through the real envelope path
