@@ -307,6 +307,22 @@ object SparkEntry {
     // the full conversion-mode matrix (decimal modes, variable-scale
     // decimal, temporal precisions, char padding, boolean literals)
     "f5b_type_matrix" -> ((s, d) => ValueConv.typeMatrix(t(s, d, "events"))),
+    // F8 driver-green: the DELIMIDENT quoting rule
+    // (InformixIdentifierQuoter.java:11-22) as a codegen'd projection
+    // over a derived identifier corpus covering every branch
+    "f8_ident_quoting" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = pmod(col("doc_id"), lit(5))
+      val ident = when(m === 0, col("source"))
+        .when(m === 1, concat(upper(substring(col("source"), 1, 1)),
+          substring(col("source"), 2, 100)))
+        .when(m === 2, concat(col("source"), lit(" col")))
+        .when(m === 3, concat(col("source"), lit("_9$")))
+        .otherwise(concat(lit("\""), col("source"), lit("\"")))
+      docs.select(col("doc_id"), ident.as("ident"),
+        ValueConv.quoteIfNecessaryCol(ident).as("quoted"))
+        .orderBy(col("doc_id"))
+    }),
     // binary.handling.mode matrix over a real binary payload column
     "f5c_binary_modes" -> ((s, d) => {
       val media = Multimodal.toMedia(t(s, d, "documents"))
@@ -2148,6 +2164,19 @@ object SparkEntry {
       s"$LOG SELECT lsn, key_id FROM log ORDER BY lsn",
     "f5_value_conversion" ->
       "SELECT event_id, value AS v_double, CAST(round(value*100) AS BIGINT) AS v_cents, CAST(floor(value) AS BIGINT) AS v_floor FROM events WHERE event_id < 500 ORDER BY event_id",
+    // F8: DELIMIDENT quoting replayed branch-for-branch
+    "f8_ident_quoting" ->
+      """WITH i AS (SELECT doc_id, CASE doc_id % 5
+        |  WHEN 0 THEN source
+        |  WHEN 1 THEN upper(substr(source,1,1)) || substr(source,2)
+        |  WHEN 2 THEN source || ' col'
+        |  WHEN 3 THEN source || '_9$'
+        |  ELSE '"' || source || '"' END AS ident FROM documents)
+        |SELECT doc_id, ident,
+        |  CASE WHEN NOT regexp_matches(ident, '^[a-z0-9_$]*$')
+        |        AND NOT (ident LIKE '"%' AND ident LIKE '%"')
+        |  THEN '"' || ident || '"' ELSE ident END AS quoted
+        |FROM i ORDER BY doc_id""".stripMargin,
     "f5c_binary_modes" ->
       """SELECT doc_id, to_base64(encode(text)) AS b64,
         |  replace(replace(to_base64(encode(text)),'+','-'),'/','_') AS b64url,

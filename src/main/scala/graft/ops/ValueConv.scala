@@ -244,6 +244,22 @@ object ValueConv {
     else identifier
   }
 
+  /** Column form of [[quoteIfNecessary]] for ASCII identifiers (the
+    * reference's DELIMIDENT rule on the emission surface, applied as a
+    * codegen'd projection — no UDF). ValueConvSpec pins agreement with
+    * the Scala form over the generated identifier corpus; the class
+    * `[a-z0-9_$]` matches the Scala predicate exactly on ASCII (the
+    * testdata's identifier universe — the reference's own quoter is
+    * likewise charwise).
+    */
+  def quoteIfNecessaryCol(ident: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val unquoted = ident.rlike("^[a-z0-9_$]*$")
+    val already = ident.startsWith("\"") && ident.endsWith("\"")
+    when(!unquoted && !already, concat(lit("\""), ident, lit("\"")))
+      .otherwise(ident)
+  }
+
   /** The observable F5 matrix over the `events` table: every conversion
     * mode exercised on deterministically derived inputs. The unscaled
     * integer basis (`cents` = round(value*100)) makes every decimal mode

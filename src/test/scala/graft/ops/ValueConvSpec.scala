@@ -128,6 +128,21 @@ class ValueConvSpec extends SparkSpec {
     assert(quoteIfNecessary("") == "")
   }
 
+  test("F8 Column form agrees with the reference-pinned Scala form on an ASCII corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every branch + edge cases (empty, lone quote, half-quoted, digits)
+    val corpus = Seq("lower_case_9$", "MixedCase", "with space", "with-dash",
+      "\"AlreadyQuoted\"", "", "\"", "\"half", "half\"", "123", "_", "$",
+      "a b c", "UPPER", "mixed_Case$", "tab\tchar")
+    val got = corpus.toDF("ident")
+      .select(col("ident"), ValueConv.quoteIfNecessaryCol(col("ident")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    corpus.foreach { id =>
+      assert(got(id) == quoteIfNecessary(id), s"ident <$id>")
+    }
+  }
+
   test("f5b type matrix runs and is deterministic") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val a = ValueConv.typeMatrix(events).collect()
