@@ -307,6 +307,38 @@ object SparkEntry {
     // the full conversion-mode matrix (decimal modes, variable-scale
     // decimal, temporal precisions, char padding, boolean literals)
     "f5b_type_matrix" -> ((s, d) => ValueConv.typeMatrix(t(s, d, "events"))),
+    // F6 driver-green: positional row materialization — wire envelopes
+    // whose after-image fields arrive in REVERSED order with one schema
+    // column missing must materialize aligned to the schema's column
+    // order with the absent column null (the reference's column-order
+    // contract, InformixValidateColumnOrderIT.java:31-60; engine form:
+    // name-aligned parse into the StructType, never positional)
+    "f6_positional" -> ((s, d) => {
+      val log = CdcRelational.changeLog(t(s, d, "events"))
+        .where(col("lsn") < 2000)
+      val json = concat(
+        lit("""{"source":{"change_lsn":"""), col("lsn"),
+        lit(""","commit_lsn":"""), col("lsn"),
+        lit("""},"op":""""), col("op"),
+        lit("""","after":{"k2":""""), col("event_type"),
+        lit("""","k1":""""), col("key_id").cast("string"),
+        lit(""""}}"""))
+      val wire = log.select(lit("t").as("topic"), lit("{}").as("key"),
+        json.as("value"))
+      val payload = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k2",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k3",
+          org.apache.spark.sql.types.StringType)))
+      WireJson.fromWire(wire, payload)
+        .select(col("commit_lsn"), col("op"),
+          col("after").getField("k1").as("a_k1"),
+          col("after").getField("k2").as("a_k2"),
+          col("after").getField("k3").as("a_k3"))
+        .orderBy(col("commit_lsn"))
+    }),
     // F8 driver-green: the DELIMIDENT quoting rule
     // (InformixIdentifierQuoter.java:11-22) as a codegen'd projection
     // over a derived identifier corpus covering every branch
@@ -2164,6 +2196,13 @@ object SparkEntry {
       s"$LOG SELECT lsn, key_id FROM log ORDER BY lsn",
     "f5_value_conversion" ->
       "SELECT event_id, value AS v_double, CAST(round(value*100) AS BIGINT) AS v_cents, CAST(floor(value) AS BIGINT) AS v_floor FROM events WHERE event_id < 500 ORDER BY event_id",
+    // F6: the same rows with NO JSON anywhere — materialization must
+    // realign reversed wire fields by name, absent column reads null
+    "f6_positional" ->
+      s"""$LOG
+        |SELECT lsn AS commit_lsn, op, CAST(key_id AS VARCHAR) AS a_k1,
+        |  event_type AS a_k2, CAST(NULL AS VARCHAR) AS a_k3
+        |FROM log WHERE lsn < 2000 ORDER BY commit_lsn""".stripMargin,
     // F8: DELIMIDENT quoting replayed branch-for-branch
     "f8_ident_quoting" ->
       """WITH i AS (SELECT doc_id, CASE doc_id % 5

@@ -75,6 +75,31 @@ class WireJsonSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("F6: reversed/missing wire fields realign by name, absent column null") {
+    import spark.implicits._
+    // the sink schema declares (k1, k2, k3); the producer emits the
+    // after-image with fields REVERSED and k3 absent — the reference's
+    // column-order contract (InformixValidateColumnOrderIT.java:31-60)
+    // requires materialization aligned to the schema, never positional
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k1",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k2",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k3",
+        org.apache.spark.sql.types.StringType)))
+    val wire = Seq(
+      ("t", """{"k1":"a"}""",
+        """{"source":{"change_lsn":7,"commit_lsn":7},"op":"c",""" +
+          """"after":{"k2":"beta","k1":"a"}}"""))
+      .toDF("topic", "key", "value")
+    val row = WireJson.fromWire(wire, payload)
+      .select(col("after.k1"), col("after.k2"), col("after.k3")).head()
+    assert(row.getString(0) == "a", "k1 realigned by name, not position")
+    assert(row.getString(1) == "beta", "k2 realigned by name")
+    assert(row.isNullAt(2), "schema column absent on the wire reads null")
+  }
+
   test("garbage on the topic is dropped (and surfaced), never fatal") {
     import spark.implicits._
     val (base, _, events) = fixture()
