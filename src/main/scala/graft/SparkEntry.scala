@@ -669,6 +669,25 @@ object SparkEntry {
       }
       parts.reduce(_ unionAll _).orderBy(col("doc_id"))
     }),
+    // STREAMING watermark + windowed agg driven end to end: the events
+    // table arrives in 5 deterministic micro-batches (1-in-10 rows are
+    // stragglers carrying event times from two segments earlier),
+    // tumbling 1 s windows aggregate under a 2002 ms watermark in
+    // APPEND mode — a row drops iff its WINDOW's end has passed the
+    // watermark of its arrival batch (window-granular, pinned by
+    // WindowedAggSpec); the oracle replays batch assignment, the
+    // prefix-max watermark schedule and the drop rule in SQL
+    "stream_window_agg" -> ((s, d) =>
+      graft.stream.WindowedAgg.overEvents(s, t(s, d, "events"))),
+    // STREAMING session windows per user under the same harness — the
+    // stateful flavor: a user's burst split across the batch boundary
+    // must MERGE in the state store; stragglers (batches >= 2, times
+    // from two segments back) are watermark-expired on arrival. The
+    // operating point makes the final state a pure gaps-and-islands
+    // merge (kept rows always lead the watermark; emitted sessions
+    // always trail it), so flat SQL replays it exactly
+    "stream_session_agg" -> ((s, d) =>
+      graft.stream.SessionAgg.overEvents(s, t(s, d, "events"))),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -2689,6 +2708,60 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT qv.doc_id, qv.lang, CAST(qv.batch AS BIGINT) AS batch
         |FROM qv JOIN own USING(doc_id) WHERE qv.keepq ORDER BY doc_id""".stripMargin,
+    // watermark schedule + window-granular late drop, replayed: batch
+    // b's watermark = max event time over batches < b, minus the delay
+    // (initial watermark 0); a row survives iff its window end exceeds
+    // it. The operating point keeps every comparison tie-free (event
+    // times ≡ 1, watermarks ≡ 3, window ends ≡ 0 mod 4).
+    "stream_window_agg" -> {
+      import graft.stream.WindowedAgg._
+      val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")
+      val hL = H("CAST(event_id AS VARCHAR) || ':latewagg'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':twagg'")
+      s"""WITH ev AS (
+        |  SELECT event_id, ($hB % $NumBatches) AS b,
+        |    (CASE WHEN ($hL % $LateEvery) = 0
+        |          THEN greatest(($hB % $NumBatches) - 2, 0)
+        |          ELSE ($hB % $NumBatches) END) * $SegmentMs
+        |      + ($hT % ${SegmentMs / 4}) * 4 + 1 AS m
+        |  FROM events),
+        |bm AS (SELECT b, max(m) AS bmax FROM ev GROUP BY b),
+        |wmk AS (SELECT b, coalesce(max(bmax) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $DelayMs, 0) AS wm
+        |  FROM bm),
+        |kept AS (SELECT ev.event_id, ev.m FROM ev JOIN wmk USING (b)
+        |  WHERE (ev.m // $WindowMs) * $WindowMs + $WindowMs > wmk.wm)
+        |SELECT (m // $WindowMs) * $WindowMs AS w_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id % 97) AS BIGINT) AS s_mod,
+        |  max(m) AS max_ms
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // session merge: stragglers (late AND batch >= 2) are the exact
+    // drop set; everything else folds into per-user gap-2001 islands
+    "stream_session_agg" -> {
+      import graft.stream.{SessionAgg, WindowedAgg}
+      import WindowedAgg.{NumBatches, SegmentMs, LateEvery}
+      val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")
+      val hL = H("CAST(event_id AS VARCHAR) || ':latewagg'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':twagg'")
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    ($hB % $NumBatches) * $SegmentMs
+        |      + ($hT % ${SegmentMs / 4}) * 4 + 1 AS m
+        |  FROM events
+        |  WHERE NOT (($hL % $LateEvery) = 0 AND ($hB % $NumBatches) >= 2)),
+        |ord AS (SELECT event_id, user_id, m,
+        |    lag(m) OVER (PARTITION BY user_id ORDER BY m) AS pm FROM ev),
+        |isl AS (SELECT event_id, user_id, m,
+        |    sum(CASE WHEN pm IS NULL OR m - pm >= ${SessionAgg.GapMs} THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY m ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM ord)
+        |SELECT user_id, min(m) AS s_start, max(m) + ${SessionAgg.GapMs} AS s_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id % 97) AS BIGINT) AS s_mod
+        |FROM isl GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+    },
     // the composed funnel: per-doc first-failing-stage verdict + shard
     "curation_pipeline" ->
       s"""$CURATION_CHAIN

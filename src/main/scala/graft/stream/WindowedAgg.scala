@@ -1,0 +1,304 @@
+package graft.stream
+
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Event-time windowed aggregation over a micro-batched stream with
+  * watermark-based late-data drop — the Structured Streaming
+  * "watermark + windowed agg" contract driven end to end and
+  * value-checked (reference analog: the connector's event streams are
+  * consumed downstream by exactly this kind of streaming aggregation;
+  * Debezium itself stops at the topic — this is the first consumer
+  * stage a metrics/CDC-audit pipeline runs,
+  * `InformixStreamingChangeEventSource.java:60-108` produces the
+  * time-ordered stream it folds over).
+  *
+  * Semantics pinned (and mirrored by the generated SQL oracle):
+  *   - watermark(b) = max(event_time over batches < b) − delay
+  *     (Spark updates the watermark at micro-batch boundaries from the
+  *     global max; initial watermark = epoch 0);
+  *   - an input row is DROPPED iff its window's END ≤ watermark(b) for
+  *     the batch b it arrives in (window-granular, not row-granular: a
+  *     row older than the watermark still counts while its window is
+  *     live — WindowedAggSpec pins the straddle case);
+  *   - append mode emits a window exactly once, when the watermark
+  *     passes its end.
+  * The operating point keeps every comparison tie-free so the oracle
+  *   replays bit-for-bit: event times ≡ 1, watermarks ≡ 3, window ends
+  *   ≡ 0 (mod 4) — no boundary can be hit by either engine.
+  *
+  * Scale: the aggregation state is one row per LIVE window (bounded by
+  * delay/window, not corpus size), partial-aggregated map-side; the
+  * sink append is the only shuffle. At 10^10 events this runs exactly
+  * as written — the staging here (one parquet file per micro-batch,
+  * modtime-ordered) only replaces Kafka for the sandbox.
+  */
+object WindowedAgg {
+  /** Deterministic operating point (shared: engine, spec, oracle). */
+  val NumBatches = 5
+  val SegmentMs = 20000L // event-time span carried by each batch
+  val WindowMs = 1000L // tumbling window (≡ 0 mod 4)
+  val DelayMs = 2002L // watermark delay (≡ 2 mod 4)
+  val LateEvery = 10L // 1-in-10 rows are stragglers from segment b-2
+  /** Flush sentinels: s1 raises the watermark past every real window,
+    * s2 forms the batch that emits under it. Both sit in ONE window
+    * whose end (201000) exceeds s2 − delay (198003): the sentinel
+    * window itself can never emit, even if a no-data batch fires.
+    */
+  val SentinelMs1 = 200001L
+  val SentinelMs2 = 200005L
+
+  private def h(suffix: String) = TextOps.portableHash(
+    concat(col("event_id").cast("string"), lit(suffix)))
+
+  /** Adds the deterministic (b, m) columns: arrival micro-batch and
+    * event-time millis. Batch b mostly carries times in segment b;
+    * 1-in-10 rows are stragglers carrying times from segment b−2 —
+    * decisively behind the watermark, so they exercise the drop path.
+    */
+  def derive(events: DataFrame): DataFrame = {
+    val b = pmod(h(":wagg"), lit(NumBatches.toLong))
+    val late = pmod(h(":latewagg"), lit(LateEvery)) === 0L
+    val g = when(late, greatest(b - 2L, lit(0L))).otherwise(b)
+    events.select(
+      col("event_id"),
+      b.as("b"),
+      (g * SegmentMs + pmod(h(":twagg"), lit(SegmentMs / 4)) * 4L + 1L).as("m"))
+  }
+
+  private[stream] val stagedSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("m", LongType)))
+
+  /** Writes one parquet file per micro-batch (modtime-ordered, so the
+    * file stream source forms batch i from file i). All frames must
+    * share one schema; the last entries are normally the flush
+    * sentinels.
+    */
+  private[stream] def stageFiles(batches: Seq[DataFrame], dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val base = 1700000000000L // fixed epoch base: stable ordering across runs
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = graft.util.Fs.tempDir("graft-wagg-stage")
+      try {
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = graft.util.Fs.listParquet(tmp).head
+        val dest = java.nio.file.Paths.get(dir, f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      } finally graft.util.Fs.deleteRecursively(tmp)
+    }
+  }
+
+  /** (event_id, m) staging with the two flush sentinels appended. */
+  def stage(spark: SparkSession, batches: Seq[DataFrame], dir: String): Unit = {
+    import spark.implicits._
+    val sentinels = Seq(
+      Seq((-1L, SentinelMs1)).toDF("event_id", "m"),
+      Seq((-2L, SentinelMs2)).toDF("event_id", "m"))
+    stageFiles(batches.map(
+      _.select(col("event_id").cast("long"), col("m").cast("long"))) ++ sentinels, dir)
+  }
+
+  /** One-file-per-micro-batch driver: reveals staged file i into the
+    * live source dir, then drains an AvailableNow query over the SHARED
+    * checkpoint — exactly the ssReplay restart pattern, so each reveal
+    * is one micro-batch and the watermark resumes from the offset log
+    * between runs (the checkpoint-persisted watermark is itself part of
+    * the contract being exercised). An extra no-data batch inside a run
+    * only shifts WHEN a window emits, never whether: drops use the
+    * arrival batch's watermark, and the final emitted set is fixed by
+    * the flush sentinels.
+    */
+  private[stream] def driveRevealed(stagedDir: String,
+      start: String => org.apache.spark.sql.streaming.StreamingQuery,
+      liveDir: String): Unit = {
+    val files = graft.util.Fs.listParquet(stagedDir).sorted
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(liveDir))
+    files.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(liveDir, p.getFileName.toString))
+      start(liveDir).awaitTermination()
+    }
+  }
+
+  /** Runs the REAL streaming pipeline over a staged dir: file source
+    * (one file revealed per run) → watermark → tumbling-window agg →
+    * append parquet sink; returns the finalized windows (sentinels
+    * excluded).
+    */
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    def start(liveDir: String) = {
+      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+      src.withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"$DelayMs milliseconds")
+        .groupBy(window(col("event_time"), s"$WindowMs milliseconds"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(pmod(col("event_id"), lit(97L))).as("s_mod"),
+          max(col("m")).as("max_ms"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("n_events"), col("s_mod"), col("max_ms"))
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    driveRevealed(stagedDir, start, s"$workDir/live")
+    spark.read.parquet(s"$workDir/sink")
+      .where(col("w_start") < SentinelMs1) // defense-in-depth; never emits
+      .orderBy(col("w_start"))
+  }
+
+  /** The whole pipeline over the testdata events table: derive →
+    * stage by batch → stream → finalized windows.
+    */
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-wagg")
+    try {
+      val d = derive(events)
+      d.cache()
+      val batches = (0 until NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("event_id", "m"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val out = run(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The drop/emit rule as a BATCH plan over (b, m) rows — the model
+    * the streaming run must match (used by the spec; the SQL oracle is
+    * the same rule in DuckDB). Returns the kept rows.
+    */
+  def keptModel(derived: DataFrame): DataFrame = {
+    val bm = derived.groupBy(col("b")).agg(max(col("m")).as("bmax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b")).rowsBetween(Long.MinValue, -1)
+    val wm = bm.select(col("b"),
+      coalesce(max(col("bmax")).over(w) - DelayMs, lit(0L)).as("wm"))
+    derived.join(wm, "b")
+      .where(floor(col("m") / WindowMs) * WindowMs + WindowMs > col("wm"))
+  }
+}
+
+/** Event-time SESSION windows over the same micro-batched harness —
+  * the stateful flavor: sessions MERGE across micro-batches (a segment
+  * boundary splits a user's burst across two batches; the state store
+  * must fuse them), and watermark-expired stragglers drop before ever
+  * touching state.
+  *
+  * The operating point makes the final state equal to a pure
+  * gaps-and-islands merge, so flat SQL can replay it: stragglers exist
+  * only for batches ≥ 2 and carry times from two segments back —
+  * decisively behind the watermark (margin ≈ 16 s vs a 2001 ms gap),
+  * so the drop set is exact; and every kept row's time exceeds its
+  * batch's watermark while every already-emitted session ends at or
+  * below it, so a finalized session can never be straddled by later
+  * input (the append-mode re-open corner is structurally impossible —
+  * the session oracle needs no emission schedule).
+  */
+object SessionAgg {
+  val GapMs = 2001L // ≡ 1 mod 4: never ties with inter-event deltas (≡ 0 mod 4)
+
+  private def h(suffix: String) = TextOps.portableHash(
+    concat(col("event_id").cast("string"), lit(suffix)))
+
+  /** (event_id, user_id, b, m): batch b carries segment-b times;
+    * 1-in-10 rows of batches ≥ 2 are stragglers from segment b−2.
+    */
+  def derive(events: DataFrame): DataFrame = {
+    import WindowedAgg.{NumBatches, SegmentMs, LateEvery}
+    val b = pmod(h(":wagg"), lit(NumBatches.toLong))
+    val late = pmod(h(":latewagg"), lit(LateEvery)) === 0L && b >= 2L
+    val g = when(late, b - 2L).otherwise(b)
+    events.select(
+      col("event_id"), col("user_id"),
+      b.as("b"),
+      (g * SegmentMs + pmod(h(":twagg"), lit(SegmentMs / 4)) * 4L + 1L).as("m"),
+      late.as("late"))
+  }
+
+  private val stagedSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("m", LongType)))
+
+  def stage(spark: SparkSession, batches: Seq[DataFrame], dir: String): Unit = {
+    import spark.implicits._
+    val sentinels = Seq(
+      Seq((-1L, -1L, WindowedAgg.SentinelMs1)).toDF("event_id", "user_id", "m"),
+      Seq((-2L, -2L, WindowedAgg.SentinelMs2)).toDF("event_id", "user_id", "m"))
+    WindowedAgg.stageFiles(batches.map(_.select(col("event_id").cast("long"),
+      col("user_id").cast("long"), col("m").cast("long"))) ++ sentinels, dir)
+  }
+
+  /** The real streaming query: session_window(gap) per user under the
+    * watermark, append mode; returns finalized sessions (sentinel keys
+    * excluded).
+    */
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    def start(liveDir: String) = {
+      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+      src.withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"${WindowedAgg.DelayMs} milliseconds")
+        .groupBy(session_window(col("event_time"), s"$GapMs milliseconds"),
+          col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(pmod(col("event_id"), lit(97L))).as("s_mod"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("s_start"),
+          unix_millis(col("session_window.end")).as("s_end"),
+          col("n_events"), col("s_mod"))
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    spark.read.parquet(s"$workDir/sink")
+      .where(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-sagg")
+    try {
+      val d = derive(events)
+      d.cache()
+      val batches = (0 until WindowedAgg.NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("event_id", "user_id", "m"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val out = run(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** Gaps-and-islands merge of the kept (non-straggler) rows — the
+    * batch model the streaming final state must equal.
+    */
+  def sessionModel(derived: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("m"))
+    val isl = derived.where(!col("late"))
+      .withColumn("pm", lag(col("m"), 1).over(w))
+      .withColumn("brk",
+        when(col("pm").isNull || col("m") - col("pm") >= GapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("m")).rowsBetween(Long.MinValue, 0)))
+    isl.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("m")).as("s_start"),
+        (max(col("m")) + GapMs).as("s_end"),
+        count(lit(1)).as("n_events"),
+        sum(pmod(col("event_id"), lit(97L))).as("s_mod"))
+      .drop("sid")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WindowedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drop is window-granular: a straddling late row is kept, a passed window's row drops") {
+    val base = graft.util.Fs.tempDir("graft-waggspec")
+    try {
+      // batch 0 raises the watermark to 19997 - 2002 = 17995 for batch 1:
+      //   m=17001: row older than the watermark, but its window [17000,
+      //            18000) is still live (end 18000 > 17995) -> KEPT
+      //   m=16001: window [16000,17000) end 17000 <= 17995 -> DROPPED
+      //   m=21001: ahead of the watermark -> kept
+      val b0 = Seq((1L, 19997L)).toDF("event_id", "m")
+      val b1 = Seq((2L, 17001L), (3L, 16001L), (4L, 21001L)).toDF("event_id", "m")
+      WindowedAgg.stage(spark, Seq(b0, b1), s"$base/staged")
+      val out = WindowedAgg.run(spark, s"$base/staged", s"$base/work")
+        .select("w_start", "n_events").as[(Long, Long)].collect().toMap
+      assert(out === Map(19000L -> 1L, 17000L -> 1L, 21000L -> 1L))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("streaming run matches the batch drop/emit model on real data; append emits once") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = WindowedAgg.overEvents(spark, events)
+      .select("w_start", "n_events", "s_mod", "max_ms")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val expected = WindowedAgg.keptModel(WindowedAgg.derive(events))
+      .groupBy((floor(col("m") / WindowedAgg.WindowMs) * WindowedAgg.WindowMs).as("w_start"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(pmod(col("event_id"), lit(97L))).as("s_mod"),
+        max(col("m")).as("max_ms"))
+      .select("w_start", "n_events", "s_mod", "max_ms")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    assert(got.map(_._1).distinct.size === got.size) // one emission per window
+    assert(got.forall(_._1 < WindowedAgg.SentinelMs1)) // sentinels never emit
+  }
+
+  test("stragglers actually exercise the drop path on real data") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val derived = WindowedAgg.derive(events)
+    val dropped = derived.count() - WindowedAgg.keptModel(derived).count()
+    assert(dropped > 0L)
+  }
+
+  test("sessions merge across micro-batches; expired stragglers never touch state") {
+    val base = graft.util.Fs.tempDir("graft-saggspec")
+    try {
+      // user 5's burst straddles the batch-0/1 boundary (delta 4 ms <
+      // gap 2001) -> the state store must fuse the two fragments into
+      // ONE session; batch 2's straggler (m=1001, watermark 21999) is
+      // expired on arrival and must not resurrect a segment-0 session
+      val b0 = Seq((1L, 5L, 19997L)).toDF("event_id", "user_id", "m")
+      val b1 = Seq((2L, 5L, 20001L), (3L, 7L, 24001L)).toDF("event_id", "user_id", "m")
+      val b2 = Seq((4L, 5L, 1001L)).toDF("event_id", "user_id", "m")
+      SessionAgg.stage(spark, Seq(b0, b1, b2), s"$base/staged")
+      val out = SessionAgg.run(spark, s"$base/staged", s"$base/work")
+        .select("user_id", "s_start", "s_end", "n_events", "s_mod")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(out === Set(
+        (5L, 19997L, 22002L, 2L, 3L),
+        (7L, 24001L, 26002L, 1L, 3L)))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("streaming sessions equal the gaps-and-islands model on real data") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = SessionAgg.overEvents(spark, events)
+      .select("user_id", "s_start", "s_end", "n_events", "s_mod")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val derived = SessionAgg.derive(events)
+    val model = SessionAgg.sessionModel(derived)
+    val expected = model
+      .select("user_id", "s_start", "s_end", "n_events", "s_mod")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // the stateful claim is real on this corpus: at least one session's
+    // rows arrived in two different micro-batches
+    val kept = derived.where(!col("late"))
+    val spans = model.join(kept,
+        kept("user_id") === model("user_id") &&
+          kept("m") >= model("s_start") && kept("m") < model("s_end"))
+      .groupBy(model("user_id"), col("s_start"))
+      .agg(countDistinct(col("b")).as("nb"))
+    assert(spans.agg(max(col("nb"))).as[Long].head() >= 2L)
+  }
+}
