@@ -688,6 +688,15 @@ object SparkEntry {
     // always trail it), so flat SQL replays it exactly
     "stream_session_agg" -> ((s, d) =>
       graft.stream.SessionAgg.overEvents(s, t(s, d, "events"))),
+    // STREAMING exact dedup with BOUNDED state
+    // (dropDuplicatesWithinWatermark) — the consumer-side guard an
+    // at-least-once CDC topic needs: 1-in-5 keys re-deliver one or two
+    // batches later; a copy inside the original's state lifetime drops,
+    // one past it is accepted again (state evicted -> bounded memory).
+    // Expiry is checked at LOOKUP time (probe-pinned by the spec); the
+    // oracle replays the watermark schedule and that exact rule
+    "stream_dedup" -> ((s, d) =>
+      graft.stream.StreamDedup.overEvents(s, t(s, d, "events"))),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -2761,6 +2770,43 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(event_id % 97) AS BIGINT) AS s_mod
         |FROM isl GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
+    },
+    // at-least-once re-delivery dedup: originals always emit; a copy
+    // emits iff the watermark of its arrival batch passed the
+    // original's expiry (lookup-time eviction, probe-pinned)
+    "stream_dedup" -> {
+      import graft.stream.{StreamDedup, WindowedAgg}
+      import WindowedAgg.{NumBatches, SegmentMs}
+      val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':twagg'")
+      val hD = H("CAST(event_id AS VARCHAR) || ':dup'")
+      val hF = H("CAST(event_id AS VARCHAR) || ':dupf'")
+      val hC = H("CAST(event_id AS VARCHAR) || ':tdup'")
+      val D = StreamDedup.DelayMs
+      val seg = SegmentMs
+      val q = SegmentMs / 4
+      val last = NumBatches - 1
+      s"""WITH base AS (
+        |  SELECT event_id AS key, ($hB % $NumBatches) AS b,
+        |    ($hB % $NumBatches) * $seg + ($hT % $q) * 4 + 1 AS m,
+        |    (($hD % ${StreamDedup.DupEvery}) = 0
+        |      AND ($hB % $NumBatches) + 1 + ($hF % 2) <= $last) AS has_copy,
+        |    ($hB % $NumBatches) + 1 + ($hF % 2) AS cb,
+        |    (($hB % $NumBatches) + 1 + ($hF % 2)) * $seg + ($hC % $q) * 4 + 1 AS cm
+        |  FROM events),
+        |rows_all AS (
+        |  SELECT key, b, m FROM base
+        |  UNION ALL SELECT key, cb AS b, cm AS m FROM base WHERE has_copy),
+        |bm AS (SELECT b, max(m) AS bmax FROM rows_all GROUP BY b),
+        |wmk AS (SELECT b, coalesce(max(bmax) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $D, 0) AS wm
+        |  FROM bm)
+        |SELECT key, m, 'o' AS src FROM base
+        |UNION ALL
+        |SELECT base.key, base.cm AS m, 'c' AS src
+        |FROM base JOIN wmk ON wmk.b = base.cb
+        |WHERE base.has_copy AND wmk.wm > base.m + $D
+        |ORDER BY key, m""".stripMargin
     },
     // the composed funnel: per-doc first-failing-stage verdict + shard
     "curation_pipeline" ->

@@ -282,7 +282,8 @@ object SessionAgg {
   }
 
   /** Gaps-and-islands merge of the kept (non-straggler) rows — the
-    * batch model the streaming final state must equal.
+    * batch model the streaming final state must equal (spec-side only;
+    * the per-user window here is over the model, not the corpus).
     */
   def sessionModel(derived: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -300,5 +301,119 @@ object SessionAgg {
         count(lit(1)).as("n_events"),
         sum(pmod(col("event_id"), lit(97L))).as("s_mod"))
       .drop("sid")
+  }
+}
+
+/** Streaming EXACT dedup with bounded state —
+  * `dropDuplicatesWithinWatermark` over the same micro-batched
+  * harness. This is the consumer-side guard an at-least-once CDC
+  * topic needs (the reference ecosystem's delivery contract is
+  * at-least-once: a reconnecting Kafka Connect task re-emits records,
+  * `InformixStreamingChangeEventSource.java:60-108` replays from the
+  * restart LSN): duplicates arriving within the watermark delay of the
+  * original are dropped, and — the bounded-state part — a key's state
+  * is evicted once the watermark passes its expiry, so a far-later
+  * re-delivery is accepted again. State is O(live keys within the
+  * delay window), not O(corpus): this runs at 10^10 events where a
+  * plain dropDuplicates would OOM on unbounded key state.
+  *
+  * Semantics pinned by probe + spec (and mirrored by the oracle):
+  * expiry is checked at LOOKUP time — a copy arriving in batch b_c is
+  * dropped iff watermark(b_c) ≤ m_orig + delay (state alive), emitted
+  * otherwise, even when no intervening batch commit evicted the state.
+  * The operating point is tie-free: delay ≡ 1 (mod 4), so watermarks
+  * ≡ 0, event times ≡ 1 and expiries ≡ 2 (mod 4) — no comparison can
+  * land on a boundary in either engine.
+  */
+object StreamDedup {
+  val DelayMs = 2001L // ≡ 1 mod 4 (see tie-free note above)
+  val DupEvery = 5L // 1-in-5 keys get a re-delivery
+
+  private def h(suffix: String) = TextOps.portableHash(
+    concat(col("event_id").cast("string"), lit(suffix)))
+
+  /** Originals: every event, batch b, a fresh time in segment b.
+    * Copies: 1-in-5 keys re-deliver in batch b+1 (usually still inside
+    * the dedup state's lifetime) or b+2 (usually past it), with a
+    * fresh event time in the copy's own segment — like a Kafka Connect
+    * retry, the payload carries the redelivery's write time. Copies
+    * whose batch would fall past the last batch are not generated.
+    */
+  def derive(events: DataFrame): DataFrame = {
+    import WindowedAgg.{NumBatches, SegmentMs}
+    val b = pmod(h(":wagg"), lit(NumBatches.toLong))
+    val mOf = (bc: org.apache.spark.sql.Column, hs: String) =>
+      bc * SegmentMs + pmod(h(hs), lit(SegmentMs / 4)) * 4L + 1L
+    val orig = events.select(
+      col("event_id").as("key"), b.as("b"),
+      mOf(b, ":twagg").as("m"), lit("o").as("src"))
+    val bc = b + 1L + pmod(h(":dupf"), lit(2L))
+    val copies = events
+      .where(pmod(h(":dup"), lit(DupEvery)) === 0L &&
+        b + 1L + pmod(h(":dupf"), lit(2L)) <= (NumBatches - 1).toLong)
+      .select(col("event_id").as("key"), bc.as("b"),
+        mOf(bc, ":tdup").as("m"), lit("c").as("src"))
+    orig.unionAll(copies)
+  }
+
+  private val stagedSchema = StructType(Seq(
+    StructField("key", LongType), StructField("m", LongType),
+    StructField("src", StringType)))
+
+  def stage(spark: SparkSession, batches: Seq[DataFrame], dir: String): Unit =
+    WindowedAgg.stageFiles(batches.map(_.select(col("key").cast("long"),
+      col("m").cast("long"), col("src").cast("string"))), dir)
+
+  /** The real streaming dedup: emitted = rows that survived
+    * dropDuplicatesWithinWatermark (append mode emits them in their
+    * arrival batch — no flush sentinels needed).
+    */
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    def start(liveDir: String) =
+      spark.readStream.schema(stagedSchema).parquet(liveDir)
+        .withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"$DelayMs milliseconds")
+        .dropDuplicatesWithinWatermark("key")
+        .select(col("key"), col("m"), col("src"))
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    spark.read.parquet(s"$workDir/sink").orderBy(col("key"), col("m"))
+  }
+
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-sdedup")
+    try {
+      val d = derive(events)
+      d.cache()
+      val batches = (0 until WindowedAgg.NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("key", "m", "src"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val out = run(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The emit rule as a batch plan over derived rows: originals always
+    * emit; a copy emits iff the watermark of its arrival batch has
+    * passed the original's expiry (lookup-time eviction check).
+    */
+  def emittedModel(derived: DataFrame): DataFrame = {
+    val bm = derived.groupBy(col("b")).agg(max(col("m")).as("bmax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b")).rowsBetween(Long.MinValue, -1)
+    val wm = bm.select(col("b"),
+      coalesce(max(col("bmax")).over(w) - DelayMs, lit(0L)).as("wm"))
+    val orig = derived.where(col("src") === "o")
+    val copies = derived.where(col("src") === "c")
+    val emittedCopies = copies.join(wm, "b")
+      .join(orig.select(col("key"), col("m").as("m_orig")), "key")
+      .where(col("wm") > col("m_orig") + DelayMs)
+      .select(col("key"), col("m"), col("src"))
+    orig.select(col("key"), col("m"), col("src")).unionAll(emittedCopies)
   }
 }

@@ -90,4 +90,40 @@ class WindowedAggSpec extends SparkSpec {
       .agg(countDistinct(col("b")).as("nb"))
     assert(spans.agg(max(col("nb"))).as[Long].head() >= 2L)
   }
+
+  test("dedup state expiry is checked at lookup time (probe pin)") {
+    val base = graft.util.Fs.tempDir("graft-sdspec")
+    try {
+      // key 10's copy lands inside the state lifetime -> dropped;
+      // key 20's state is EXPIRED by the copy's batch watermark (17996
+      // > 5+2001) with no intervening eviction commit -> re-emitted,
+      // pinning the lookup-time check; key 30's copy arrives after a
+      // commit passed its expiry -> re-emitted under any semantics
+      val b0 = Seq((10L, 19997L, "o"), (20L, 5L, "o"), (30L, 9L, "o"))
+        .toDF("key", "m", "src")
+      val b1 = Seq((10L, 20001L, "c"), (20L, 20005L, "c")).toDF("key", "m", "src")
+      val b2 = Seq((30L, 40009L, "c")).toDF("key", "m", "src")
+      StreamDedup.stage(spark, Seq(b0, b1, b2), s"$base/staged")
+      val out = StreamDedup.run(spark, s"$base/staged", s"$base/work")
+        .select("key", "m", "src").as[(Long, Long, String)].collect().toSet
+      assert(out === Set(
+        (10L, 19997L, "o"), (20L, 5L, "o"), (30L, 9L, "o"),
+        (20L, 20005L, "c"), (30L, 40009L, "c")))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("streaming dedup equals the lookup-expiry model on real data; both outcomes occur") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = StreamDedup.overEvents(spark, events)
+      .select("key", "m", "src").as[(Long, Long, String)].collect().sorted.toSeq
+    val derived = StreamDedup.derive(events)
+    val expected = StreamDedup.emittedModel(derived)
+      .select("key", "m", "src").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    val copiesStaged = derived.where(col("src") === "c").count()
+    val copiesEmitted = got.count(_._3 == "c")
+    assert(copiesEmitted > 0, "no copy survived state expiry")
+    assert(copiesEmitted < copiesStaged, "no copy was deduplicated")
+  }
 }
