@@ -67,7 +67,8 @@ object Bench {
     "asof_join", "range_join", "lm_buckets", "heavy_hitters", "ann_pq_adc",
     "dsir_sample", "token_pairs", "bpe_merge", "bpe_train_rounds", "bpe_encode",
     "token_pmi", "chunk_emit", "vocab_coverage", "ann_ivfpq",
-    "stream_window_agg", "stream_session_agg", "stream_dedup")
+    "stream_window_agg", "stream_session_agg", "stream_dedup",
+    "stream_join")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

@@ -697,6 +697,15 @@ object SparkEntry {
     // oracle replays the watermark schedule and that exact rule
     "stream_dedup" -> ((s, d) =>
       graft.stream.StreamDedup.overEvents(s, t(s, d, "events"))),
+    // STREAM-STREAM time-interval inner join (the events stream
+    // self-joined as two sides on user within ±3001ms): cross-batch
+    // pairs prove the symmetric-hash-join state carries a side across
+    // the boundary; stragglers sit decisively below the watermark and
+    // never join. At this operating point state cleanup can never
+    // subtract a qualifying pair, so the oracle is the pure interval
+    // join over non-straggler rows
+    "stream_join" -> ((s, d) =>
+      graft.stream.StreamJoin.overEvents(s, t(s, d, "events"))),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -2807,6 +2816,30 @@ object SparkEntry {
         |FROM base JOIN wmk ON wmk.b = base.cb
         |WHERE base.has_copy AND wmk.wm > base.m + $D
         |ORDER BY key, m""".stripMargin
+    },
+    // interval self-join over the non-straggler rows (watermark-expired
+    // input never joins; cleanup cannot subtract a qualifying pair at
+    // this operating point — see StreamJoin's scaladoc)
+    "stream_join" -> {
+      import graft.stream.{StreamJoin, WindowedAgg}
+      import WindowedAgg.{NumBatches, SegmentMs, LateEvery}
+      val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")
+      val hL = H("CAST(event_id AS VARCHAR) || ':latewagg'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':twagg'")
+      val hS = H("CAST(event_id AS VARCHAR) || ':side'")
+      val T = StreamJoin.IntervalMs
+      s"""WITH ev AS (
+        |  SELECT event_id AS key, user_id, ($hS % 2) AS side01,
+        |    ($hB % $NumBatches) * $SegmentMs
+        |      + ($hT % ${SegmentMs / 4}) * 4 + 1 AS m
+        |  FROM events
+        |  WHERE NOT (($hL % $LateEvery) = 0 AND ($hB % $NumBatches) >= 2)),
+        |l AS (SELECT key AS l_key, user_id, m AS l_ms FROM ev WHERE side01 = 0),
+        |r AS (SELECT key AS r_key, user_id, m AS r_ms FROM ev WHERE side01 = 1)
+        |SELECT l.l_key, r.r_key, l.user_id, l.l_ms, r.r_ms
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.r_ms BETWEEN l.l_ms - $T AND l.l_ms + $T
+        |ORDER BY l_key, r_key""".stripMargin
     },
     // the composed funnel: per-doc first-failing-stage verdict + shard
     "curation_pipeline" ->

@@ -88,7 +88,10 @@ object MergeApply {
   var clusterMaxRowsPerFile: Long = 0L
 
   /** Print per-phase wall times (diagnostics only). */
-  var debugTiming: Boolean = sys.env.get("GRAFT_DEBUG_TIMING").exists(_.toBoolean)
+  // accept 1/true/TRUE; a bad value must not kill this object's init
+  // (an ExceptionInInitializerError here poisons every MergeApply caller)
+  var debugTiming: Boolean = sys.env.get("GRAFT_DEBUG_TIMING")
+    .exists(v => v == "1" || v.equalsIgnoreCase("true"))
   @inline private def phase[T](t0: Long, label: String)(f: => T): T = {
     val s0 = System.nanoTime(); val r = f
     if (debugTiming)

@@ -417,3 +417,118 @@ object StreamDedup {
     orig.select(col("key"), col("m"), col("src")).unionAll(emittedCopies)
   }
 }
+
+/** Stream-stream time-interval INNER join — the fourth stateful
+  * Structured Streaming pillar (after windowed agg, session windows
+  * and bounded-state dedup): the events stream self-joined as two
+  * logical sides (an attribution pipeline's shape — purchases matched
+  * to signups within a time window, `events_sessionize`'s streaming
+  * cousin). Both sides buffer in the symmetric-hash-join state store;
+  * the time-interval condition plus the watermark bound the state: a
+  * side's row is evicted once no future partner can satisfy the
+  * interval.
+  *
+  * The operating point reduces the emitted set to a PURE batch
+  * interval join over the non-straggler rows, which flat SQL replays:
+  * per-batch segment times mean a qualifying pair spans at most one
+  * batch boundary, and a boundary row's eviction threshold
+  * (wm − T ≈ segment_end − 5 s) can never pass it before the partner's
+  * batch — so no qualifying pair is lost to state cleanup; stragglers
+  * (batches ≥ 2, times two segments back) sit decisively below the
+  * watermark and never produce pairs (StreamJoinSpec pins the
+  * suppression). Cross-batch pairs are the stateful observable: the
+  * earlier side must be HELD in join state across the boundary.
+  */
+object StreamJoin {
+  val IntervalMs = 3001L // ≡ 1 mod 4: |Δm| ≡ 0 mod 4 never ties with it
+
+  private def h(suffix: String) = TextOps.portableHash(
+    concat(col("event_id").cast("string"), lit(suffix)))
+
+  /** (key, user_id, b, m, side, late): batch/segment layout as
+    * [[SessionAgg.derive]] (stragglers only for b ≥ 2), plus a
+    * deterministic side split.
+    */
+  def derive(events: DataFrame): DataFrame = {
+    import WindowedAgg.{NumBatches, SegmentMs, LateEvery}
+    val b = pmod(h(":wagg"), lit(NumBatches.toLong))
+    val late = pmod(h(":latewagg"), lit(LateEvery)) === 0L && b >= 2L
+    val g = when(late, b - 2L).otherwise(b)
+    events.select(
+      col("event_id").as("key"), col("user_id"),
+      b.as("b"),
+      (g * SegmentMs + pmod(h(":twagg"), lit(SegmentMs / 4)) * 4L + 1L).as("m"),
+      when(pmod(h(":side"), lit(2L)) === 0L, "l").otherwise("r").as("side"),
+      late.as("late"))
+  }
+
+  private val stagedSchema = StructType(Seq(
+    StructField("key", LongType), StructField("user_id", LongType),
+    StructField("m", LongType), StructField("side", StringType)))
+
+  def stage(spark: SparkSession, batches: Seq[DataFrame], dir: String): Unit =
+    WindowedAgg.stageFiles(batches.map(_.select(col("key").cast("long"),
+      col("user_id").cast("long"), col("m").cast("long"),
+      col("side").cast("string"))), dir)
+
+  /** The real streaming self-join: one watermarked source split into
+    * sides, inner-joined on user within ±IntervalMs. Inner joins emit
+    * on arrival of the later side — no flush sentinels needed.
+    */
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    def start(liveDir: String) = {
+      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+        .withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"${WindowedAgg.DelayMs} milliseconds")
+      val l = src.where(col("side") === "l").as("l")
+      val r = src.where(col("side") === "r").as("r")
+      l.join(r,
+          col("l.user_id") === col("r.user_id") &&
+            col("r.event_time") >= col("l.event_time") -
+              expr(s"INTERVAL $IntervalMs MILLISECONDS") &&
+            col("r.event_time") <= col("l.event_time") +
+              expr(s"INTERVAL $IntervalMs MILLISECONDS"))
+        .select(col("l.key").as("l_key"), col("r.key").as("r_key"),
+          col("l.user_id").as("user_id"),
+          col("l.m").as("l_ms"), col("r.m").as("r_ms"))
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    spark.read.parquet(s"$workDir/sink")
+      .orderBy(col("l_key"), col("r_key"))
+  }
+
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-sjoin")
+    try {
+      val d = derive(events)
+      d.cache()
+      val batches = (0 until WindowedAgg.NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("key", "user_id", "m", "side"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val out = run(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The emitted set as a batch plan: the pure interval join over
+    * non-straggler rows (see the object doc for why state cleanup can
+    * never subtract from it at this operating point).
+    */
+  def joinedModel(derived: DataFrame): DataFrame = {
+    val kept = derived.where(!col("late"))
+    val l = kept.where(col("side") === "l")
+      .select(col("key").as("l_key"), col("user_id"), col("m").as("l_ms"))
+    val r = kept.where(col("side") === "r")
+      .select(col("key").as("r_key"), col("user_id").as("r_user"), col("m").as("r_ms"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ms") >= col("l_ms") - IntervalMs &&
+        col("r_ms") <= col("l_ms") + IntervalMs)
+      .select(col("l_key"), col("r_key"), col("user_id"), col("l_ms"), col("r_ms"))
+  }
+}

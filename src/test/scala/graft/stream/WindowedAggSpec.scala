@@ -126,4 +126,46 @@ class WindowedAggSpec extends SparkSpec {
     assert(copiesEmitted > 0, "no copy survived state expiry")
     assert(copiesEmitted < copiesStaged, "no copy was deduplicated")
   }
+
+  test("stream-stream join: state spans the batch boundary, watermark-expired input never joins") {
+    val base = graft.util.Fs.tempDir("graft-sjspec")
+    try {
+      // (1,2): left arrives a batch before its right partner -> the
+      // pair exists only if the left row was HELD in join state.
+      // (3,4): same-batch pair. key 6 (batch 2, m=19997) is a straggler
+      // that would qualify against key 2 (delta 4ms) but sits far below
+      // the watermark (37995) -> must be suppressed; key 9 only raises
+      // the watermark.
+      val b0 = Seq((1L, 5L, 19001L, "l"), (3L, 8L, 5001L, "l"), (4L, 8L, 6001L, "r"))
+        .toDF("key", "user_id", "m", "side")
+      val b1 = Seq((2L, 5L, 20001L, "r"), (9L, 99L, 39997L, "r"))
+        .toDF("key", "user_id", "m", "side")
+      val b2 = Seq((6L, 5L, 19997L, "l")).toDF("key", "user_id", "m", "side")
+      StreamJoin.stage(spark, Seq(b0, b1, b2), s"$base/staged")
+      val out = StreamJoin.run(spark, s"$base/staged", s"$base/work")
+        .select("l_key", "r_key").as[(Long, Long)].collect().toSet
+      assert(out === Set((1L, 2L), (3L, 4L)))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("streaming join equals the interval-join model on real data; cross-batch pairs occur") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = StreamJoin.overEvents(spark, events)
+      .select("l_key", "r_key", "user_id", "l_ms", "r_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val derived = StreamJoin.derive(events)
+    val expected = StreamJoin.joinedModel(derived)
+      .select("l_key", "r_key", "user_id", "l_ms", "r_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // pairs whose sides arrived in different batches prove the state
+    // store carried one side across the boundary
+    val batchOf = derived.select(col("key"), col("b")).as[(Long, Long)]
+      .collect().toMap
+    assert(got.exists(p => batchOf(p._1) != batchOf(p._2)))
+    // and the straggler gate actually subtracted qualifying pairs
+    val withLate = StreamJoin.joinedModel(derived.withColumn("late", lit(false))).count()
+    assert(withLate > expected.size.toLong)
+  }
 }
