@@ -706,6 +706,14 @@ object SparkEntry {
     // join over non-straggler rows
     "stream_join" -> ((s, d) =>
       graft.stream.StreamJoin.overEvents(s, t(s, d, "events"))),
+    // STREAM-STREAM time-interval LEFT OUTER join: unmatched left rows
+    // are held in join state and null-emit only when the watermark
+    // proves no future partner can arrive (flush forced by two
+    // right-side sentinels under an impossible user id); matched rows
+    // never also null; expired input emits nothing — the emitted set is
+    // the pure LEFT interval join over non-straggler rows
+    "stream_join_left" -> ((s, d) =>
+      graft.stream.StreamJoinOuter.overEvents(s, t(s, d, "events"))),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -2838,6 +2846,31 @@ object SparkEntry {
         |r AS (SELECT key AS r_key, user_id, m AS r_ms FROM ev WHERE side01 = 1)
         |SELECT l.l_key, r.r_key, l.user_id, l.l_ms, r.r_ms
         |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.r_ms BETWEEN l.l_ms - $T AND l.l_ms + $T
+        |ORDER BY l_key, r_key""".stripMargin
+    },
+    // LEFT interval self-join over the non-straggler rows: unmatched
+    // lefts carry a null right side (the sentinel-forced flush emits all
+    // of them; watermark-expired input contributes nothing — see
+    // StreamJoinOuter's scaladoc)
+    "stream_join_left" -> {
+      import graft.stream.{StreamJoin, WindowedAgg}
+      import WindowedAgg.{NumBatches, SegmentMs, LateEvery}
+      val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")
+      val hL = H("CAST(event_id AS VARCHAR) || ':latewagg'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':twagg'")
+      val hS = H("CAST(event_id AS VARCHAR) || ':side'")
+      val T = StreamJoin.IntervalMs
+      s"""WITH ev AS (
+        |  SELECT event_id AS key, user_id, ($hS % 2) AS side01,
+        |    ($hB % $NumBatches) * $SegmentMs
+        |      + ($hT % ${SegmentMs / 4}) * 4 + 1 AS m
+        |  FROM events
+        |  WHERE NOT (($hL % $LateEvery) = 0 AND ($hB % $NumBatches) >= 2)),
+        |l AS (SELECT key AS l_key, user_id, m AS l_ms FROM ev WHERE side01 = 0),
+        |r AS (SELECT key AS r_key, user_id, m AS r_ms FROM ev WHERE side01 = 1)
+        |SELECT l.l_key, r.r_key, l.user_id, l.l_ms, r.r_ms
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
         |  AND r.r_ms BETWEEN l.l_ms - $T AND l.l_ms + $T
         |ORDER BY l_key, r_key""".stripMargin
     },

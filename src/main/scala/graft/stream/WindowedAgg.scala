@@ -475,7 +475,11 @@ object StreamJoin {
     * sides, inner-joined on user within ±IntervalMs. Inner joins emit
     * on arrival of the later side — no flush sentinels needed.
     */
-  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame =
+    runJoin(spark, stagedDir, workDir, "inner")
+
+  private[stream] def runJoin(spark: SparkSession, stagedDir: String,
+      workDir: String, joinType: String): DataFrame = {
     def start(liveDir: String) = {
       val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
         .withColumn("event_time", timestamp_millis(col("m")))
@@ -487,7 +491,8 @@ object StreamJoin {
             col("r.event_time") >= col("l.event_time") -
               expr(s"INTERVAL $IntervalMs MILLISECONDS") &&
             col("r.event_time") <= col("l.event_time") +
-              expr(s"INTERVAL $IntervalMs MILLISECONDS"))
+              expr(s"INTERVAL $IntervalMs MILLISECONDS"),
+          joinType)
         .select(col("l.key").as("l_key"), col("r.key").as("r_key"),
           col("l.user_id").as("user_id"),
           col("l.m").as("l_ms"), col("r.m").as("r_ms"))
@@ -529,6 +534,74 @@ object StreamJoin {
     l.join(r, col("user_id") === col("r_user") &&
         col("r_ms") >= col("l_ms") - IntervalMs &&
         col("r_ms") <= col("l_ms") + IntervalMs)
+      .select(col("l_key"), col("r_key"), col("user_id"), col("l_ms"), col("r_ms"))
+  }
+}
+
+/** Stream-stream time-interval LEFT OUTER join — the null-emission
+  * contract the inner variant never exercises: an unmatched left row is
+  * HELD in the join state until the watermark proves no future right
+  * can satisfy the interval (wm > l.time + IntervalMs), and only then
+  * emits with a null right side. Matched rows emit their inner results
+  * on arrival and never also null (the standard outer-join guarantee);
+  * watermark-expired input joins nothing and emits nothing, not even a
+  * null row (the arriving row is behind the state-cleanup threshold, so
+  * it is discarded at input — OuterSpec pins the suppression).
+  *
+  * Flush sentinels (two RIGHT-side rows under an impossible user id, so
+  * they can never pair and never appear in left-outer output): s1
+  * raises the watermark past every real row's expiry point, s2 forms
+  * the batch whose state cleanup emits the remaining null rows —
+  * exactly [[WindowedAgg]]'s two-sentinel pattern. At this operating
+  * point the emitted set is therefore the pure batch LEFT interval join
+  * over the non-straggler rows, which flat SQL replays.
+  *
+  * Scale: state is bounded by delay + interval (one row per live input
+  * row within the horizon), identical to the inner variant; null
+  * emission adds no shuffle — it drains from the same state store.
+  */
+object StreamJoinOuter {
+  /** Sentinel user id: real user ids are non-negative. */
+  val SentinelUser = -1L
+
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame =
+    StreamJoin.runJoin(spark, stagedDir, workDir, "leftOuter")
+
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Fs.tempDir("graft-sjoinlo")
+    try {
+      val d = StreamJoin.derive(events)
+      d.cache()
+      val batches = (0 until WindowedAgg.NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("key", "user_id", "m", "side"))
+      val sentinels = Seq(
+        Seq((-1L, SentinelUser, WindowedAgg.SentinelMs1, "r"))
+          .toDF("key", "user_id", "m", "side"),
+        Seq((-2L, SentinelUser, WindowedAgg.SentinelMs2, "r"))
+          .toDF("key", "user_id", "m", "side"))
+      StreamJoin.stage(spark, batches ++ sentinels, s"$base/staged")
+      d.unpersist()
+      val out = run(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The emitted set as a batch plan: LEFT interval join over the
+    * non-straggler rows (matched rows keep their pairs; unmatched left
+    * rows carry a null right side — the sentinel-forced flush emits
+    * every one of them, and expired input contributes nothing).
+    */
+  def joinedModel(derived: DataFrame): DataFrame = {
+    val kept = derived.where(!col("late"))
+    val l = kept.where(col("side") === "l")
+      .select(col("key").as("l_key"), col("user_id"), col("m").as("l_ms"))
+    val r = kept.where(col("side") === "r")
+      .select(col("key").as("r_key"), col("user_id").as("r_user"), col("m").as("r_ms"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ms") >= col("l_ms") - StreamJoin.IntervalMs &&
+        col("r_ms") <= col("l_ms") + StreamJoin.IntervalMs, "left_outer")
       .select(col("l_key"), col("r_key"), col("user_id"), col("l_ms"), col("r_ms"))
   }
 }

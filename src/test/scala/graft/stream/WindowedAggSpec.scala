@@ -168,4 +168,47 @@ class WindowedAggSpec extends SparkSpec {
     val withLate = StreamJoin.joinedModel(derived.withColumn("late", lit(false))).count()
     assert(withLate > expected.size.toLong)
   }
+
+  test("left-outer join: unmatched lefts null-emit on flush, matched never null, expired input emits nothing") {
+    val base = graft.util.Fs.tempDir("graft-sjlospec")
+    try {
+      // key 1 matches key 2 cross-batch (must NOT also null-emit);
+      // key 3 has no partner (must null-emit after the sentinel flush);
+      // key 6 is a watermark-expired left straggler (batch 2, m=19997
+      // vs wm 37995) that would qualify against key 2 — it must be
+      // suppressed entirely: no pair AND no null row.
+      val b0 = Seq((1L, 5L, 19001L, "l"), (3L, 8L, 5001L, "l"))
+        .toDF("key", "user_id", "m", "side")
+      val b1 = Seq((2L, 5L, 20001L, "r"), (9L, 99L, 39997L, "r"))
+        .toDF("key", "user_id", "m", "side")
+      val b2 = Seq((6L, 5L, 19997L, "l")).toDF("key", "user_id", "m", "side")
+      val sentinels = Seq(
+        Seq((-1L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs1, "r"))
+          .toDF("key", "user_id", "m", "side"),
+        Seq((-2L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs2, "r"))
+          .toDF("key", "user_id", "m", "side"))
+      StreamJoin.stage(spark, Seq(b0, b1, b2) ++ sentinels, s"$base/staged")
+      val out = StreamJoinOuter.run(spark, s"$base/staged", s"$base/work")
+        .select("l_key", "r_key").as[(Long, Option[Long])].collect().toSet
+      assert(out === Set((1L, Some(2L)), (3L, None)))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("streaming left-outer join equals the LEFT interval-join model on real data; null rows occur") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = StreamJoinOuter.overEvents(spark, events)
+      .select("l_key", "r_key", "user_id", "l_ms", "r_ms")
+      .as[(Long, Option[Long], Long, Long, Option[Long])].collect().sorted.toSeq
+    val derived = StreamJoin.derive(events)
+    val expected = StreamJoinOuter.joinedModel(derived)
+      .select("l_key", "r_key", "user_id", "l_ms", "r_ms")
+      .as[(Long, Option[Long], Long, Long, Option[Long])].collect().sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // both outcomes occur: real inner pairs AND watermark-flushed nulls
+    assert(got.exists(_._2.isDefined))
+    assert(got.exists(_._2.isEmpty))
+    // sentinels never leak into the output
+    assert(!got.exists(_._3 == StreamJoinOuter.SentinelUser))
+  }
 }
