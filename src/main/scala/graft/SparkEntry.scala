@@ -714,6 +714,21 @@ object SparkEntry {
     // the pure LEFT interval join over non-straggler rows
     "stream_join_left" -> ((s, d) =>
       graft.stream.StreamJoinOuter.overEvents(s, t(s, d, "events"))),
+    // STREAM-STREAM time-interval FULL OUTER join: BOTH null-emission
+    // directions — unmatched rights null-emit with a null left side when
+    // the watermark proves no future partner (the contract left-outer
+    // never exercises); the flush sentinels expire strictly after the
+    // final watermark and so never surface even in full-outer output
+    "stream_join_full" -> ((s, d) =>
+      graft.stream.StreamJoinFull.overEvents(s, t(s, d, "events"))),
+    // MULTI-SOURCE watermark coalescing: two independently watermarked
+    // streams (source B lags a full segment) unioned into one windowed
+    // agg — the global watermark is the MIN across sources, so B keeps
+    // A's one-back stragglers alive (they'd drop under A's own
+    // watermark) while three-back rows still drop; the oracle replays
+    // the per-source prefix-max schedule and the min rule exactly
+    "stream_union_wm" -> ((s, d) =>
+      graft.stream.UnionWm.overEvents(s, t(s, d, "events"))),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -2763,6 +2778,58 @@ object SparkEntry {
         |  max(m) AS max_ms
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // union of two watermarked sources: wm(b) = MIN over sources of
+    // (prefix-max event time over batches < b) - delay; drop stays
+    // window-granular against that global watermark
+    "stream_union_wm" -> {
+      import graft.stream.{UnionWm, WindowedAgg}
+      import WindowedAgg.{NumBatches, SegmentMs, WindowMs, DelayMs}
+      val hBA = H("CAST(event_id AS VARCHAR) || ':uwma'")
+      val hL1 = H("CAST(event_id AS VARCHAR) || ':uwml1'")
+      val hL3 = H("CAST(event_id AS VARCHAR) || ':uwml3'")
+      val hSA = H("CAST(event_id AS VARCHAR) || ':uwmsa'")
+      val hTA = H("CAST(event_id AS VARCHAR) || ':uwmta'")
+      val hBB = H("CAST(event_id AS VARCHAR) || ':uwmb'")
+      val hTB = H("CAST(event_id AS VARCHAR) || ':uwmtb'")
+      val l1 = s"($hL1 % ${UnionWm.LateEvery}) = 0 AND ($hBA % $NumBatches) >= 2"
+      val l3 = s"($hL3 % ${UnionWm.Late3Every}) = 0 AND ($hBA % $NumBatches) >= 3"
+      s"""WITH eva AS (
+        |  SELECT event_id, ($hBA % $NumBatches) AS b,
+        |    (CASE WHEN $l1 THEN ($hBA % $NumBatches) - 1
+        |          WHEN $l3 THEN ($hBA % $NumBatches) - 3
+        |          ELSE ($hBA % $NumBatches) END) * $SegmentMs
+        |      + (CASE WHEN $l1 THEN ($hSA % 250) * 4 + 1
+        |              ELSE ($hTA % ${SegmentMs / 16}) * 4 + 1 END) AS m
+        |  FROM events),
+        |evb AS (
+        |  SELECT event_id, ($hBB % $NumBatches) AS b,
+        |    greatest(($hBB % $NumBatches) - 1, 0) * $SegmentMs
+        |      + ($hTB % ${SegmentMs / 4}) * 4 + 1 AS m
+        |  FROM events),
+        |bs AS (SELECT range AS b FROM range($NumBatches)),
+        |bma AS (SELECT bs.b, max(eva.m) AS amax
+        |  FROM bs LEFT JOIN eva ON eva.b = bs.b GROUP BY bs.b),
+        |bmb AS (SELECT bs.b, max(evb.m) AS bmax
+        |  FROM bs LEFT JOIN evb ON evb.b = bs.b GROUP BY bs.b),
+        |wmk AS (SELECT bma.b, least(
+        |    coalesce(max(bma.amax) OVER (ORDER BY bma.b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $DelayMs, 0),
+        |    coalesce(max(bmb.bmax) OVER (ORDER BY bma.b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $DelayMs, 0)) AS wm
+        |  FROM bma JOIN bmb ON bma.b = bmb.b),
+        |un AS (
+        |  SELECT event_id, b, m, 'a' AS src FROM eva
+        |  UNION ALL
+        |  SELECT event_id, b, m, 'b' AS src FROM evb),
+        |kept AS (SELECT un.event_id, un.m, un.src FROM un JOIN wmk USING (b)
+        |  WHERE (un.m // $WindowMs) * $WindowMs + $WindowMs > wmk.wm)
+        |SELECT (m // $WindowMs) * $WindowMs AS w_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(event_id % 97) AS BIGINT) AS s_mod,
+        |  CAST(sum(CASE WHEN src = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN src = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // session merge: stragglers (late AND batch >= 2) are the exact
     // drop set; everything else folds into per-user gap-2001 islands
     "stream_session_agg" -> {
@@ -2871,6 +2938,32 @@ object SparkEntry {
         |r AS (SELECT key AS r_key, user_id, m AS r_ms FROM ev WHERE side01 = 1)
         |SELECT l.l_key, r.r_key, l.user_id, l.l_ms, r.r_ms
         |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |  AND r.r_ms BETWEEN l.l_ms - $T AND l.l_ms + $T
+        |ORDER BY l_key, r_key""".stripMargin
+    },
+    // FULL interval self-join over the non-straggler rows: both
+    // null-emission directions (unmatched lefts AND rights; the
+    // never-expiring sentinels contribute nothing — see StreamJoinFull's
+    // scaladoc for the expiry arithmetic)
+    "stream_join_full" -> {
+      import graft.stream.{StreamJoin, WindowedAgg}
+      import WindowedAgg.{NumBatches, SegmentMs, LateEvery}
+      val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")
+      val hL = H("CAST(event_id AS VARCHAR) || ':latewagg'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':twagg'")
+      val hS = H("CAST(event_id AS VARCHAR) || ':side'")
+      val T = StreamJoin.IntervalMs
+      s"""WITH ev AS (
+        |  SELECT event_id AS key, user_id, ($hS % 2) AS side01,
+        |    ($hB % $NumBatches) * $SegmentMs
+        |      + ($hT % ${SegmentMs / 4}) * 4 + 1 AS m
+        |  FROM events
+        |  WHERE NOT (($hL % $LateEvery) = 0 AND ($hB % $NumBatches) >= 2)),
+        |l AS (SELECT key AS l_key, user_id, m AS l_ms FROM ev WHERE side01 = 0),
+        |r AS (SELECT key AS r_key, user_id, m AS r_ms FROM ev WHERE side01 = 1)
+        |SELECT l.l_key, r.r_key, COALESCE(l.user_id, r.user_id) AS user_id,
+        |  l.l_ms, r.r_ms
+        |FROM l FULL JOIN r ON l.user_id = r.user_id
         |  AND r.r_ms BETWEEN l.l_ms - $T AND l.l_ms + $T
         |ORDER BY l_key, r_key""".stripMargin
     },

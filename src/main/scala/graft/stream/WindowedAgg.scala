@@ -494,7 +494,9 @@ object StreamJoin {
               expr(s"INTERVAL $IntervalMs MILLISECONDS"),
           joinType)
         .select(col("l.key").as("l_key"), col("r.key").as("r_key"),
-          col("l.user_id").as("user_id"),
+          // coalesced so the full-outer variant's right-only rows carry
+          // their user; identity for inner/left (l.user_id non-null there)
+          coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
           col("l.m").as("l_ms"), col("r.m").as("r_ms"))
         .writeStream.format("parquet")
         .option("path", s"$workDir/sink")
@@ -567,7 +569,14 @@ object StreamJoinOuter {
   def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame =
     StreamJoin.runJoin(spark, stagedDir, workDir, "leftOuter")
 
-  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame =
+    overEventsWith(spark, events, "leftOuter")
+
+  /** Shared harness for the outer variants: the inner staging plus the
+    * two right-side flush sentinels, run under `joinType`.
+    */
+  private[stream] def overEventsWith(spark: SparkSession, events: DataFrame,
+      joinType: String): DataFrame = {
     import spark.implicits._
     val base = graft.util.Fs.tempDir("graft-sjoinlo")
     try {
@@ -582,7 +591,7 @@ object StreamJoinOuter {
           .toDF("key", "user_id", "m", "side"))
       StreamJoin.stage(spark, batches ++ sentinels, s"$base/staged")
       d.unpersist()
-      val out = run(spark, s"$base/staged", s"$base/work")
+      val out = StreamJoin.runJoin(spark, s"$base/staged", s"$base/work", joinType)
       out.cache(); out.count() // materialize before temp dir cleanup
       out
     } finally graft.util.Fs.deleteRecursively(base)
@@ -603,5 +612,55 @@ object StreamJoinOuter {
         col("r_ms") >= col("l_ms") - StreamJoin.IntervalMs &&
         col("r_ms") <= col("l_ms") + StreamJoin.IntervalMs, "left_outer")
       .select(col("l_key"), col("r_key"), col("user_id"), col("l_ms"), col("r_ms"))
+  }
+}
+
+/** Stream-stream time-interval FULL OUTER join — completes the join-mode
+  * matrix with the one contract inner/left never exercise: an unmatched
+  * RIGHT row is held in join state and null-emits (null left side) once
+  * the watermark proves no future left can satisfy the interval
+  * (wm > r.time + IntervalMs) — symmetric with the left side's rule.
+  * Matched rows emit their inner results on arrival and never also null;
+  * watermark-expired input on either side is discarded at ingress and
+  * emits nothing, not even a null row.
+  *
+  * Sentinel arithmetic (why the harness's two right-side flush sentinels
+  * never surface in FULL output, even though full outer emits unmatched
+  * rights): real rows carry m < NumBatches·SegmentMs = 100000, so every
+  * real row's expiry point m + IntervalMs < 103001 sits far below the
+  * final watermark 198003 (SentinelMs2 − DelayMs) — all unmatched real
+  * rows on BOTH sides null-emit at the s2-batch state cleanup. The
+  * sentinels themselves expire only when wm > SentinelMs + IntervalMs ≥
+  * 203002, which no batch ever reaches — they stay in state forever and
+  * contribute no output row. No output filtering is needed.
+  *
+  * Scale: identical state bound to the inner variant (one row per live
+  * input row within delay + interval); both null-emission directions
+  * drain from the same symmetric-hash-join state store, no extra shuffle.
+  */
+object StreamJoinFull {
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame =
+    StreamJoin.runJoin(spark, stagedDir, workDir, "fullOuter")
+
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame =
+    StreamJoinOuter.overEventsWith(spark, events, "fullOuter")
+
+  /** The emitted set as a batch plan: FULL interval join over the
+    * non-straggler rows (matched pairs kept; unmatched lefts carry a
+    * null right, unmatched rights a null left; expired input and the
+    * never-expiring sentinels contribute nothing).
+    */
+  def joinedModel(derived: DataFrame): DataFrame = {
+    val kept = derived.where(!col("late"))
+    val l = kept.where(col("side") === "l")
+      .select(col("key").as("l_key"), col("user_id"), col("m").as("l_ms"))
+    val r = kept.where(col("side") === "r")
+      .select(col("key").as("r_key"), col("user_id").as("r_user"), col("m").as("r_ms"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ms") >= col("l_ms") - StreamJoin.IntervalMs &&
+        col("r_ms") <= col("l_ms") + StreamJoin.IntervalMs, "full_outer")
+      .select(col("l_key"), col("r_key"),
+        coalesce(col("user_id"), col("r_user")).as("user_id"),
+        col("l_ms"), col("r_ms"))
   }
 }

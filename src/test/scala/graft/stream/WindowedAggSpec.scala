@@ -211,4 +211,57 @@ class WindowedAggSpec extends SparkSpec {
     // sentinels never leak into the output
     assert(!got.exists(_._3 == StreamJoinOuter.SentinelUser))
   }
+
+  test("full-outer join: unmatched rights null-emit too, matched never null, expired input and sentinels emit nothing") {
+    val base = graft.util.Fs.tempDir("graft-sjfospec")
+    try {
+      // key 1 matches key 2 cross-batch (must NOT also null-emit either
+      // direction); key 3 is an unmatched LEFT (null right after flush);
+      // key 7 is an unmatched RIGHT (null left after flush — the
+      // direction left-outer never emits); key 6 is a watermark-expired
+      // left straggler that would qualify against key 2 — suppressed
+      // entirely. The sentinels sit in right state forever (expiry
+      // 203002 > final wm 198003) and must not surface.
+      val b0 = Seq((1L, 5L, 19001L, "l"), (3L, 8L, 5001L, "l"), (7L, 42L, 7001L, "r"))
+        .toDF("key", "user_id", "m", "side")
+      val b1 = Seq((2L, 5L, 20001L, "r"), (9L, 99L, 39997L, "r"))
+        .toDF("key", "user_id", "m", "side")
+      val b2 = Seq((6L, 5L, 19997L, "l")).toDF("key", "user_id", "m", "side")
+      val sentinels = Seq(
+        Seq((-1L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs1, "r"))
+          .toDF("key", "user_id", "m", "side"),
+        Seq((-2L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs2, "r"))
+          .toDF("key", "user_id", "m", "side"))
+      StreamJoin.stage(spark, Seq(b0, b1, b2) ++ sentinels, s"$base/staged")
+      val out = StreamJoinFull.run(spark, s"$base/staged", s"$base/work")
+        .select("l_key", "r_key", "user_id")
+        .as[(Option[Long], Option[Long], Long)].collect().toSet
+      assert(out === Set(
+        (Some(1L), Some(2L), 5L),
+        (Some(3L), None, 8L),
+        (None, Some(7L), 42L),
+        (None, Some(9L), 99L)))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("streaming full-outer join equals the FULL interval-join model on real data; both null directions occur") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = StreamJoinFull.overEvents(spark, events)
+      .select("l_key", "r_key", "user_id", "l_ms", "r_ms")
+      .as[(Option[Long], Option[Long], Long, Option[Long], Option[Long])]
+      .collect().sorted.toSeq
+    val derived = StreamJoin.derive(events)
+    val expected = StreamJoinFull.joinedModel(derived)
+      .select("l_key", "r_key", "user_id", "l_ms", "r_ms")
+      .as[(Option[Long], Option[Long], Long, Option[Long], Option[Long])]
+      .collect().sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // all three outcomes occur: inner pairs, null-right, null-left
+    assert(got.exists(p => p._1.isDefined && p._2.isDefined))
+    assert(got.exists(p => p._1.isDefined && p._2.isEmpty))
+    assert(got.exists(p => p._1.isEmpty && p._2.isDefined))
+    // sentinels never surface even though full outer emits unmatched rights
+    assert(!got.exists(_._3 == StreamJoinOuter.SentinelUser))
+  }
 }
