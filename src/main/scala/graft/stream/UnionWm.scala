@@ -36,6 +36,19 @@ import org.apache.spark.sql.streaming.Trigger
   *   - 1-in-20 rows sit three segments back — decisively behind even
   *     the global watermark for every possible data layout: dropped.
   *
+  * Watermark-restore fine print (pinned by UnionWmSpec's idle-source
+  * case): only the ratcheted GLOBAL watermark is checkpointed
+  * (OffsetSeqMetadata.batchWatermarkMs) — per-node values rebuild from
+  * post-restart data, so the engine's effective schedule is
+  * wm(b) = max over b' < b of min over sources of (that batch's node
+  * value). The oracle's per-source-prefix-max formulation
+  * (min_s(prefixmax_s) − delay) equals that ratcheted form whenever each
+  * source's per-batch maxima are monotone — which this operating point
+  * guarantees (A's batch b tops out in segment b, B's in segment b−1,
+  * stragglers never carry a batch max). A source idle since a restart
+  * contributes 0 and pins the global at its restored value — the
+  * dead-topic hazard the spec pins explicitly.
+  *
   * Scale: state is one row per live window (bounded by delay + window,
   * not corpus), partial-aggregated map-side; adding sources adds
   * watermark bookkeeping, not state. At 10^10 events per topic this runs

@@ -41,6 +41,64 @@ class UnionWmSpec extends SparkSpec {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  test("multipleWatermarkPolicy=max flips the rule: the lagging source no longer shields stragglers") {
+    val base = graft.util.Fs.tempDir("graft-uwmmax")
+    try {
+      // identical staging to the min-rule case; under policy=max the
+      // global wm(2) = max(21999, 15999) = 21999, so key 4 (end 21000)
+      // now DROPS — the exact row the default min rule keeps
+      val fresh = spark.newSession()
+      fresh.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      val a0 = Seq((1L, 1001L)).toDF("event_id", "m")
+      val a1 = Seq((2L, 24001L)).toDF("event_id", "m")
+      val a2 = Seq((3L, 44001L), (4L, 20001L), (5L, 1001L)).toDF("event_id", "m")
+      val b0 = Seq((10L, 15001L)).toDF("event_id", "m")
+      val b1 = Seq((11L, 18001L)).toDF("event_id", "m")
+      val b2 = Seq((12L, 38001L)).toDF("event_id", "m")
+      UnionWm.stage(fresh, Seq(a0, a1, a2), Seq(b0, b1, b2),
+        s"$base/stagedA", s"$base/stagedB")
+      val out = UnionWm.run(fresh, s"$base/stagedA", s"$base/stagedB", s"$base/work")
+        .select("w_start", "n_a", "n_b")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out === Set(
+        (1000L, 1L, 0L), (24000L, 1L, 0L), (44000L, 1L, 0L),
+        (15000L, 0L, 1L), (18000L, 0L, 1L), (38000L, 0L, 1L)))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("a source idle since restart pins the global watermark at its restored value: nothing drops") {
+    val base = graft.util.Fs.tempDir("graft-uwmidle")
+    try {
+      // B delivers only in batch 0 and is empty afterwards. Per-NODE
+      // watermarks are not checkpointed — only the ratcheted global is
+      // (OffsetSeqMetadata carries batchWatermarkMs alone) — so after
+      // each per-reveal restart B's node rebuilds at 0 until B delivers
+      // again, and min-policy keeps the global at its restored value:
+      // here min(0, 12999) = 0 from batch 0, then 0 forever. EVERY A
+      // row survives, including m=1001 arriving at batch 2 (end 2000 —
+      // a row A's own watermark, 21999, passed two segments ago). The
+      // sentinel batches deliver to BOTH sources, so the final flush
+      // still emits everything. This is the operational shape of a
+      // dead topic after a restart: no drops, unbounded liveness of
+      // late data, state growth until the topic wakes.
+      val a0 = Seq((1L, 1001L)).toDF("event_id", "m")
+      val a1 = Seq((2L, 24001L)).toDF("event_id", "m")
+      val a2 = Seq((3L, 44001L), (4L, 14001L), (5L, 1001L)).toDF("event_id", "m")
+      val b0 = Seq((10L, 15001L)).toDF("event_id", "m")
+      val bEmpty = Seq.empty[(Long, Long)].toDF("event_id", "m")
+      UnionWm.stage(spark, Seq(a0, a1, a2), Seq(b0, bEmpty, bEmpty),
+        s"$base/stagedA", s"$base/stagedB")
+      val out = UnionWm.run(spark, s"$base/stagedA", s"$base/stagedB", s"$base/work")
+        .select("w_start", "n_a", "n_b")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out === Set(
+        (1000L, 2L, 0L), // keys 1 AND 5: the idle source blocked every drop
+        (24000L, 1L, 0L), (44000L, 1L, 0L),
+        (14000L, 1L, 0L),
+        (15000L, 0L, 1L)))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   test("streaming union agg equals the min-watermark model on real data; the min rule is load-bearing") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val got = UnionWm.overEvents(spark, events)
