@@ -729,6 +729,13 @@ object SparkEntry {
     // the per-source prefix-max schedule and the min rule exactly
     "stream_union_wm" -> ((s, d) =>
       graft.stream.UnionWm.overEvents(s, t(s, d, "events"))),
+    // CHAINED stateful operators in one query: interval join -> tumbling
+    // window agg with watermark propagation between them (agg input wm =
+    // source wm delayed by the join horizon); provably no join result is
+    // late at the agg at this operating point, so the oracle is the pure
+    // join-then-group — see StreamJoinAgg's scaladoc for the margin
+    "stream_join_agg" -> ((s, d) =>
+      graft.stream.StreamJoinAgg.overEvents(s, t(s, d, "events"))),
     // the production near-dup shape: banded candidates -> exact verify
     "dedup_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
@@ -2940,6 +2947,33 @@ object SparkEntry {
         |FROM l LEFT JOIN r ON l.user_id = r.user_id
         |  AND r.r_ms BETWEEN l.l_ms - $T AND l.l_ms + $T
         |ORDER BY l_key, r_key""".stripMargin
+    },
+    // interval join -> window group over the LEFT side's event time
+    // (chained stateful ops; no join result is late at the agg, so the
+    // batch join-then-group replays the emitted set exactly)
+    "stream_join_agg" -> {
+      import graft.stream.{StreamJoin, WindowedAgg}
+      import WindowedAgg.{NumBatches, SegmentMs, LateEvery, WindowMs}
+      val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")
+      val hL = H("CAST(event_id AS VARCHAR) || ':latewagg'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':twagg'")
+      val hS = H("CAST(event_id AS VARCHAR) || ':side'")
+      val T = StreamJoin.IntervalMs
+      s"""WITH ev AS (
+        |  SELECT event_id AS key, user_id, ($hS % 2) AS side01,
+        |    ($hB % $NumBatches) * $SegmentMs
+        |      + ($hT % ${SegmentMs / 4}) * 4 + 1 AS m
+        |  FROM events
+        |  WHERE NOT (($hL % $LateEvery) = 0 AND ($hB % $NumBatches) >= 2)),
+        |l AS (SELECT key AS l_key, user_id, m AS l_ms FROM ev WHERE side01 = 0),
+        |r AS (SELECT key AS r_key, user_id, m AS r_ms FROM ev WHERE side01 = 1),
+        |j AS (SELECT l.l_key, r.r_key, l.l_ms
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |    AND r.r_ms BETWEEN l.l_ms - $T AND l.l_ms + $T)
+        |SELECT (l_ms // $WindowMs) * $WindowMs AS w_start,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum((l_key % 97) + (r_key % 97)) AS BIGINT) AS s_mod
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // FULL interval self-join over the non-straggler rows: both
     // null-emission directions (unmatched lefts AND rights; the

@@ -120,6 +120,7 @@ object UnionWm {
     */
   def run(spark: SparkSession, stagedA: String, stagedB: String,
       workDir: String): DataFrame = {
+    WindowedAgg.quiesceMaintenance(spark)
     def start(liveA: String, liveB: String) = {
       def src(dir: String, tag: String) =
         spark.readStream.schema(WindowedAgg.stagedSchema).parquet(dir)

@@ -103,6 +103,23 @@ object WindowedAgg {
       _.select(col("event_id").cast("long"), col("m").cast("long"))) ++ sentinels, dir)
   }
 
+  /** The reveal loop restarts a streaming query every few seconds over a
+    * SHARED checkpoint; a stopped run's state-store provider unloads
+    * asynchronously, so its maintenance thread (snapshot compaction,
+    * default every 60 s) can briefly coexist with the next run's
+    * provider on the SAME store — both then race to rename the same
+    * `.snapshot` tmp file, and the loser's FileNotFoundException kills
+    * the query (observed once at sf0.001 under the chained join→agg).
+    * Snapshots are a read optimization only (state always reconstructs
+    * from deltas), so parking maintenance past any test/bench horizon
+    * removes the race class without changing semantics. Production
+    * deployments restart on failure cadence, not every few seconds —
+    * the overlap window there is negligible and snapshots should stay
+    * on their default interval.
+    */
+  private[stream] def quiesceMaintenance(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+
   /** One-file-per-micro-batch driver: reveals staged file i into the
     * live source dir, then drains an AvailableNow query over the SHARED
     * checkpoint — exactly the ssReplay restart pattern, so each reveal
@@ -132,6 +149,7 @@ object WindowedAgg {
     * excluded).
     */
   def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    WindowedAgg.quiesceMaintenance(spark)
     def start(liveDir: String) = {
       val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
       src.withColumn("event_time", timestamp_millis(col("m")))
@@ -242,6 +260,7 @@ object SessionAgg {
     * excluded).
     */
   def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    WindowedAgg.quiesceMaintenance(spark)
     def start(liveDir: String) = {
       val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
       src.withColumn("event_time", timestamp_millis(col("m")))
@@ -369,6 +388,7 @@ object StreamDedup {
     * arrival batch — no flush sentinels needed).
     */
   def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    WindowedAgg.quiesceMaintenance(spark)
     def start(liveDir: String) =
       spark.readStream.schema(stagedSchema).parquet(liveDir)
         .withColumn("event_time", timestamp_millis(col("m")))
@@ -462,7 +482,7 @@ object StreamJoin {
       late.as("late"))
   }
 
-  private val stagedSchema = StructType(Seq(
+  private[stream] val stagedJoinSchema = StructType(Seq(
     StructField("key", LongType), StructField("user_id", LongType),
     StructField("m", LongType), StructField("side", StringType)))
 
@@ -480,8 +500,9 @@ object StreamJoin {
 
   private[stream] def runJoin(spark: SparkSession, stagedDir: String,
       workDir: String, joinType: String): DataFrame = {
+    WindowedAgg.quiesceMaintenance(spark)
     def start(liveDir: String) = {
-      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+      val src = spark.readStream.schema(stagedJoinSchema).parquet(liveDir)
         .withColumn("event_time", timestamp_millis(col("m")))
         .withWatermark("event_time", s"${WindowedAgg.DelayMs} milliseconds")
       val l = src.where(col("side") === "l").as("l")
@@ -663,4 +684,98 @@ object StreamJoinFull {
         coalesce(col("user_id"), col("r_user")).as("user_id"),
         col("l_ms"), col("r_ms"))
   }
+}
+
+/** CHAINED stateful operators: stream-stream time-interval join feeding
+  * a tumbling-window aggregation in ONE streaming query — two stateful
+  * operators with watermark PROPAGATION between them (the
+  * multiple-stateful-operator contract, Spark 3.5+): the aggregation's
+  * input watermark is the join's OUTPUT watermark, i.e. the source
+  * watermark delayed by the join's state horizon (IntervalMs), because a
+  * joined row can surface that much later than its own event time.
+  *
+  * Why no join result is ever late at the aggregation (so the emitted
+  * set is the pure batch join-then-group, which flat SQL replays): a
+  * pair emits in the batch of its later-arriving side b = max(b_l, b_r);
+  * its l-window end > b·SegmentMs − IntervalMs + 1, while the agg's
+  * input watermark at batch b is ≤ (global wm ≤ b·SegmentMs − 2005)
+  * − IntervalMs — a ≥ 2002 ms margin for every layout, tie-free under
+  * the mod-4 discipline. The flush sentinels raise the SOURCE watermark
+  * to 198003, which propagates through the join horizon to 195002 —
+  * far past every real window end (< 101000) — so the s2 batch emits
+  * every live window; the sentinels themselves never pair (impossible
+  * user id) and never reach the aggregation.
+  *
+  * Scale: join state bounded by delay + interval per live row; agg
+  * state one row per live window — both map-side partial, one shuffle
+  * each (the same two exchanges a batch join+group would plan).
+  */
+object StreamJoinAgg {
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    WindowedAgg.quiesceMaintenance(spark)
+    def start(liveDir: String) = {
+      val src = spark.readStream.schema(StreamJoin.stagedJoinSchema).parquet(liveDir)
+        .withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"${WindowedAgg.DelayMs} milliseconds")
+      val l = src.where(col("side") === "l").as("l")
+      val r = src.where(col("side") === "r").as("r")
+      l.join(r,
+          col("l.user_id") === col("r.user_id") &&
+            col("r.event_time") >= col("l.event_time") -
+              expr(s"INTERVAL ${StreamJoin.IntervalMs} MILLISECONDS") &&
+            col("r.event_time") <= col("l.event_time") +
+              expr(s"INTERVAL ${StreamJoin.IntervalMs} MILLISECONDS"),
+          "inner")
+        .groupBy(window(col("l.event_time"), s"${WindowedAgg.WindowMs} milliseconds"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(pmod(col("l.key"), lit(97L)) + pmod(col("r.key"), lit(97L)))
+            .as("s_mod"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("n_pairs"), col("s_mod"))
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    spark.read.parquet(s"$workDir/sink")
+      .where(col("w_start") < WindowedAgg.SentinelMs1)
+      .orderBy(col("w_start"))
+  }
+
+  /** Same staging as the outer variants (the right-side sentinels here
+    * exist purely to push the propagated watermark past every real
+    * window so the chained aggregation flushes).
+    */
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val base = graft.util.Fs.tempDir("graft-sjagg")
+    try {
+      val d = StreamJoin.derive(events)
+      d.cache()
+      val batches = (0 until WindowedAgg.NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("key", "user_id", "m", "side"))
+      val sentinels = Seq(
+        Seq((-1L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs1, "r"))
+          .toDF("key", "user_id", "m", "side"),
+        Seq((-2L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs2, "r"))
+          .toDF("key", "user_id", "m", "side"))
+      StreamJoin.stage(spark, batches ++ sentinels, s"$base/staged")
+      d.unpersist()
+      val out = run(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The emitted windows as a batch plan: the inner interval join over
+    * non-straggler rows, grouped by the LEFT side's window.
+    */
+  def aggModel(derived: DataFrame): DataFrame =
+    StreamJoin.joinedModel(derived)
+      .groupBy((col("l_ms") - pmod(col("l_ms"), lit(WindowedAgg.WindowMs)))
+        .as("w_start"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(pmod(col("l_key"), lit(97L)) + pmod(col("r_key"), lit(97L)))
+          .as("s_mod"))
 }

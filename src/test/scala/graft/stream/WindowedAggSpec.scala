@@ -264,4 +264,50 @@ class WindowedAggSpec extends SparkSpec {
     // sentinels never surface even though full outer emits unmatched rights
     assert(!got.exists(_._3 == StreamJoinOuter.SentinelUser))
   }
+
+  test("chained join->window agg: watermark propagates through the join; cross-batch pairs count in the right window") {
+    val base = graft.util.Fs.tempDir("graft-sjaggspec")
+    try {
+      // (1,2): cross-batch pair (left held in join state) -> window
+      // 19000 of l_ms=19001; (3,4): same-batch pair -> window 5000; the
+      // expired straggler key 6 joins nothing; the sentinels drive the
+      // agg flush through the join's watermark horizon.
+      val b0 = Seq((1L, 5L, 19001L, "l"), (3L, 8L, 5001L, "l"), (4L, 8L, 6001L, "r"))
+        .toDF("key", "user_id", "m", "side")
+      val b1 = Seq((2L, 5L, 20001L, "r"), (9L, 99L, 39997L, "r"))
+        .toDF("key", "user_id", "m", "side")
+      val b2 = Seq((6L, 5L, 19997L, "l")).toDF("key", "user_id", "m", "side")
+      val sentinels = Seq(
+        Seq((-1L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs1, "r"))
+          .toDF("key", "user_id", "m", "side"),
+        Seq((-2L, StreamJoinOuter.SentinelUser, WindowedAgg.SentinelMs2, "r"))
+          .toDF("key", "user_id", "m", "side"))
+      StreamJoin.stage(spark, Seq(b0, b1, b2) ++ sentinels, s"$base/staged")
+      val out = StreamJoinAgg.run(spark, s"$base/staged", s"$base/work")
+        .select("w_start", "n_pairs", "s_mod")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out === Set((19000L, 1L, 3L), (5000L, 1L, 7L)))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  test("chained join->agg equals the batch join-then-group model on real data") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = StreamJoinAgg.overEvents(spark, events)
+      .select("w_start", "n_pairs", "s_mod")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val derived = StreamJoin.derive(events)
+    val expected = StreamJoinAgg.aggModel(derived)
+      .select("w_start", "n_pairs", "s_mod")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // windows fed by pairs whose sides arrived in different batches
+    // prove the chain carried join state AND agg state across reveals
+    val batchOf = derived.select(col("key"), col("b")).as[(Long, Long)]
+      .collect().toMap
+    val crossBatch = StreamJoin.joinedModel(derived)
+      .select("l_key", "r_key").as[(Long, Long)].collect()
+      .filter(p => batchOf(p._1) != batchOf(p._2))
+    assert(crossBatch.nonEmpty)
+  }
 }
