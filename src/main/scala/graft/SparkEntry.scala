@@ -445,6 +445,9 @@ object SparkEntry {
     // two stream() queries over one checkpoint (second resumes, no
     // duplicate/lost upserts) -> the same replay oracle
     "cdc_engine_replay_ss" -> ((s, d) => ssReplay(s)),
+    // the Spark 4 transformWithState assembly (StatefulProcessor +
+    // RocksDB incremental ListState) through the same kill/resume replay
+    "cdc_engine_replay_tws" -> ((s, d) => twsReplay(s)),
     // N1 driver-green: the engine's snapshot-mode dispatch — no_data
     // (stream-only final state, seed absent) and initial_only (seed
     // only, stream never runs), both value-checked from one log
@@ -1504,6 +1507,45 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** [[ssReplay]] on the transformWithState assembly: same staged log,
+    * same mid-log kill/resume (the restart now exercises RocksDB
+    * ListState/ValueState checkpoint persistence), same final-state
+    * oracle. Runs on a fresh session so the RocksDB provider conf the
+    * TWS path requires never leaks into the shared Verify session.
+    */
+  private def twsReplay(spark0: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val spark = spark0.newSession()
+    val base = graft.util.Fs.tempDir("graft-twsreplay")
+    try {
+      val cfg = EngineReplayCfg
+      ChangeLogGen.writeLog(spark, cfg, s"$base/staged", numFiles = 2)
+      val staged = graft.util.Fs.listParquet(s"$base/staged").sorted
+      val (first, rest) = staged.splitAt(staged.size / 2)
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+        numBuckets = 8, maxFilesPerTrigger = 1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdc.logDir))
+      def reveal(files: Seq[String]): Unit = files.foreach { f =>
+        val p = java.nio.file.Paths.get(f)
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(cdc.logDir, p.getFileName.toString))
+      }
+      reveal(first)
+      val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+        cdc, ChangeLogGen.snapshotLsn)
+      TwsAssembly.stream(spark, table, cdc).awaitTermination()
+      reveal(rest)
+      TwsAssembly.stream(spark, table, cdc).awaitTermination()
+      val out = table.read()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          tokFpCol(col("tokens")).as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** N3 end-to-end: a BLOCKING (on-demand) snapshot taken mid-stream.
     * The engine applies the committed events up to [[EvoLsn]], runs
     * [[graft.stream.IncrementalSnapshot.blocking]] against the (static)
@@ -1947,6 +1989,11 @@ object SparkEntry {
     // the SS ingest path with a mid-log checkpoint restart must land on
     // the SAME final state: oracle identical to cdc_engine_replay
     "cdc_engine_replay_ss" ->
+      ReplayStateSql,
+    // the transformWithState assembly (Spark 4 StatefulProcessor on
+    // RocksDB, incremental ListState appends) with the same mid-log
+    // restart must land on the SAME final state
+    "cdc_engine_replay_tws" ->
       ReplayStateSql,
     // the wire round trip must land on the SAME replayed state: the
     // oracle is identical to cdc_engine_replay — serialization to the

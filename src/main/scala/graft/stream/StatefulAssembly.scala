@@ -47,18 +47,54 @@ object StatefulAssembly {
   /** Quarantined-record op marker (excluded from merge and emission). */
   val DlqOp = "x"
 
-  private def toDlq(txId: Long)(o: LogRecord): ChangeEvent = ChangeEvent(
+  private[stream] def toDlq(txId: Long)(o: LogRecord): ChangeEvent = ChangeEvent(
     commit_lsn = o.lsn, change_lsn = o.lsn, begin_lsn = -1L,
     tx_id = txId, op = DlqOp, table = o.table,
     before = o.before, after = o.after, ts_ms = o.ts_ms)
 
-  private def positionMarker(txId: Long, c: LogRecord, begin: Long): ChangeEvent =
+  private[stream] def positionMarker(txId: Long, c: LogRecord, begin: Long): ChangeEvent =
     ChangeEvent(
       commit_lsn = c.lsn, change_lsn = c.lsn, begin_lsn = begin,
       tx_id = txId, op = TxAssembler.MarkerOp, table = c.table,
       before = None, after = None, ts_ms = c.ts_ms)
 
-  private def isClose(r: LogRecord): Boolean = r.op == "R" || r.op == "C"
+  private[stream] def isClose(r: LogRecord): Boolean = r.op == "R" || r.op == "C"
+
+  /** The per-tx state machine over a SORTED record buffer: collect data
+    * ops, apply savepoint discards (T3), track BEGIN, find the close.
+    * Shared by the flatMapGroupsWithState and transformWithState
+    * assemblies so their semantics are identical by construction.
+    */
+  private[stream] def foldTx(sorted: Seq[LogRecord])
+      : (Seq[LogRecord], Long, Option[LogRecord]) = {
+    val ops = scala.collection.mutable.ArrayBuffer[LogRecord]()
+    var begin = -1L
+    var closed: Option[LogRecord] = None
+    sorted.foreach { r =>
+      r.op match {
+        case "B" => begin = r.lsn
+        case "D" => ops.filterInPlace(_.lsn < r.discard_from) // T3
+        case "R" | "C" => closed = Some(r)
+        case _ => ops += r
+      }
+    }
+    (ops.toSeq, begin, closed)
+  }
+
+  /** Emission for a CLOSED tx: position marker always (R3 — the offset
+    * advances on rollbacks and empty commits too, reference
+    * `InformixStreamingChangeEventSource.java:393-403`); data events
+    * only on commit (T2: rollback discards everything).
+    */
+  private[stream] def emitClosed(txId: Long, ops: Seq[LogRecord],
+      begin: Long, c: LogRecord): Iterator[ChangeEvent] = {
+    val marker = Iterator.single(positionMarker(txId, c, begin))
+    if (c.op == "R") marker
+    else ops.iterator.map(o => ChangeEvent(
+      commit_lsn = c.lsn, change_lsn = o.lsn, begin_lsn = begin,
+      tx_id = txId, op = o.op, table = o.table,
+      before = o.before, after = o.after, ts_ms = c.ts_ms)) ++ marker
+  }
 
   /** Replay the reference's per-tx state machine over newly arrived
     * records; emit the transaction's events iff it closed.
@@ -105,34 +141,12 @@ object StatefulAssembly {
       return all.iterator.map(toDlq(txId)) ++
         close.iterator.map(c => positionMarker(txId, c, begin))
     }
-    val sorted = buf.sortBy(_.lsn)
-
-    val ops = scala.collection.mutable.ArrayBuffer[LogRecord]()
-    var begin = -1L
-    var closed: Option[LogRecord] = None
-    sorted.foreach { r =>
-      r.op match {
-        case "B" => begin = r.lsn
-        case "D" => ops.filterInPlace(_.lsn < r.discard_from) // T3
-        case "R" | "C" => closed = Some(r)
-        case _ => ops += r
-      }
-    }
+    val sorted = buf.sortBy(_.lsn).toSeq
+    val (ops, begin, closed) = foldTx(sorted)
     closed match {
       case Some(c) =>
         state.remove()
-        // position marker at (close, close): the offset advances on every
-        // closed tx — rollbacks and empty commits included (R3, reference
-        // `InformixStreamingChangeEventSource.java:393-403`)
-        val marker = Iterator.single(ChangeEvent(
-          commit_lsn = c.lsn, change_lsn = c.lsn, begin_lsn = begin,
-          tx_id = txId, op = TxAssembler.MarkerOp, table = c.table,
-          before = None, after = None, ts_ms = c.ts_ms))
-        if (c.op == "R") marker // T2: rollback discards everything
-        else ops.iterator.map(o => ChangeEvent(
-          commit_lsn = c.lsn, change_lsn = o.lsn, begin_lsn = begin,
-          tx_id = txId, op = o.op, table = o.table,
-          before = o.before, after = o.after, ts_ms = c.ts_ms)) ++ marker
+        emitClosed(txId, ops, begin, c)
       case None =>
         state.update(TxBuffer(sorted.toSeq))
         Iterator.empty
@@ -162,6 +176,20 @@ object StatefulAssembly {
       table: IceLiteTable,
       cfg: CdcConfig,
       trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    streamWith(spark, table, cfg, trigger,
+      raw => assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined))
+
+  /** The stateful pipeline with a pluggable assembly operator — shared
+    * by the flatMapGroupsWithState path (above) and the
+    * transformWithState path ([[TwsAssembly.stream]]).
+    */
+  private[stream] def streamWith(
+      spark: SparkSession,
+      table: IceLiteTable,
+      cfg: CdcConfig,
+      trigger: Trigger,
+      assembler: Dataset[LogRecord] => Dataset[ChangeEvent]
   ): StreamingQuery = {
     import spark.implicits._
     graft.plans.LwwMaxBy.register(spark)
@@ -175,7 +203,7 @@ object StatefulAssembly {
       filters = cfg.filters, rowFilter = cfg.rowFilter,
       skippedOperations = cfg.skippedOperations)
       .as[LogRecord]
-    assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined).toDF()
+    assembler(raw).toDF()
       .writeStream
       .queryName("graft-cdc-stateful")
       .option("checkpointLocation", cfg.checkpointDir)

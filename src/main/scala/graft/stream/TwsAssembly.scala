@@ -1,0 +1,127 @@
+package graft.stream
+
+import graft.icelite.IceLiteTable
+import graft.model.{ChangeEvent, LogRecord}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Small per-tx metadata kept in a ValueState beside the record buffer
+  * (ListState has no O(1) size, so the cap check carries its own count).
+  */
+case class TwsTxMeta(count: Long, quarantined: Boolean)
+
+/** Transaction assembly as a Spark 4 `StatefulProcessor`
+  * (`transformWithState`) — the FOURTH assembly strategy, and the one
+  * that scales best for long-running transactions: open-tx records land
+  * in a `ListState` whose appends are INCREMENTAL in the RocksDB state
+  * store (merge-style append), so a trigger that adds k records to a
+  * transaction already holding N does O(k) state writes — the
+  * flatMapGroupsWithState path rewrites the whole N-record buffer every
+  * trigger, O(N) per touch, O(N²) over a transaction's lifetime. At
+  * 10^10-event scale with multi-hour transactions that quadratic is the
+  * difference between a bounded pipeline and one that drowns in state
+  * I/O.
+  *
+  * Semantics are IDENTICAL to [[StatefulAssembly]] by construction: the
+  * per-tx state machine (savepoint discard, rollback, empty-commit
+  * marker, DLQ quarantine with sticky flag) is the shared
+  * `StatefulAssembly.foldTx`/`emitClosed`/`toDlq` code, and
+  * TwsAssemblySpec pins event-for-event equality on a shared log.
+  * `transformWithState` requires the RocksDB state store provider
+  * ([[StateStores.useRocksDb]]); checkpoints are not interchangeable
+  * with the fMGWS path's.
+  */
+object TwsAssembly {
+
+  private class TxProcessor(maxBuffered: Int, quarantine: Boolean)
+      extends StatefulProcessor[Long, LogRecord, ChangeEvent] {
+    import StatefulAssembly.{foldTx, emitClosed, isClose, toDlq, positionMarker}
+
+    @transient private var buf: ListState[LogRecord] = _
+    @transient private var meta: ValueState[TwsTxMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[LogRecord]("buf",
+        Encoders.product[LogRecord], TTLConfig.NONE)
+      meta = getHandle.getValueState[TwsTxMeta]("meta",
+        Encoders.product[TwsTxMeta], TTLConfig.NONE)
+    }
+
+    private def clearAll(): Unit = { buf.clear(); meta.clear() }
+
+    override def handleInputRows(txId: Long, rows: Iterator[LogRecord],
+        timerValues: TimerValues): Iterator[ChangeEvent] = {
+      val inc = rows.toSeq.sortBy(_.lsn)
+      val m = if (meta.exists()) meta.get() else TwsTxMeta(0L, quarantined = false)
+
+      // sticky quarantine: the tail and eventual close of a poisoned tx
+      // route to the DLQ too (the close still emits the marker, R3)
+      if (m.quarantined) {
+        val close = inc.find(isClose)
+        if (close.isDefined) clearAll()
+        else meta.update(TwsTxMeta(0L, quarantined = true))
+        return inc.iterator.map(toDlq(txId)) ++
+          close.iterator.map(c => positionMarker(txId, c, -1L))
+      }
+
+      if (m.count + inc.size > maxBuffered) {
+        if (!quarantine) {
+          clearAll() // don't leave the oversized buffer behind
+          throw new IllegalStateException(
+            s"transaction $txId exceeded maxBufferedPerTx=$maxBuffered buffered records " +
+              "without closing — poison transaction (raise the cap, repair the log, " +
+              "or configure a DLQ dir to quarantine instead)")
+        }
+        val all = (buf.get().toSeq ++ inc).sortBy(_.lsn)
+        val close = all.find(isClose)
+        if (close.isDefined) clearAll()
+        else { buf.clear(); meta.update(TwsTxMeta(0L, quarantined = true)) }
+        val begin = all.collectFirst { case r if r.op == "B" => r.lsn }.getOrElse(-1L)
+        return all.iterator.map(toDlq(txId)) ++
+          close.iterator.map(c => positionMarker(txId, c, begin))
+      }
+
+      inc.find(isClose) match {
+        case Some(_) =>
+          // closed this trigger: replay the whole sorted buffer once
+          val sorted = (buf.get().toSeq ++ inc).sortBy(_.lsn)
+          val (ops, begin, closed) = foldTx(sorted)
+          clearAll()
+          emitClosed(txId, ops, begin, closed.get)
+        case None =>
+          // still open: O(k) incremental append — the scale win
+          buf.appendList(inc.toArray)
+          meta.update(TwsTxMeta(m.count + inc.size, quarantined = false))
+          Iterator.empty
+      }
+    }
+  }
+
+  /** Raw log stream -> committed ChangeEvent stream via
+    * transformWithState (requires the RocksDB provider on the session).
+    */
+  def assemble(raw: Dataset[LogRecord],
+      maxBufferedPerTx: Int = StatefulAssembly.DefaultMaxBufferedPerTx,
+      quarantine: Boolean = false): Dataset[ChangeEvent] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.groupByKey(_.tx_id)
+      .transformWithState(new TxProcessor(maxBufferedPerTx, quarantine),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Full stateful pipeline (snapshot table + MERGE sink) on the
+    * transformWithState assembly — the same prepare/merge/DLQ wiring as
+    * [[StatefulAssembly.stream]].
+    */
+  def stream(
+      spark: SparkSession,
+      table: IceLiteTable,
+      cfg: CdcConfig,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    StateStores.useRocksDb(spark)
+    StatefulAssembly.streamWith(spark, table, cfg, trigger,
+      raw => assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined))
+  }
+}
