@@ -6,9 +6,10 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming._
 
 /** Small per-tx metadata kept in a ValueState beside the record buffer
-  * (ListState has no O(1) size, so the cap check carries its own count).
+  * (ListState has no O(1) size, so the cap check carries its own count;
+  * firstTs anchors the retention timer, -1 when no timer is armed).
   */
-case class TwsTxMeta(count: Long, quarantined: Boolean)
+case class TwsTxMeta(count: Long, quarantined: Boolean, firstTs: Long = -1L)
 
 /** Transaction assembly as a Spark 4 `StatefulProcessor`
   * (`transformWithState`) — the FOURTH assembly strategy, and the one
@@ -33,7 +34,8 @@ case class TwsTxMeta(count: Long, quarantined: Boolean)
   */
 object TwsAssembly {
 
-  private class TxProcessor(maxBuffered: Int, quarantine: Boolean)
+  private class TxProcessor(maxBuffered: Int, quarantine: Boolean,
+      retentionMs: Option[Long] = None)
       extends StatefulProcessor[Long, LogRecord, ChangeEvent] {
     import StatefulAssembly.{foldTx, emitClosed, isClose, toDlq, positionMarker}
 
@@ -49,13 +51,18 @@ object TwsAssembly {
 
     private def clearAll(): Unit = { buf.clear(); meta.clear() }
 
+    private def disarmTimer(m: TwsTxMeta): Unit =
+      if (retentionMs.isDefined && m.firstTs >= 0L)
+        getHandle.deleteTimer(m.firstTs + retentionMs.get)
+
     override def handleInputRows(txId: Long, rows: Iterator[LogRecord],
         timerValues: TimerValues): Iterator[ChangeEvent] = {
       val inc = rows.toSeq.sortBy(_.lsn)
       val m = if (meta.exists()) meta.get() else TwsTxMeta(0L, quarantined = false)
 
-      // sticky quarantine: the tail and eventual close of a poisoned tx
-      // route to the DLQ too (the close still emits the marker, R3)
+      // sticky quarantine: the tail and eventual close of a poisoned or
+      // retention-abandoned tx route to the DLQ too (the close still
+      // emits the marker, R3)
       if (m.quarantined) {
         val close = inc.find(isClose)
         if (close.isDefined) clearAll()
@@ -66,6 +73,7 @@ object TwsAssembly {
 
       if (m.count + inc.size > maxBuffered) {
         if (!quarantine) {
+          disarmTimer(m)
           clearAll() // don't leave the oversized buffer behind
           throw new IllegalStateException(
             s"transaction $txId exceeded maxBufferedPerTx=$maxBuffered buffered records " +
@@ -74,8 +82,8 @@ object TwsAssembly {
         }
         val all = (buf.get().toSeq ++ inc).sortBy(_.lsn)
         val close = all.find(isClose)
-        if (close.isDefined) clearAll()
-        else { buf.clear(); meta.update(TwsTxMeta(0L, quarantined = true)) }
+        if (close.isDefined) { disarmTimer(m); clearAll() }
+        else { buf.clear(); meta.update(TwsTxMeta(0L, quarantined = true, m.firstTs)) }
         val begin = all.collectFirst { case r if r.op == "B" => r.lsn }.getOrElse(-1L)
         return all.iterator.map(toDlq(txId)) ++
           close.iterator.map(c => positionMarker(txId, c, begin))
@@ -86,14 +94,41 @@ object TwsAssembly {
           // closed this trigger: replay the whole sorted buffer once
           val sorted = (buf.get().toSeq ++ inc).sortBy(_.lsn)
           val (ops, begin, closed) = foldTx(sorted)
+          disarmTimer(m)
           clearAll()
           emitClosed(txId, ops, begin, closed.get)
         case None =>
           // still open: O(k) incremental append — the scale win
           buf.appendList(inc.toArray)
-          meta.update(TwsTxMeta(m.count + inc.size, quarantined = false))
+          val firstTs =
+            if (m.firstTs >= 0L) m.firstTs
+            else {
+              val t = inc.head.ts_ms
+              // arm the retention watchdog on first contact: abandon the
+              // tx if the watermark passes firstTs + retention unclosed
+              retentionMs.foreach(r => getHandle.registerTimer(t + r))
+              t
+            }
+          meta.update(TwsTxMeta(m.count + inc.size, quarantined = false, firstTs))
           Iterator.empty
       }
+    }
+
+    /** Retention expiry (event-time timer): the tx has been open past
+      * the horizon — the generalized Debezium abandonment contract
+      * (`log.mining.transaction.retention.ms` in the Oracle sibling
+      * connector; the Informix reference bounds open-tx exposure by
+      * restart position instead). Buffered records surface to the DLQ
+      * and the quarantined flag stays so any tail/close also routes
+      * there — never a partial merge.
+      */
+    override def handleExpiredTimer(txId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ChangeEvent] = {
+      if (!meta.exists()) return Iterator.empty // closed before expiry
+      val records = buf.get().toSeq.sortBy(_.lsn)
+      buf.clear()
+      meta.update(TwsTxMeta(0L, quarantined = true))
+      records.iterator.map(toDlq(txId))
     }
   }
 
@@ -108,6 +143,38 @@ object TwsAssembly {
     raw.groupByKey(_.tx_id)
       .transformWithState(new TxProcessor(maxBufferedPerTx, quarantine),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[assemble]] plus an OPEN-TRANSACTION RETENTION WATCHDOG on
+    * event-time timers: a transaction whose first record is older than
+    * `retentionMs` against the source-time watermark and that still has
+    * no COMMIT/ROLLBACK is ABANDONED — its buffered records surface to
+    * the DLQ ('x' events) and the sticky quarantine flag routes any
+    * later tail or close there too, so an abandoned tx can never
+    * partially merge. This is the generalized Debezium abandonment
+    * contract (the Oracle sibling connector's
+    * `log.mining.transaction.retention.ms`; the Informix reference
+    * instead bounds open-tx exposure via the restart position —
+    * `InformixStreamingChangeEventSource.java:139-152` — which the
+    * engine also implements as T5). Without the watchdog an unclosed tx
+    * pins state forever; with it, state occupancy is bounded by
+    * retention × ingest rate regardless of upstream pathology.
+    */
+  def assembleWithRetention(raw: Dataset[LogRecord], retentionMs: Long,
+      watermarkDelayMs: Long = 0L,
+      maxBufferedPerTx: Int = StatefulAssembly.DefaultMaxBufferedPerTx,
+      quarantine: Boolean = true): Dataset[ChangeEvent] = {
+    val spark = raw.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    raw.toDF()
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", s"$watermarkDelayMs milliseconds")
+      .as[LogRecord]
+      .groupByKey(_.tx_id)
+      .transformWithState(
+        new TxProcessor(maxBufferedPerTx, quarantine, Some(retentionMs)),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Full stateful pipeline (snapshot table + MERGE sink) on the

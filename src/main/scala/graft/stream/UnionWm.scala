@@ -154,6 +154,7 @@ object UnionWm {
           java.nio.file.Paths.get(live, p.getFileName.toString))
       }
       start(liveA, liveB).awaitTermination()
+      WindowedAgg.releaseStateStores()
     }
     spark.read.parquet(s"$workDir/sink")
       .where(col("w_start") < SentinelMs1) // sentinel window never emits

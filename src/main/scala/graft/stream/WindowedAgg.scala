@@ -104,21 +104,25 @@ object WindowedAgg {
   }
 
   /** The reveal loop restarts a streaming query every few seconds over a
-    * SHARED checkpoint; a stopped run's state-store provider unloads
-    * asynchronously, so its maintenance thread (snapshot compaction,
-    * default every 60 s) can briefly coexist with the next run's
-    * provider on the SAME store — both then race to rename the same
-    * `.snapshot` tmp file, and the loser's FileNotFoundException kills
-    * the query (observed once at sf0.001 under the chained join→agg).
-    * Snapshots are a read optimization only (state always reconstructs
-    * from deltas), so parking maintenance past any test/bench horizon
-    * removes the race class without changing semantics. Production
-    * deployments restart on failure cadence, not every few seconds —
-    * the overlap window there is negligible and snapshots should stay
-    * on their default interval.
+    * SHARED checkpoint; each restart has a new queryRunId, so the JVM's
+    * state-store registry accumulates the stopped runs' provider
+    * instances (full state maps on heap) until periodic maintenance
+    * notices they're inactive — and a stale instance's maintenance
+    * snapshot can race the new instance's write on the same checkpoint
+    * file (observed: FileNotFoundException renaming a `.snapshot.crc`
+    * tmp at sf0.001 under the chained join→agg, killing the query).
+    * [[releaseStateStores]] between restarts closes every provider
+    * synchronously: each run starts with exactly one instance per store
+    * — no leak, no race, snapshots stay on their default cadence.
+    * GRAFT_SS_MAINTENANCE_INTERVAL optionally overrides the session's
+    * maintenance interval for diagnostics.
     */
   private[stream] def quiesceMaintenance(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    sys.env.get("GRAFT_SS_MAINTENANCE_INTERVAL").foreach(v =>
+      spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", v))
+
+  private[stream] def releaseStateStores(): Unit =
+    org.apache.spark.sql.graft.SparkInternals.unloadStateStores()
 
   /** One-file-per-micro-batch driver: reveals staged file i into the
     * live source dir, then drains an AvailableNow query over the SHARED
@@ -140,6 +144,7 @@ object WindowedAgg {
       java.nio.file.Files.copy(p,
         java.nio.file.Paths.get(liveDir, p.getFileName.toString))
       start(liveDir).awaitTermination()
+      releaseStateStores()
     }
   }
 

@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.execution.streaming.state.StateStore
+
+/** Access shim for `private[sql]` Spark internals (the package placement
+  * is the standard technique OSS Spark libraries use for exactly this).
+  *
+  * Why it exists: the test/bench reveal-loop harness restarts a
+  * streaming query every few seconds over a shared checkpoint. Each
+  * restart carries a NEW queryRunId, so the executor-side state store
+  * registry (`StateStore.loadedProviders`, keyed by (storeId, runId))
+  * accumulates the stopped run's provider instances — they hold the
+  * full state maps on heap and are only reclaimed when the periodic
+  * maintenance task notices they are inactive. Two consequences in a
+  * long single-JVM session: unbounded provider/heap accumulation across
+  * hundreds of restarts, and a race where the stale instance's
+  * maintenance snapshot and the new instance's write target the same
+  * checkpoint file (observed: FileNotFoundException renaming a
+  * `.snapshot.crc` tmp, killing the query). Synchronously unloading all
+  * providers between restarts removes both: every run starts with
+  * exactly one instance per store, and maintenance only ever sees live
+  * instances. Production jobs restart on failure cadence, not every few
+  * seconds, and should NOT call this.
+  */
+object SparkInternals {
+  /** Close and deregister every loaded state store provider in this JVM. */
+  def unloadStateStores(): Unit = StateStore.unloadAll()
+}

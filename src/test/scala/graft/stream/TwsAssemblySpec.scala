@@ -97,4 +97,67 @@ class TwsAssemblySpec extends SparkSpec {
       assert(tws.exists(e => e.op == "c" || e.op == "u"))
     } finally Fs.deleteRecursively(base)
   }
+
+  test("retention watchdog: an open tx past the horizon is abandoned via event-time timer; its late close is quarantined") {
+    import spark.implicits._
+    val base = Fs.tempDir("graft-twsret")
+    try {
+      def doc(i: Long) = Some(TokenDoc(s"d$i", Seq(i.toInt), 1, "cdc"))
+      // txA (id 1): opens and commits normally -> timer disarmed.
+      // txB (id 2): opens at ts 1000, never closes before the watermark
+      //   (delay 0) passes 1000 + 5000 -> abandoned when batch 3's
+      //   watermark (9000, from batch 2's max ts) fires the timer.
+      //   Its close finally arrives in batch 4 -> sticky quarantine:
+      //   DLQ'd and marker emitted, never merged.
+      // txC (id 3) and txD (id 4): watermark movers, commit normally.
+      val b0 = Seq(
+        LogRecord(1L, 1L, "B", -1L, "token_docs", None, None, 1000L),
+        LogRecord(2L, 1L, "c", -1L, "token_docs", None, doc(1), 1000L),
+        LogRecord(3L, 2L, "B", -1L, "token_docs", None, None, 1000L),
+        LogRecord(4L, 2L, "c", -1L, "token_docs", None, doc(2), 1000L))
+      val b1 = Seq(LogRecord(10L, 1L, "C", -1L, "token_docs", None, None, 2000L))
+      val b2 = Seq(
+        LogRecord(20L, 3L, "B", -1L, "token_docs", None, None, 9000L),
+        LogRecord(21L, 3L, "c", -1L, "token_docs", None, doc(3), 9000L),
+        LogRecord(22L, 3L, "C", -1L, "token_docs", None, None, 9000L))
+      val b3 = Seq(
+        LogRecord(25L, 4L, "B", -1L, "token_docs", None, None, 9500L),
+        LogRecord(26L, 4L, "C", -1L, "token_docs", None, None, 9500L))
+      val b4 = Seq(LogRecord(30L, 2L, "C", -1L, "token_docs", None, None, 9600L))
+
+      val logDir = s"$base/log"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logDir))
+      val fresh = StateStores.useRocksDb(spark.newSession())
+      def drain(): Unit =
+        TwsAssembly.assembleWithRetention(
+            fresh.readStream.schema(LogRecord.schema).parquet(logDir)
+              .as[LogRecord](org.apache.spark.sql.Encoders.product[LogRecord]),
+            retentionMs = 5000L)
+          .writeStream.format("parquet")
+          .option("path", s"$base/sink").option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      Seq(b0, b1, b2, b3, b4).zipWithIndex.foreach { case (batch, i) =>
+        val tmp = s"$base/stage-$i"
+        batch.toDS().toDF().coalesce(1).write.parquet(tmp)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(Fs.listParquet(tmp).head),
+          java.nio.file.Paths.get(f"$logDir/batch-$i%03d.parquet"))
+        drain()
+      }
+      val out = fresh.read.parquet(s"$base/sink")
+        .as[ChangeEvent](org.apache.spark.sql.Encoders.product[ChangeEvent])
+        .collect().toSeq
+      // committed data events: txA, txC only (txD is an empty commit)
+      assert(out.filter(e => e.op == "c").map(_.tx_id).toSet === Set(1L, 3L))
+      // txB's buffered record surfaced to the DLQ when the timer fired,
+      // and its late close was quarantined too (marker still emitted)
+      val bEvents = out.filter(_.tx_id == 2L)
+      assert(bEvents.exists(e => e.op == StatefulAssembly.DlqOp && e.change_lsn == 4L))
+      assert(bEvents.exists(_.op == TxAssembler.MarkerOp))
+      assert(!bEvents.exists(_.op == "c"))
+      // position markers: every closed or quarantine-closed tx advanced
+      assert(out.count(_.op == TxAssembler.MarkerOp) === 4)
+    } finally Fs.deleteRecursively(base)
+  }
 }
