@@ -448,6 +448,10 @@ object SparkEntry {
     // the Spark 4 transformWithState assembly (StatefulProcessor +
     // RocksDB incremental ListState) through the same kill/resume replay
     "cdc_engine_replay_tws" -> ((s, d) => twsReplay(s)),
+    // the open-tx retention watchdog: one committed tx's COMMIT
+    // withheld past the horizon -> abandoned whole-tx to the DLQ, late
+    // COMMIT quarantined; final state == full replay minus that tx
+    "cdc_retention_abandon" -> ((s, d) => retentionAbandonReplay(s)),
     // N1 driver-green: the engine's snapshot-mode dispatch — no_data
     // (stream-only final state, seed absent) and initial_only (seed
     // only, stream never runs), both value-checked from one log
@@ -1285,6 +1289,38 @@ object SparkEntry {
   val EngineReplayCfg: graft.changelog.ChangeLogConfig =
     graft.changelog.ChangeLogConfig(nTx = 100, nDocs = 100)
 
+  private case class OrphanPick(txId: Long, idx: Long)
+
+  /** The retention-abandonment target for `cdc_retention_abandon`: the
+    * SMALLEST committed transaction in the deterministic log that is
+    * the LWW winner for at least one key — so abandoning it observably
+    * changes the final state, making the oracle's exclusion decisive
+    * (a tx whose writes all lose to later winners would make the
+    * filtered and unfiltered oracles hash identically). Pure generator
+    * arithmetic, no Spark — the oracle SQL interpolates the same id.
+    */
+  private lazy val RetentionOrphan: OrphanPick = {
+    import graft.changelog.ChangeLogGen
+    val cfg = EngineReplayCfg
+    val perTx = (0L until cfg.nTx).map(i => i -> ChangeLogGen.txRecords(cfg, i))
+    val committed = perTx.flatMap { case (i, recs) =>
+      val (ops, _, closed) = graft.stream.StatefulAssembly.foldTx(recs)
+      closed match {
+        case Some(c) if c.op == "C" =>
+          ops.flatMap(o =>
+            o.after.map(_.doc_id).orElse(o.before.map(_.doc_id))
+              .map(k => (i, c.lsn, o.lsn, k)))
+        case _ => Nil
+      }
+    }
+    val winnerTxs = committed.groupBy(_._4).map { case (_, evs) =>
+      evs.maxBy(e => (e._2, e._3))._1
+    }.toSet
+    val idx = (0L until cfg.nTx).find(winnerTxs.contains).getOrElse(
+      sys.error("no eligible retention orphan in the deterministic log"))
+    OrphanPick(perTx(idx.toInt)._2.head.tx_id, idx)
+  }
+
   /** Mid-log commit-LSN threshold for `cdc_schema_evolve`: transactions
     * committing ABOVE it carry the post-ALTER row shape (an added
     * `lang` column). Half the raw slot span, pushed through the same
@@ -1537,6 +1573,99 @@ object SparkEntry {
       TwsAssembly.stream(spark, table, cdc).awaitTermination()
       reveal(rest)
       TwsAssembly.stream(spark, table, cdc).awaitTermination()
+      val out = table.read()
+        .select(col("doc_id"), col("n_tok"), col("source"),
+          tokFpCol(col("tokens")).as("tok_fp"))
+        .orderBy(col("doc_id"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The open-transaction RETENTION WATCHDOG driven end to end
+    * (generalized Debezium abandonment — the Oracle sibling connector's
+    * `log.mining.transaction.retention.ms`): the deterministic log
+    * replays with ONE committed transaction's COMMIT withheld until the
+    * final reveal, long past the retention horizon. The engine must
+    * abandon it — every buffered record to the DLQ, the late COMMIT
+    * quarantined (sticky), NOTHING merged — so the final state equals
+    * the full replay minus exactly that transaction, which is what the
+    * oracle computes ([[RetentionReplayStateSql]]). The retention
+    * window is derived from the staged layout so that no legitimate
+    * straddling transaction can trip the watchdog (requires enforce
+    * both sides of the window).
+    */
+  private def retentionAbandonReplay(spark0: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val spark = spark0.newSession()
+    val base = graft.util.Fs.tempDir("graft-retabandon")
+    try {
+      import spark.implicits._
+      val cfg = EngineReplayCfg
+      val orphan = RetentionOrphan
+      val recsAll = (0L until cfg.nTx)
+        .flatMap(i => ChangeLogGen.txRecords(cfg, i)).sortBy(_.lsn)
+      val (orphanClose, rest) = recsAll.partition(r =>
+        r.tx_id == orphan.txId && (r.op == "C" || r.op == "R"))
+      require(orphanClose.size == 1 && orphanClose.head.op == "C",
+        "retention orphan must be a committed tx")
+      // the withheld COMMIT finally happens AFTER everything else, so it
+      // carries a fresh commit timestamp (a commit record's event time
+      // is the commit time); with its original generated ts it would be
+      // older than the watermark and Spark's late filter would drop it
+      // before the processor — see the assembleWithRetention scaladoc
+      val lateClose = orphanClose.map(c =>
+        c.copy(ts_ms = recsAll.iterator.map(_.ts_ms).max + 1L))
+      val n = rest.size
+      val stages: Seq[Seq[graft.model.LogRecord]] = Seq(
+        rest.slice(0, n / 3), rest.slice(n / 3, 2 * n / 3),
+        rest.slice(2 * n / 3, n), lateClose)
+
+      // Window bounds. A tx arms its watchdog only when a micro-batch
+      // leaves it open (records without its close); the largest
+      // watermark it can see before its close is processed is the max
+      // event time of the stages BEFORE the close's stage. Retention
+      // must exceed that gap for every legitimate tx, and stay below
+      // the orphan's gap to the second stage boundary so its timer
+      // fires before the withheld COMMIT is revealed.
+      val stageMaxTs = stages.take(3).map(_.map(_.ts_ms).max)
+      val stageIdx: Map[Long, Int] =
+        stages.zipWithIndex.flatMap { case (s, i) => s.map(r => r.lsn -> i) }.toMap
+      val legitMax = (0L until cfg.nTx).filter(_ != orphan.idx).flatMap { i =>
+        val recs = ChangeLogGen.txRecords(cfg, i)
+        val firstStage = stageIdx(recs.head.lsn)
+        val closeStage = stageIdx(recs.last.lsn)
+        if (closeStage == firstStage) None // one micro-batch: never armed
+        else Some(stageMaxTs.take(closeStage).max - recs.head.ts_ms)
+      }.foldLeft(0L)((a, b) => math.max(a, b))
+      val orphanFirstTs = ChangeLogGen.txRecords(cfg, orphan.idx).head.ts_ms
+      val upper = stageMaxTs.take(2).max - orphanFirstTs
+      val retentionMs = legitMax + 2
+      require(retentionMs < upper,
+        s"retention window unsatisfiable: legit gap $legitMax, orphan bound $upper")
+
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+        numBuckets = 8, maxFilesPerTrigger = 1, dlqDir = Some(s"$base/dlq"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdc.logDir))
+      val table = CdcJob.snapshot(spark,
+        ChangeLogGen.initialTable(spark, cfg).toDF(), cdc, ChangeLogGen.snapshotLsn)
+      stages.zipWithIndex.foreach { case (recs, i) =>
+        val tmp = s"$base/stage-$i"
+        recs.toDS().toDF().coalesce(1).write.parquet(tmp)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(graft.util.Fs.listParquet(tmp).head),
+          java.nio.file.Paths.get(f"${cdc.logDir}/batch-$i%03d.parquet"))
+        TwsAssembly.streamRetention(spark, table, cdc, retentionMs)
+          .awaitTermination()
+      }
+      // abandonment is all-or-nothing: the orphan's EVERY record
+      // (including the late close) must be in the DLQ
+      val dlqOrphan = spark.read.parquet(s"${cdc.dlqDir.get}/*")
+        .where(col("tx_id") === orphan.txId &&
+          col("op") === StatefulAssembly.DlqOp).count()
+      require(dlqOrphan == recsAll.count(_.tx_id == orphan.txId),
+        s"expected the whole orphan tx in the DLQ, got $dlqOrphan records")
       val out = table.read()
         .select(col("doc_id"), col("n_tok"), col("source"),
           tokFpCol(col("tokens")).as("tok_fp"))
@@ -1936,33 +2065,38 @@ object SparkEntry {
     * savepoint DISCARD ranges drop. ONE definition, so a fix to the
     * assembly semantics reaches every consumer's oracle at once.
     */
-  private lazy val ReplayEvCte: String =
-    """raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
+  private def replayEvCte(extraPred: String): String =
+    s"""raw AS (SELECT * FROM read_parquet('{AUX}/engine_log/*.parquet')),
       |seed AS (SELECT * FROM read_parquet('{AUX}/engine_seed/*.parquet')),
       |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn FROM raw GROUP BY tx_id),
       |ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
       |       FROM raw r JOIN ctrl c USING(tx_id)
-      |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+      |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL$extraPred
       |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
       |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn))""".stripMargin
 
+  private lazy val ReplayEvCte: String = replayEvCte("")
+
   /** [[ReplayEvCte]] + the LWW winner per key — the committed-state
-    * CTE ending in `last`. */
-  private lazy val ReplayCte: String =
-    s"""$ReplayEvCte,
+    * CTE ending in `last` (extraPred narrows the committed-event set,
+    * e.g. the retention oracle's abandoned-tx exclusion). */
+  private def replayCte(extraPred: String): String =
+    s"""${replayEvCte(extraPred)},
       |last AS (SELECT key, op, after FROM (
       |         SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
       |                row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
       |                                   ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
       |         FROM ev) WHERE rn = 1)""".stripMargin
 
+  private lazy val ReplayCte: String = replayCte("")
+
   /** The replayed FINAL STATE (doc_id, n_tok, source, token
     * fingerprint) — the one oracle the classic read, the v2 read, the
     * wire round trip, the feed refold and the replica all hash
     * against: five consumers, one replay by construction.
     */
-  private lazy val ReplayStateSql: String =
-    s"""WITH $ReplayCte
+  private def replayStateSql(extraPred: String): String =
+    s"""WITH ${replayCte(extraPred)}
       |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
       |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
       |       COALESCE(l.after.source, s.source) AS source,
@@ -1970,6 +2104,18 @@ object SparkEntry {
       |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
       |WHERE COALESCE(l.op,'') <> 'd'
       |ORDER BY doc_id""".stripMargin
+
+  private lazy val ReplayStateSql: String = replayStateSql("")
+
+  /** [[ReplayStateSql]] minus the retention-abandoned transaction: the
+    * oracle for `cdc_retention_abandon`. The dumped log CONTAINS the
+    * orphan's COMMIT (the generator is shared), so without the
+    * exclusion its events would apply — the exclusion is exactly the
+    * semantics the watchdog must produce, and the orphan is chosen to
+    * own at least one LWW winner key so the two states provably differ.
+    */
+  private lazy val RetentionReplayStateSql: String =
+    replayStateSql(s" AND r.tx_id <> ${RetentionOrphan.txId}")
 
   /** The `{AUX}` token is replaced by [[Verify]] with the absolute path
     * of its aux-dump directory (the deterministically regenerated engine
@@ -1995,6 +2141,12 @@ object SparkEntry {
     // restart must land on the SAME final state
     "cdc_engine_replay_tws" ->
       ReplayStateSql,
+    // retention watchdog: the dumped log contains the orphan's COMMIT,
+    // so the oracle must EXCLUDE that tx — exactly the abandonment
+    // semantics; the orphan owns >=1 LWW winner key, so a partial or
+    // missed abandonment breaks the hash
+    "cdc_retention_abandon" ->
+      RetentionReplayStateSql,
     // the wire round trip must land on the SAME replayed state: the
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving

@@ -65,7 +65,7 @@ object StatefulAssembly {
     * Shared by the flatMapGroupsWithState and transformWithState
     * assemblies so their semantics are identical by construction.
     */
-  private[stream] def foldTx(sorted: Seq[LogRecord])
+  private[graft] def foldTx(sorted: Seq[LogRecord])
       : (Seq[LogRecord], Long, Option[LogRecord]) = {
     val ops = scala.collection.mutable.ArrayBuffer[LogRecord]()
     var begin = -1L

@@ -159,6 +159,16 @@ object TwsAssembly {
     * engine also implements as T5). Without the watchdog an unclosed tx
     * pins state forever; with it, state occupancy is bounded by
     * retention × ingest rate regardless of upstream pathology.
+    *
+    * Late-filter interaction: the watermark that drives the timers also
+    * drops input records OLDER than itself before the processor
+    * (standard Spark semantics). An abandoned tx's straggler whose
+    * event time is stale therefore never reaches the DLQ — the DLQ
+    * captures the buffer at abandonment; the sticky quarantine catches
+    * any tail that passes the late filter (e.g. an eventual COMMIT,
+    * whose event time is the commit time and hence fresh). The
+    * quarantined marker itself is a few dozen bytes per abandoned tx
+    * and is cleared when such a close arrives.
     */
   def assembleWithRetention(raw: Dataset[LogRecord], retentionMs: Long,
       watermarkDelayMs: Long = 0L,
@@ -190,5 +200,25 @@ object TwsAssembly {
     StateStores.useRocksDb(spark)
     StatefulAssembly.streamWith(spark, table, cfg, trigger,
       raw => assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined))
+  }
+
+  /** [[stream]] with the open-transaction retention watchdog
+    * ([[assembleWithRetention]]) — abandoned transactions surface in
+    * `cfg.dlqDir` (required: without a DLQ dir the 'x' events would
+    * reach the merge, which must never happen).
+    */
+  def streamRetention(
+      spark: SparkSession,
+      table: IceLiteTable,
+      cfg: CdcConfig,
+      retentionMs: Long,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    require(cfg.dlqDir.isDefined,
+      "streamRetention needs cfg.dlqDir: abandoned-tx records route to the DLQ")
+    StateStores.useRocksDb(spark)
+    StatefulAssembly.streamWith(spark, table, cfg, trigger,
+      raw => assembleWithRetention(raw, retentionMs,
+        maxBufferedPerTx = cfg.maxTxRecords, quarantine = true))
   }
 }
