@@ -452,6 +452,13 @@ object SparkEntry {
     // withheld past the horizon -> abandoned whole-tx to the DLQ, late
     // COMMIT quarantined; final state == full replay minus that tx
     "cdc_retention_abandon" -> ((s, d) => retentionAbandonReplay(s)),
+    // open-tx state INTROSPECTION through Spark's public state-store
+    // reader: the fMGWS checkpoint's pending set after a half-log drain
+    // == the open transactions derivable from the log prefix
+    "cdc_state_inspect" -> ((s, d) => migrationAll(s)._1),
+    // zero-replay strategy migration: fMGWS first half -> state read ->
+    // transformWithState (initial state) second half == full replay
+    "cdc_migrate_state" -> ((s, d) => migrationAll(s)._2),
     // N1 driver-green: the engine's snapshot-mode dispatch — no_data
     // (stream-only final state, seed absent) and initial_only (seed
     // only, stream never runs), both value-checked from one log
@@ -1675,6 +1682,90 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** Record-level split of the deterministic log for the migration
+    * pipeline: open transactions straddle the boundary BY CONSTRUCTION
+    * (the split lands mid-interleave-group), which is the whole point —
+    * their buffers are what migrates. The boundary LSN is a generated
+    * constant the state-inspection oracle interpolates.
+    */
+  private lazy val MigrateSplit
+      : (Seq[graft.model.LogRecord], Seq[graft.model.LogRecord]) = {
+    val cfg = EngineReplayCfg
+    val all = (0L until cfg.nTx)
+      .flatMap(i => graft.changelog.ChangeLogGen.txRecords(cfg, i)).sortBy(_.lsn)
+    all.splitAt(all.size / 2)
+  }
+  private lazy val InspectBoundaryLsn: Long = MigrateSplit._1.last.lsn
+
+  // one pipeline run serves BOTH migration entries (state inspection +
+  // migrated final state) — memo per session, like replayMemo
+  @transient private var migrateMemo: Option[(SparkSession, DataFrame, DataFrame)] = None
+
+  /** CHECKPOINT STATE MIGRATION driven end to end: phase 1 assembles
+    * the first half of the log with the flatMapGroupsWithState
+    * strategy; its checkpoint's open-transaction state is then read
+    * back through Spark's PUBLIC state-store reader
+    * ([[graft.stream.StateInspect]]) — that inspection is
+    * `cdc_state_inspect`, oracle = the open transactions derivable
+    * from the log prefix alone — and seeds a transformWithState
+    * (RocksDB) query over the second half via initial state
+    * ([[graft.stream.TwsAssembly.streamMigrated]]): a strategy switch
+    * with ZERO log re-read. `cdc_migrate_state` checks the migrated
+    * final state against the FULL replay oracle — any lost, duplicated
+    * or re-ordered buffered record breaks the hash.
+    */
+  private def migrationAll(spark0: SparkSession): (DataFrame, DataFrame) =
+    synchronized {
+      migrateMemo match {
+        case Some((s, insp, fin)) if s eq spark0 => (insp, fin)
+        case _ =>
+          import graft.changelog.ChangeLogGen
+          import graft.stream._
+          val spark = spark0.newSession()
+          val base = graft.util.Fs.tempDir("graft-migrate")
+          try {
+            import spark.implicits._
+            val cfg = EngineReplayCfg
+            val (first, second) = MigrateSplit
+            def stage(recs: Seq[graft.model.LogRecord], dir: String): Unit = {
+              val tmp = s"$dir-staging"
+              recs.toDS().toDF().coalesce(1).write.parquet(tmp)
+              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+              java.nio.file.Files.move(
+                java.nio.file.Paths.get(graft.util.Fs.listParquet(tmp).head),
+                java.nio.file.Paths.get(s"$dir/batch-000.parquet"))
+            }
+            val cdc1 = CdcConfig(s"$base/log1", s"$base/table", s"$base/ckpt1",
+              numBuckets = 8)
+            stage(first, cdc1.logDir)
+            val table = CdcJob.snapshot(spark,
+              ChangeLogGen.initialTable(spark, cfg).toDF(), cdc1,
+              ChangeLogGen.snapshotLsn)
+            StatefulAssembly.stream(spark, table, cdc1).awaitTermination()
+
+            val pending = StateInspect
+              .pendingFmgws(spark, cdc1.checkpointDir).cache()
+            val insp = StateInspect.pendingSummary(pending)
+              .orderBy(col("tx_id"))
+            insp.cache(); insp.count()
+
+            val cdc2 = cdc1.copy(logDir = s"$base/log2",
+              checkpointDir = s"$base/ckpt2")
+            stage(second, cdc2.logDir)
+            TwsAssembly.streamMigrated(spark, table, cdc2, pending)
+              .awaitTermination()
+            val fin = table.read()
+              .select(col("doc_id"), col("n_tok"), col("source"),
+                tokFpCol(col("tokens")).as("tok_fp"))
+              .orderBy(col("doc_id"))
+            fin.cache(); fin.count() // materialize before temp dir cleanup
+            pending.unpersist()
+            migrateMemo = Some((spark0, insp, fin))
+            (insp, fin)
+          } finally graft.util.Fs.deleteRecursively(base)
+      }
+    }
+
   /** N3 end-to-end: a BLOCKING (on-demand) snapshot taken mid-stream.
     * The engine applies the committed events up to [[EvoLsn]], runs
     * [[graft.stream.IncrementalSnapshot.blocking]] against the (static)
@@ -2147,6 +2238,25 @@ object SparkEntry {
     // missed abandonment breaks the hash
     "cdc_retention_abandon" ->
       RetentionReplayStateSql,
+    // open-tx state after draining the log PREFIX: a tx is pending iff
+    // it has records at or below the boundary and no close there; the
+    // engine's buffer is exactly those records (count + lsn span)
+    "cdc_state_inspect" ->
+      s"""SELECT tx_id,
+        |       CAST(count(*) AS BIGINT) AS n_buffered,
+        |       min(lsn) AS min_lsn,
+        |       max(lsn) AS max_lsn,
+        |       FALSE AS quarantined
+        |FROM read_parquet('{AUX}/engine_log/*.parquet')
+        |WHERE lsn <= $InspectBoundaryLsn
+        |GROUP BY tx_id
+        |HAVING max(CASE WHEN op IN ('C','R') THEN 1 ELSE 0 END) = 0
+        |ORDER BY tx_id""".stripMargin,
+    // the strategy switch must be LOSSLESS: the migrated engine's final
+    // state hashes against the same full-replay oracle as the unsplit
+    // engines — a lost/duplicated/reordered migrated buffer breaks it
+    "cdc_migrate_state" ->
+      ReplayStateSql,
     // the wire round trip must land on the SAME replayed state: the
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving

@@ -1,0 +1,60 @@
+package graft.stream
+
+import graft.model.LogRecord
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Open-transaction state INTROSPECTION over a live (or stopped)
+  * assembly checkpoint, via Spark's public state-store reader
+  * (`spark.read.format("statestore")`, SPARK-45511) — no private API,
+  * no checkpoint-format coupling beyond the state encoder the engine
+  * itself wrote with.
+  *
+  * Two uses:
+  *   - observability: WHICH transactions are open right now, how much
+  *     is buffered, which are quarantined — the question the
+  *     reference's operators answer by querying `syscdc` sessions
+  *     (`InformixConnection.java:105-120`); here it is a DataFrame.
+  *   - migration: the exported pending set seeds
+  *     [[TwsAssembly.assembleMigrated]] — a strategy switch
+  *     (flatMapGroupsWithState -> transformWithState/RocksDB) with
+  *     zero log re-read.
+  *
+  * Scale: the reader plans one partition per state-store partition —
+  * the same parallelism the stateful operator ran with; nothing is
+  * collected to the driver.
+  */
+object StateInspect {
+
+  /** One open transaction's exported state. */
+  final case class PendingTx(tx_id: Long, records: Seq[LogRecord],
+      quarantined: Boolean)
+
+  /** Pending (open or quarantined) transactions of a
+    * [[StatefulAssembly]] (flatMapGroupsWithState) checkpoint. The
+    * value schema is the engine's own `TxBuffer` encoder under the
+    * reader's `value.groupState` wrapper.
+    */
+  def pendingFmgws(spark: SparkSession, checkpointDir: String): Dataset[PendingTx] = {
+    import spark.implicits._
+    spark.read.format("statestore").load(checkpointDir)
+      .select(
+        col("key.value").as("tx_id"),
+        coalesce(col("value.groupState.records"),
+          typedLit(Seq.empty[LogRecord])).as("records"),
+        col("value.groupState.quarantined").as("quarantined"))
+      .as[PendingTx]
+  }
+
+  /** Summary view for operators: one row per pending tx — id, buffered
+    * record count, LSN span, quarantine flag. Columns are flat scalars
+    * so the result is directly oracle-checkable.
+    */
+  def pendingSummary(pending: Dataset[PendingTx]): DataFrame =
+    pending.toDF()
+      .select(col("tx_id"),
+        size(col("records")).cast("long").as("n_buffered"),
+        array_min(col("records.lsn")).as("min_lsn"),
+        array_max(col("records.lsn")).as("max_lsn"),
+        col("quarantined"))
+}

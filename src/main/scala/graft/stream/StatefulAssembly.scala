@@ -184,12 +184,19 @@ object StatefulAssembly {
     * by the flatMapGroupsWithState path (above) and the
     * transformWithState path ([[TwsAssembly.stream]]).
     */
+  /** @param batchIdBase added to every micro-batch id before it meets
+    *   the sink's idempotency gate — a MIGRATED query (fresh checkpoint,
+    *   batch ids restart at 0) must continue the sink's batch-id channel
+    *   or the gate would swallow its first batches as already applied.
+    *   See [[TwsAssembly.streamMigrated]] for the restart-safe seeding.
+    */
   private[stream] def streamWith(
       spark: SparkSession,
       table: IceLiteTable,
       cfg: CdcConfig,
       trigger: Trigger,
-      assembler: Dataset[LogRecord] => Dataset[ChangeEvent]
+      assembler: Dataset[LogRecord] => Dataset[ChangeEvent],
+      batchIdBase: Long = 0L
   ): StreamingQuery = {
     import spark.implicits._
     graft.plans.LwwMaxBy.register(spark)
@@ -208,7 +215,8 @@ object StatefulAssembly {
       .queryName("graft-cdc-stateful")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (events: DataFrame, batchId: Long) =>
+      .foreachBatch { (events: DataFrame, rawBatchId: Long) =>
+        val batchId = rawBatchId + batchIdBase
         cfg.signalDir.foreach(d => Signals.process(spark, table, d, cfg.rowFilter))
         // quarantined records go to the dead-letter dir, never the merge
         cfg.dlqDir match {

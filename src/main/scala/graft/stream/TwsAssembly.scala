@@ -36,7 +36,8 @@ object TwsAssembly {
 
   private class TxProcessor(maxBuffered: Int, quarantine: Boolean,
       retentionMs: Option[Long] = None)
-      extends StatefulProcessor[Long, LogRecord, ChangeEvent] {
+      extends StatefulProcessorWithInitialState[
+        Long, LogRecord, ChangeEvent, TxBuffer] {
     import StatefulAssembly.{foldTx, emitClosed, isClose, toDlq, positionMarker}
 
     @transient private var buf: ListState[LogRecord] = _
@@ -112,6 +113,28 @@ object TwsAssembly {
           meta.update(TwsTxMeta(m.count + inc.size, quarantined = false, firstTs))
           Iterator.empty
       }
+    }
+
+    /** Seed this key's state from ANOTHER assembly strategy's exported
+      * pending state (checkpoint migration — see
+      * [[StateInspect.pendingFmgws]]): the open-tx record buffer and
+      * the sticky quarantine flag carry over verbatim, so a poison tx
+      * stays quarantined across the strategy switch and an open tx
+      * resumes mid-flight with zero log replay. Runs once per key on
+      * the migrated query's FIRST batch, before any input.
+      */
+    override def handleInitialState(txId: Long, initial: TxBuffer,
+        timerValues: TimerValues): Unit = {
+      val sorted = initial.records.sortBy(_.lsn)
+      if (sorted.nonEmpty) buf.appendList(sorted.toArray)
+      val firstTs =
+        if (sorted.isEmpty || initial.quarantined) -1L
+        else {
+          val t = sorted.head.ts_ms
+          retentionMs.foreach(r => getHandle.registerTimer(t + r))
+          t
+        }
+      meta.update(TwsTxMeta(sorted.size.toLong, initial.quarantined, firstTs))
     }
 
     /** Retention expiry (event-time timer): the tx has been open past
@@ -200,6 +223,73 @@ object TwsAssembly {
     StateStores.useRocksDb(spark)
     StatefulAssembly.streamWith(spark, table, cfg, trigger,
       raw => assemble(raw, cfg.maxTxRecords, quarantine = cfg.dlqDir.isDefined))
+  }
+
+  /** [[assemble]] seeded with ANOTHER strategy's exported open-tx
+    * state — ZERO-REPLAY CHECKPOINT MIGRATION. `pending` is the
+    * (tx_id, buffer) set read from a [[StatefulAssembly]]
+    * (flatMapGroupsWithState) checkpoint via Spark's public
+    * state-store reader ([[StateInspect.pendingFmgws]]); the migrated
+    * query starts on a FRESH checkpoint, resumes every open
+    * transaction mid-flight and keeps quarantined ones quarantined.
+    * The operational story is the reference's connector-upgrade path
+    * (offsets + schema history carry over, the log is NOT re-read) —
+    * here the state itself carries over, so not even the open-tx tail
+    * is re-read.
+    */
+  def assembleMigrated(raw: Dataset[LogRecord],
+      pending: Dataset[StateInspect.PendingTx],
+      maxBufferedPerTx: Int = StatefulAssembly.DefaultMaxBufferedPerTx,
+      quarantine: Boolean = false): Dataset[ChangeEvent] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val init = pending.groupByKey(_.tx_id)
+      .mapValues(p => TxBuffer(p.records, p.quarantined))
+    raw.groupByKey(_.tx_id)
+      .transformWithState(
+        new TxProcessor(maxBufferedPerTx, quarantine),
+        TimeMode.None(), OutputMode.Append(), init)
+  }
+
+  /** Full stateful pipeline on [[assembleMigrated]]: the strategy
+    * switch as one call — same prepare/merge/DLQ wiring, fresh
+    * checkpoint, old strategy's pending state seeded in.
+    */
+  def streamMigrated(
+      spark: SparkSession,
+      table: IceLiteTable,
+      cfg: CdcConfig,
+      pending: Dataset[StateInspect.PendingTx],
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    StateStores.useRocksDb(spark)
+    StatefulAssembly.streamWith(spark, table, cfg, trigger,
+      raw => assembleMigrated(raw, pending, cfg.maxTxRecords,
+        quarantine = cfg.dlqDir.isDefined),
+      batchIdBase = migratedBatchIdBase(table, cfg))
+  }
+
+  /** The migrated query's batch ids restart at 0 (fresh checkpoint),
+    * but the SINK's idempotency gate tracks the OLD query's high-water
+    * mark — so the new channel must start past it. The base is seeded
+    * from the sink's `lastBatchId + 1` ONCE, then pinned in a file
+    * beside the new checkpoint: on restart the same base is reused even
+    * though the sink has advanced, keeping re-delivered micro-batches
+    * idempotent (the same reason the base can't simply be re-read from
+    * the sink each start). This is the migration analog of carrying
+    * connector offsets across an upgrade.
+    */
+  private def migratedBatchIdBase(table: IceLiteTable, cfg: CdcConfig): Long = {
+    val dir = java.nio.file.Paths.get(cfg.checkpointDir)
+    val f = dir.resolve("graft-batchid-base")
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLong
+    else {
+      val base = table.refresh().summary.lastBatchId + 1L
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(f, base.toString)
+      base
+    }
   }
 
   /** [[stream]] with the open-transaction retention watchdog
