@@ -69,7 +69,8 @@ object Bench {
     "token_pmi", "chunk_emit", "vocab_coverage", "ann_ivfpq",
     "stream_window_agg", "stream_session_agg", "stream_dedup",
     "stream_join", "stream_join_full", "stream_union_wm", "stream_join_agg",
-    "cdc_engine_replay_tws", "cdc_retention_abandon", "cdc_migrate_state")
+    "cdc_engine_replay_tws", "cdc_retention_abandon", "cdc_migrate_state",
+    "cdc_ivm_join")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

@@ -459,6 +459,10 @@ object SparkEntry {
     // zero-replay strategy migration: fMGWS first half -> state read ->
     // transformWithState (initial state) second half == full replay
     "cdc_migrate_state" -> ((s, d) => migrationAll(s)._2),
+    // join-view maintenance: a fact x dim enrichment view maintained
+    // differentially from TWO engine change feeds (one exactly-once
+    // checkpoint across three tables) == the joined replays
+    "cdc_ivm_join" -> ((s, d) => ivmJoinAll(s)),
     // N1 driver-green: the engine's snapshot-mode dispatch — no_data
     // (stream-only final state, seed absent) and initial_only (seed
     // only, stream never runs), both value-checked from one log
@@ -1766,6 +1770,120 @@ object SparkEntry {
       }
     }
 
+  /** Deterministic dim payload for the join-view fixture: a dimension
+    * row keyed by a fact `source` value, TokenDoc-shaped so the engine
+    * machinery (log staging, tx assembly, merge) reuses unchanged.
+    */
+  private def ivmDimDoc(k: String, idx: Long, v: Long): graft.model.TokenDoc = {
+    val t = graft.changelog.ChangeLogGen
+      .tokensFor(EngineReplayCfg.seed, 900000L + idx, v, 16)
+    graft.model.TokenDoc(k, t, t.size, "dim")
+  }
+
+  /** The dim source table's seed (snapshot phase, pin 0). */
+  private[graft] lazy val IvmDimSeed: Seq[graft.model.TokenDoc] =
+    Seq(ivmDimDoc("seed", 0L, 1L))
+
+  /** The dim source's deterministic CDC log: insert both live dims +
+    * a spare, update `seed` (fans out to every seed-sourced fact),
+    * delete the spare, then delete and RE-insert `cdc` at a new value
+    * (exercises the dim-delete fan-out mid-stream; the final state
+    * carries v3). Five single-op transactions — one committed version
+    * each when staged one file per tx.
+    */
+  private[graft] lazy val IvmDimLog: Seq[graft.model.LogRecord] = {
+    import graft.model.{LogRecord, TokenDoc}
+    def rec(lsn: Long, tx: Long, op: String, before: Option[TokenDoc],
+        after: Option[TokenDoc]) =
+      LogRecord(lsn, tx, op, -1L, "token_docs", before, after,
+        1700000000000L + lsn)
+    def bef(k: String) = Some(graft.model.TokenDoc(k, Seq.empty, 0, "dim"))
+    Seq(
+      Seq(rec(10L, 2000001L, "B", None, None),
+        rec(11L, 2000001L, "c", None, Some(ivmDimDoc("cdc", 1L, 1L))),
+        rec(12L, 2000001L, "c", None, Some(ivmDimDoc("spare", 2L, 1L))),
+        rec(13L, 2000001L, "C", None, None)),
+      Seq(rec(20L, 2000002L, "B", None, None),
+        rec(21L, 2000002L, "u", bef("seed"), Some(ivmDimDoc("seed", 0L, 2L))),
+        rec(22L, 2000002L, "C", None, None)),
+      Seq(rec(30L, 2000003L, "B", None, None),
+        rec(31L, 2000003L, "d", bef("spare"), None),
+        rec(32L, 2000003L, "C", None, None)),
+      Seq(rec(40L, 2000004L, "B", None, None),
+        rec(41L, 2000004L, "d", bef("cdc"), None),
+        rec(42L, 2000004L, "C", None, None)),
+      Seq(rec(50L, 2000005L, "B", None, None),
+        rec(51L, 2000005L, "c", None, Some(ivmDimDoc("cdc", 1L, 3L))),
+        rec(52L, 2000005L, "C", None, None))
+    ).flatten
+  }
+
+  @transient private var ivmJoinMemo: Option[(SparkSession, DataFrame)] = None
+
+  /** JOIN-VIEW MAINTENANCE driven end to end: TWO real engine runs
+    * build the fact table (the shared deterministic log) and a dim
+    * table (its own 5-tx log keyed by the fact `source` values); the
+    * [[graft.stream.IvmJoin]] maintainer then bootstraps at version 1
+    * (the snapshot-only states) and replays BOTH tables' whole change
+    * histories through interleaved differential maintenance
+    * (maxVersionsPerTrigger=2, one exactly-once checkpoint across
+    * three tables). Oracle = the fact replay CTE joined with the dim
+    * log's own LWW replay: a lost retraction, a missed dim fan-out, a
+    * wrong fk re-point, or a stale-row leak all break the hash.
+    */
+  private def ivmJoinAll(spark0: SparkSession): DataFrame = synchronized {
+    ivmJoinMemo match {
+      case Some((s, df)) if s eq spark0 => df
+      case _ =>
+        import graft.changelog.ChangeLogGen
+        import graft.stream._
+        val spark = spark0.newSession()
+        val base = graft.util.Fs.tempDir("graft-ivmjoin")
+        try {
+          import spark.implicits._
+          val cfg = EngineReplayCfg
+          // fact side: the shared deterministic log, 4 committed versions
+          val fCdc = CdcConfig(s"$base/flog", s"$base/fact", s"$base/ckptF",
+            numBuckets = 8)
+          ChangeLogGen.writeLog(spark, cfg, fCdc.logDir, numFiles = 4)
+          val fact = CdcJob.snapshot(spark,
+            ChangeLogGen.initialTable(spark, cfg).toDF(), fCdc,
+            ChangeLogGen.snapshotLsn)
+          CdcJob.runBatchIncremental(spark, fact, fCdc, filesPerBatch = 1)
+          // dim side: one staged file per tx -> 5 committed versions
+          val dCdc = CdcConfig(s"$base/dlog", s"$base/dim", s"$base/ckptD",
+            numBuckets = 2)
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dCdc.logDir))
+          IvmDimLog.groupBy(_.tx_id).toSeq.sortBy(_._1).zipWithIndex
+            .foreach { case ((_, recs), i) =>
+              val tmp = s"${dCdc.logDir}-stage$i"
+              recs.sortBy(_.lsn).toDS().toDF().coalesce(1).write.parquet(tmp)
+              java.nio.file.Files.move(
+                java.nio.file.Paths.get(graft.util.Fs.listParquet(tmp).head),
+                java.nio.file.Paths.get(f"${dCdc.logDir}/batch-$i%03d.parquet"))
+            }
+          val dim = CdcJob.snapshot(spark, IvmDimSeed.toDS().toDF(), dCdc, 0L)
+          CdcJob.runBatchIncremental(spark, dim, dCdc, filesPerBatch = 1)
+          // the maintainer: early pins replay both histories as deltas
+          val (_, _, view) = IvmJoin.maintain(spark, fact.root, dim.root,
+            "source", s"$base/repF", s"$base/repD", s"$base/view",
+            s"$base/ckptIvmJ", maxVersionsPerTrigger = 2,
+            bootstrapFAt = Some(1L), bootstrapDAt = Some(1L))
+          view.refresh()
+          val out = view.read().select(
+            col("doc_id"), col("n_tok"), col("source"),
+            tokFpCol(col("tokens")).as("tok_fp"),
+            col("d_n_tok").as("d_weight"),
+            tokFpCol(col("d_tokens")).as("d_fp"))
+            .orderBy(col("doc_id"))
+          out.cache(); out.count() // materialize before temp dir cleanup
+          ivmJoinMemo = Some((spark0, out))
+          out
+        } finally graft.util.Fs.deleteRecursively(base)
+    }
+  }
+
   /** N3 end-to-end: a BLOCKING (on-demand) snapshot taken mid-stream.
     * The engine applies the committed events up to [[EvoLsn]], runs
     * [[graft.stream.IncrementalSnapshot.blocking]] against the (static)
@@ -2186,15 +2304,47 @@ object SparkEntry {
     * wire round trip, the feed refold and the replica all hash
     * against: five consumers, one replay by construction.
     */
+  /** The replayed final state as a CTE (`fstate`), so multi-table
+    * oracles (the join-view maintainer) can compose it with other
+    * replayed states. [[replayStateSql]] is its single-table SELECT.
+    */
+  private lazy val FactStateCte: String =
+    s"""fstate AS (
+      |  SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
+      |         COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
+      |         COALESCE(l.after.source, s.source) AS source,
+      |         ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
+      |  FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
+      |  WHERE COALESCE(l.op,'') <> 'd')""".stripMargin
+
   private def replayStateSql(extraPred: String): String =
-    s"""WITH ${replayCte(extraPred)}
-      |SELECT COALESCE(l.after.doc_id, s.doc_id) AS doc_id,
-      |       COALESCE(l.after.n_tok, s.n_tok) AS n_tok,
-      |       COALESCE(l.after.source, s.source) AS source,
-      |       ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS tok_fp
-      |FROM seed s FULL OUTER JOIN last l ON s.doc_id = l.key
-      |WHERE COALESCE(l.op,'') <> 'd'
+    s"""WITH ${replayCte(extraPred)}, $FactStateCte
+      |SELECT doc_id, n_tok, source, tok_fp FROM fstate
       |ORDER BY doc_id""".stripMargin
+
+  /** The DIM source's replayed final state (`dstate`) for the
+    * join-view oracle: the same committed-tx assembly + LWW semantics
+    * as the fact replay, over the dumped [[IvmDimLog]] and
+    * [[IvmDimSeed]]. `d_key` joins the fact `source` column.
+    */
+  private lazy val IvmDimStateCte: String =
+    s"""draw AS (SELECT * FROM read_parquet('{AUX}/ivm_dim_log/*.parquet')),
+      |dseed AS (SELECT * FROM read_parquet('{AUX}/ivm_dim_seed/*.parquet')),
+      |dctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn
+      |          FROM draw GROUP BY tx_id),
+      |dev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+      |        FROM draw r JOIN dctrl c USING(tx_id)
+      |        WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL),
+      |dlast AS (SELECT key, op, after FROM (
+      |          SELECT COALESCE(after.doc_id, before.doc_id) AS key, op, after,
+      |                 row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id)
+      |                                    ORDER BY commit_lsn DESC, change_lsn DESC) AS rn
+      |          FROM dev) WHERE rn = 1),
+      |dstate AS (SELECT COALESCE(l.after.doc_id, s.doc_id) AS d_key,
+      |                  COALESCE(l.after.n_tok, s.n_tok) AS d_weight,
+      |                  ${H("array_to_string(COALESCE(l.after.tokens, s.tokens), ',')")} AS d_fp
+      |           FROM dseed s FULL OUTER JOIN dlast l ON s.doc_id = l.key
+      |           WHERE COALESCE(l.op,'') <> 'd')""".stripMargin
 
   private lazy val ReplayStateSql: String = replayStateSql("")
 
@@ -2257,6 +2407,14 @@ object SparkEntry {
     // engines — a lost/duplicated/reordered migrated buffer breaks it
     "cdc_migrate_state" ->
       ReplayStateSql,
+    // the maintained fact x dim view == the two replayed final states
+    // joined: a lost retraction, missed dim fan-out, wrong fk
+    // re-point, or stale-row leak all break the hash
+    "cdc_ivm_join" ->
+      s"""WITH $ReplayCte, $FactStateCte, $IvmDimStateCte
+        |SELECT f.doc_id, f.n_tok, f.source, f.tok_fp, d.d_weight, d.d_fp
+        |FROM fstate f JOIN dstate d ON f.source = d.d_key
+        |ORDER BY f.doc_id""".stripMargin,
     // the wire round trip must land on the SAME replayed state: the
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving

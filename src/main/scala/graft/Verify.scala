@@ -48,10 +48,17 @@ object Verify {
       .toAbsolutePath.toString
     locally {
       import graft.changelog.ChangeLogGen
+      import spark.implicits._
       val cfg = SparkEntry.EngineReplayCfg
       ChangeLogGen.writeLog(spark, cfg, s"$auxDir/engine_log", numFiles = 2)
       ChangeLogGen.initialTable(spark, cfg).toDF()
         .write.mode("overwrite").parquet(s"$auxDir/engine_seed")
+      // the join-view maintainer's dim source: its log + seed, dumped so
+      // the cdc_ivm_join oracle replays the dim state the same way
+      SparkEntry.IvmDimLog.toDS().toDF().coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/ivm_dim_log")
+      SparkEntry.IvmDimSeed.toDS().toDF().coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/ivm_dim_seed")
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
