@@ -1139,6 +1139,11 @@ object SparkEntry {
     // triples shuffle; doc text rebuilt in-row from surviving windows
     "text_seg_dedup_apply" -> ((s, d) =>
       TextOps.segmentDedupApply(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // exact-substring dedup (Lee et al. ExactSubstr analog): stride-1
+    // overlapping windows, non-first occurrences cut the positions
+    // they cover; span rebuild is in-row
+    "text_substr_dedup" -> ((s, d) =>
+      TextOps.substringDedupApply(t(s, d, "documents")).orderBy(col("doc_id"))),
     // heavy hitters: Misra-Gries candidates + exact verify; skew derived
     // deterministically (hot_<lang> x60/doc) — testdata tokens are uniform
     "heavy_hitters" -> ((s, d) => {
@@ -3732,6 +3737,23 @@ object SparkEntry {
         |SELECT doc_id, n_segs, n_kept_segs,
         |  CAST(CASE WHEN length(out) = 0 THEN 0 ELSE len(string_split(out, ' ')) END AS BIGINT) AS out_words,
         |  CASE WHEN length(out) = 0 THEN 0 ELSE ${H("out")} END AS out_fp
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // stride-1 window dedup: first occurrence per window content by
+    // (doc_id, pos); a position is kept iff no cut window covers it
+    "text_substr_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\\s+') AS ws FROM documents WHERE len(string_split_regex(trim(text),'\\s+')) > 0),
+        |wi AS (SELECT doc_id, i, ${H("array_to_string(ws[i+1 : i+16], ' ')")} AS h
+        |       FROM w, unnest(range(0, len(ws)-15)) t(i) WHERE len(ws) >= 16),
+        |k AS (SELECT doc_id, i, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) > 1 AS cut FROM wi),
+        |rm AS (SELECT doc_id, list(i) AS rms, CAST(count(*) AS BIGINT) AS ndw FROM k WHERE cut GROUP BY doc_id),
+        |o AS (SELECT w.doc_id, w.ws, len(w.ws) AS n_words, coalesce(rm.ndw, 0) AS ndw,
+        |        CASE WHEN rm.rms IS NULL THEN range(0, len(w.ws))
+        |             ELSE list_filter(range(0, len(w.ws)), p -> len(list_filter(rm.rms, s -> s <= p AND p < s + 16)) = 0) END AS keep
+        |      FROM w LEFT JOIN rm USING(doc_id))
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, ndw AS n_dup_windows,
+        |  CAST(len(keep) AS BIGINT) AS n_kept_words,
+        |  CASE WHEN len(keep) = 0 THEN 0
+        |       ELSE ${H("array_to_string(list_transform(keep, p -> ws[p+1]), ' ')")} END AS out_fp
         |FROM o ORDER BY doc_id""".stripMargin,
     "token_pairs" ->
       """WITH w AS (SELECT string_split_regex(trim(text),'\s+') AS ws FROM documents),

@@ -480,4 +480,65 @@ object TextOps {
         when(length(col("__out")) === 0, lit(0L))
           .otherwise(portableHash(col("__out"))).as("out_fp"))
   }
+
+  /** EXACT SUBSTRING dedup over OVERLAPPING stride-1 windows — the
+    * span-removal analog of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022, suffix-array ExactSubstr
+    * at 50-token granularity), re-expressed as a dataflow: every
+    * `winTokens`-token window at every position carries its content
+    * hash; the globally FIRST occurrence of each window content
+    * (smallest (doc_id, position)) is the owner; every position covered
+    * by any NON-first duplicated window occurrence is cut, and each doc
+    * is rebuilt from its surviving positions in order. Unlike
+    * [[segmentDedupApply]]'s fixed grid, a duplicated span is caught at
+    * ANY alignment — the property the paper's suffix array buys; the
+    * price is one decision row per position instead of per segment
+    * (factor `winTokens` more, inherent to stride 1, and still only
+    * (hash, doc, pos) triples — the text never rides the shuffle).
+    * Self-overlapping repetition (e.g. an n-token run of one word)
+    * dedups against its own prefix window, so within-doc boilerplate
+    * collapses too. Docs shorter than one window pass through intact.
+    *
+    * Scale shape: the first-occurrence choice is one map-side-combined
+    * `min(struct(doc_id, pos))` per hash; the verdict join is
+    * hash-co-partitioned; what returns to the corpus is the per-doc
+    * removed-position set (empty for clean docs, broadcastable after
+    * upstream exact dedup). Span reconstruction is an in-row array
+    * expression over the doc's own tokens — no corpus sort, nothing
+    * quadratic.
+    */
+  def substringDedupApply(df: DataFrame, winTokens: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    val L = winTokens
+    val base = df.select(col("doc_id"), words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) > 0)
+    val wins = base.where(size(col("__ws")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("__ws")) - L)).as("__i"),
+        col("__ws"))
+      .select(col("doc_id"), col("__i"),
+        portableHash(concat_ws(" ",
+          slice(col("__ws"), col("__i") + 1, lit(L)))).as("__h"))
+    val first = wins.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("__i"))).as("__f"))
+    val removed = wins.join(first, Seq("__h"))
+      .where(struct(col("doc_id"), col("__i")) =!= col("__f"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("__i")).as("__rm"),
+        count(lit(1)).as("__ndw"))
+    base
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("__keep",
+        filter(sequence(lit(0), size(col("__ws")) - 1),
+          p => col("__rm").isNull ||
+            !exists(col("__rm"), s => s <= p && p < s + L)))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        coalesce(col("__ndw"), lit(0L)).as("n_dup_windows"),
+        size(col("__keep")).cast("long").as("n_kept_words"),
+        when(size(col("__keep")) === 0, lit(0L))
+          .otherwise(portableHash(concat_ws(" ",
+            transform(col("__keep"),
+              p => element_at(col("__ws"), p + 1))))).as("out_fp"))
+  }
 }

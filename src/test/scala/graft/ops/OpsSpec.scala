@@ -546,6 +546,36 @@ class OpsSpec extends SparkSpec {
     assert(r9.getLong(1) == 3L && r9.getLong(2) == 2L && r9.getLong(3) == 32L)
   }
 
+  test("substring dedup: shifted spans are caught at any alignment; self-overlap collapses runs") {
+    import spark.implicits._
+    def fp(s: String): Long = spark.range(1)
+      .select(TextOps.portableHash(lit(s))).head().getLong(0)
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, (1 to 8).map(i => s"a$i").mkString(" ") + " " + span), // owner (24 words)
+      // the same span at OFFSET 3 — invisible to the fixed 16-grid,
+      // caught by stride-1: positions 3..18 cut, edges survive
+      (2L, "c1 c2 c3 " + span + " e1 e2"),
+      (3L, "w1 w2 w3") // shorter than one window: intact
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringDedupApply(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((24L, 0L, 24L,
+      fp((1 to 8).map(i => s"a$i").mkString(" ") + " " + span))))
+    assert(out(2L) == ((21L, 1L, 5L, fp("c1 c2 c3 e1 e2"))))
+    assert(out(3L) == ((3L, 0L, 3L, fp("w1 w2 w3"))))
+
+    // a 20-token run of one word: windows 1..4 dup window 0 (self-
+    // overlap), cutting positions 1..19 — the run collapses to one
+    // token ahead of the unique tail
+    val run = Seq((9L, Seq.fill(20)("r").mkString(" ") + " " +
+      (1 to 16).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val r9 = TextOps.substringDedupApply(run).collect().head
+    assert(r9.getLong(1) == 36L && r9.getLong(2) == 4L && r9.getLong(3) == 17L)
+    assert(r9.getLong(4) == fp("r " + (1 to 16).map(i => s"u$i").mkString(" ")))
+  }
+
   test("quality filter: each rule fires on its designed doc, clean doc kept") {
     import spark.implicits._
     val stops = "the a of and" // distinct stopwords to clear low_stop
