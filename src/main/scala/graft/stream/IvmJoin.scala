@@ -137,15 +137,30 @@ object IvmJoin {
 
   /** The view-delta events for one micro-batch, computed against the
     * replicas' PRE-batch states (see the object doc for the algebra).
+    * Materialized (cached + counted) before returning, so the caller's
+    * apply cannot observe the replicas mid-mutation.
     */
   private[stream] def deltaEvents(repF: IceLiteTable, repD: IceLiteTable,
       fkCol: String, factBatch: DataFrame, dimBatch: DataFrame,
       batchId: Long): DataFrame = {
-    val fKey = repF.refresh().keyCol
-    val dKey = repD.refresh().keyCol
     val chF = freshOnly(collapsed(factBatch, repF), repF).persist()
     val chD = freshOnly(collapsed(dimBatch, repD), repD).persist()
     try {
+      val out = deltaEventsPlan(repF, repD, fkCol, chF, chD, batchId)
+      out.cache(); out.count() // materialize before the Δ caches release
+      out
+    } finally { chF.unpersist(); chD.unpersist(); () }
+  }
+
+  /** The uncached delta-event plan over pre-collapsed fresh batches —
+    * split out so plan-shape tests can inspect the joins directly.
+    */
+  private[stream] def deltaEventsPlan(repF: IceLiteTable, repD: IceLiteTable,
+      fkCol: String, chF: DataFrame, chD: DataFrame,
+      batchId: Long): DataFrame = {
+    val fKey = repF.refresh().keyCol
+    val dKey = repD.refresh().keyCol
+    locally {
       // dim post-state: replica minus changed keys, plus new images —
       // broadcast-scale by the dimension assumption
       val dNew = payload(repD.read())
@@ -164,7 +179,9 @@ object IvmJoin {
 
       val joined = joinOf(fNewAff, dNew, fkCol, dKey)
         .withColumn("__hit", lit(true))
-      val ev = affected.join(joined, Seq(fKey), "left_outer")
+      // both sides are affected-set-bounded; the joined side broadcasts
+      // (left-outer can only broadcast its right side)
+      val ev = affected.join(broadcast(joined), Seq(fKey), "left_outer")
 
       val viewFields = joined.drop("__hit").schema.fields.toIndexedSeq
       val after = struct(viewFields.map { f =>
@@ -173,16 +190,14 @@ object IvmJoin {
           .as(f.name)
       }: _*)
       val keyType = viewFields.find(_.name == fKey).get.dataType
-      val out = ev.select(
+      ev.select(
         when(col("__hit"), lit("c")).otherwise(lit("d")).as("op"),
         lit(null).cast(StructType(Seq(StructField(fKey, keyType)))).as("before"),
         after.as("after"),
         lit(batchId + 1L).as("commit_lsn"),
         // deterministic per key under replay/repartitioning
         TextOps.portableHash(col(fKey).cast("string")).as("change_lsn"))
-      out.cache(); out.count() // materialize before the Δ caches release
-      out
-    } finally { chF.unpersist(); chD.unpersist(); () }
+    }
   }
 
   /** Rebuild the view wholesale from the replicas' current states —

@@ -217,6 +217,34 @@ class IvmJoinSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("delta plan shape: batch/dim sides broadcast, replicas never sort-merge-joined") {
+    val base = Fs.tempDir("graft-ivmj-plan")
+    val f = buildFact(base, ChangeLogConfig(nTx = 60, nDocs = 40, seed = 383, deletePct = 10))
+    val d = buildDim(base, Seq("seed" -> 10L, "cdc" -> 20L))
+    val (rF, rD, vRoot, cp) = roots(base)
+    val (repF, repD, _) = IvmJoin.maintain(spark, f.root, d.root, fk, rF, rD, vRoot, cp)
+
+    val fromF = f.refresh().snapshotId; val fromD = d.refresh().snapshotId
+    IceLiteV2.append(spark, f.root,
+      f.read().limit(8).select("doc_id", "tokens", "n_tok", "source"),
+      vc = 1L << 40, vl = 0L)
+    IceLiteV2.append(spark, d.root, dimRow("seed", 55L), vc = 1L << 40, vl = 0L)
+    f.refresh(); d.refresh()
+    val fb = f.changesBetween(fromF, f.refresh().snapshotId).drop("_change_type")
+    val db = d.changesBetween(fromD, d.refresh().snapshotId).drop("_change_type")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = IvmJoin.deltaEventsPlan(repF, repD, fk, fb, db, 99L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"a replica probe fell back to a shuffle join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"unexpected join strategy:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    Fs.deleteRecursively(base)
+  }
+
   test("a fact-source truncate takes the rebuild path and converges") {
     val base = Fs.tempDir("graft-ivmj-trunc")
     val f = buildFact(base, ChangeLogConfig(nTx = 100, nDocs = 60, seed = 379,
