@@ -697,6 +697,13 @@ object SparkEntry {
     // prefix-max watermark schedule and the drop rule in SQL
     "stream_window_agg" -> ((s, d) =>
       graft.stream.WindowedAgg.overEvents(s, t(s, d, "events"))),
+    // STREAMING CEP funnel on transformWithState: per-user ValueState +
+    // an event-time timer as the abandonment deadline; conversion emits
+    // immediately, abandonment when the watermark passes ta + window.
+    // Tie-free operating point (A-times %4=1, B %4=2, window %4=0) so
+    // the oracle's min-qualifying-B == the engine's first-in-order B
+    "stream_funnel" -> ((s, d) =>
+      graft.stream.Funnel.overEvents(s, t(s, d, "events"))),
     // STREAMING session windows per user under the same harness — the
     // stateful flavor: a user's burst split across the batch boundary
     // must MERGE in the state store; stragglers (batches >= 2, times
@@ -3233,6 +3240,29 @@ object SparkEntry {
     // (initial watermark 0); a row survives iff its window end exceeds
     // it. The operating point keeps every comparison tie-free (event
     // times ≡ 1, watermarks ≡ 3, window ends ≡ 0 mod 4).
+    // funnel: per-user min A-time; min B-time strictly inside
+    // (ta, ta+window]; users with an A but no qualifying B abandon.
+    // Sentinel keys are negative and never derived, so no filter exists
+    "stream_funnel" -> {
+      import graft.stream.Funnel._
+      val hB = H("CAST(event_id AS VARCHAR) || ':fnb'")
+      val hS = H("CAST(event_id AS VARCHAR) || ':fns'")
+      val hM = H("CAST(event_id AS VARCHAR) || ':fnm'")
+      s"""WITH d AS (
+        |  SELECT CAST(user_id AS BIGINT) AS u,
+        |    CASE WHEN ($hS % 3) = 0 THEN 'A' ELSE 'B' END AS step,
+        |    ($hB % $NumBatches) * $SegmentMs
+        |      + ($hM % ${SegmentMs / 4 - 4}) * 4
+        |      + CASE WHEN ($hS % 3) = 0 THEN 1 ELSE 2 END AS m
+        |  FROM events),
+        |a AS (SELECT u, min(m) AS ta FROM d WHERE step = 'A' GROUP BY u),
+        |bq AS (SELECT d.u, min(d.m) AS tb FROM d JOIN a USING (u)
+        |       WHERE d.step = 'B' AND d.m > a.ta AND d.m <= a.ta + $WindowMs
+        |       GROUP BY d.u)
+        |SELECT a.u, a.ta, coalesce(bq.tb, -1) AS tb,
+        |  CASE WHEN bq.tb IS NULL THEN 'abandoned' ELSE 'converted' END AS verdict
+        |FROM a LEFT JOIN bq USING (u) ORDER BY u""".stripMargin
+    },
     "stream_window_agg" -> {
       import graft.stream.WindowedAgg._
       val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")

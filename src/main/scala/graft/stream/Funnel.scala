@@ -1,0 +1,182 @@
+package graft.stream
+
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+import org.apache.spark.sql.types._
+
+/** Streaming FUNNEL detection — a two-step CEP (complex event
+  * processing) pattern over the event stream, the Flink-CEP/ksqlDB
+  * surface a CDC-fed analytics pipeline runs downstream of the
+  * connector topic: per user, did a `signup` (step A) convert into a
+  * `purchase` (step B) within the funnel window, and when?
+  *
+  * Built on `transformWithState` with per-user ValueState and an
+  * EVENT-TIME TIMER as the abandonment deadline:
+  *
+  *   - the first A arms the funnel (state = its event time) and
+  *     registers a timer at `ta + WindowMs`;
+  *   - the first later B with `ta < tb <= ta + WindowMs` emits
+  *     `(u, ta, tb, 'converted')` immediately — no watermark wait;
+  *   - the timer firing with the funnel still open emits
+  *     `(u, ta, -1, 'abandoned')` — exactly once, watermark-driven;
+  *   - either verdict marks the user DONE (one verdict per user; later
+  *     events are ignored); B before any A is ignored.
+  *
+  * Determinism contract (mirrored by the SQL oracle): per-user events
+  * arrive in event-time order across micro-batches (the derivation
+  * assigns batch b times in segment b) and each batch's rows are
+  * sorted by time inside the handler, so "first qualifying B in
+  * arrival order" == "min qualifying B". The operating point is
+  * tie-free: A-times ≡ 1 and B-times ≡ 2 (mod 4), window ≡ 0, delay
+  * ≡ 3 — no comparison in either engine can land on equality.
+  *
+  * Scale shape: state per LIVE funnel is one (firstA, done) pair —
+  * cleared-to-done on verdict, so steady-state is bounded by funnels
+  * open inside the window, not by users seen. Timers are the state
+  * store's own event-time index; no scan finds expired funnels. The
+  * staging (one file per micro-batch) replaces Kafka for the sandbox,
+  * exactly as the other streaming surfaces.
+  */
+object Funnel {
+  /** Deterministic operating point (shared: engine, spec, oracle). */
+  val NumBatches = 5
+  val SegmentMs = 20000L
+  val WindowMs = 8000L // funnel window (≡ 0 mod 4)
+  val DelayMs = 2003L // watermark delay (≡ 3 mod 4)
+  /** Sentinels sit past every possible timer (max ta + window + delay)
+    * on a key no real user carries; they only advance the watermark.
+    */
+  val SentinelMs1: Long = NumBatches * SegmentMs + WindowMs + 10001L
+  val SentinelMs2: Long = SentinelMs1 + 4L
+
+  final case class FunnelEvent(u: Long, step: String, m: Long)
+  final case class FunnelVerdict(u: Long, ta: Long, tb: Long, verdict: String)
+  /** done=true pins the one-verdict-per-user rule against later As. */
+  final case class FunnelSt(ta: Long, done: Boolean)
+
+  private class FunnelProcessor
+      extends StatefulProcessor[Long, FunnelEvent, FunnelVerdict] {
+    @transient private var st: ValueState[FunnelSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelSt]("funnel",
+        Encoders.product[FunnelSt], TTLConfig.NONE)
+
+    override def handleInputRows(u: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelVerdict] = {
+      if (u < 0L) return Iterator.empty // watermark sentinels
+      val sorted = rows.toSeq.sortBy(_.m)
+      var out = List.empty[FunnelVerdict]
+      sorted.foreach { ev =>
+        val cur = if (st.exists()) Some(st.get()) else None
+        cur match {
+          case None =>
+            if (ev.step == "A") {
+              st.update(FunnelSt(ev.m, done = false))
+              getHandle.registerTimer(ev.m + WindowMs)
+            } // B before any A: ignored
+          case Some(s) if !s.done =>
+            if (ev.step == "B" && ev.m > s.ta && ev.m <= s.ta + WindowMs) {
+              out ::= FunnelVerdict(u, s.ta, ev.m, "converted")
+              st.update(FunnelSt(s.ta, done = true))
+              getHandle.deleteTimer(s.ta + WindowMs)
+            } // non-qualifying events leave the armed funnel untouched
+          case Some(_) => // verdict already emitted: ignore
+        }
+      }
+      out.reverseIterator
+    }
+
+    /** The abandonment deadline: the watermark passed ta + window with
+      * the funnel still open.
+      */
+    override def handleExpiredTimer(u: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelVerdict] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (s.done || expiredTimerInfo.getExpiryTimeInMs() != s.ta + WindowMs)
+        return Iterator.empty // stale timer of a superseded registration
+      st.update(FunnelSt(s.ta, done = true))
+      Iterator.single(FunnelVerdict(u, s.ta, -1L, "abandoned"))
+    }
+  }
+
+  private def h(suffix: String) = TextOps.portableHash(
+    concat(col("event_id").cast("string"), lit(suffix)))
+
+  /** Deterministic derivation over the events table: arrival batch b,
+    * step (1-in-3 events are As), and an event time in segment b —
+    * A-times ≡ 1, B-times ≡ 2 (mod 4), so every window comparison is
+    * tie-free. Per-user time order across batches holds by
+    * construction (batch b times live in segment b).
+    */
+  def derive(events: DataFrame): DataFrame = {
+    val b = pmod(h(":fnb"), lit(NumBatches.toLong))
+    val isA = pmod(h(":fns"), lit(3L)) === 0L
+    events.select(
+      col("user_id").cast("long").as("u"),
+      b.as("b"),
+      when(isA, lit("A")).otherwise(lit("B")).as("step"),
+      (b * SegmentMs + pmod(h(":fnm"), lit(SegmentMs / 4 - 4)) * 4L +
+        when(isA, lit(1L)).otherwise(lit(2L))).as("m"))
+  }
+
+  private val stagedSchema = StructType(Seq(
+    StructField("u", LongType), StructField("step", StringType),
+    StructField("m", LongType)))
+
+  /** Stage per-batch files + the two watermark-flush sentinels. */
+  def stage(spark: SparkSession, batches: Seq[DataFrame], dir: String): Unit = {
+    import spark.implicits._
+    val sentinels = Seq(
+      Seq((-1L, "B", SentinelMs1)).toDF("u", "step", "m"),
+      Seq((-2L, "B", SentinelMs2)).toDF("u", "step", "m"))
+    WindowedAgg.stageFiles(batches.map(
+      _.select(col("u").cast("long"), col("step"), col("m").cast("long")))
+      ++ sentinels, dir)
+  }
+
+  /** The REAL streaming pipeline over a staged dir: file source (one
+    * file revealed per micro-batch) → watermark → transformWithState
+    * funnel (RocksDB) → append sink; returns the verdicts.
+    */
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+    WindowedAgg.quiesceMaintenance(spark)
+    StateStores.useRocksDb(spark)
+    def start(liveDir: String) = {
+      import spark.implicits._
+      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+        .withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"$DelayMs milliseconds")
+        .as[FunnelEvent]
+      src.groupByKey(_.u)
+        .transformWithState(new FunnelProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    spark.read.parquet(s"$workDir/sink").orderBy(col("u"))
+  }
+
+  /** The whole pipeline over the testdata events table. */
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-funnel")
+    try {
+      val d = derive(events)
+      d.cache()
+      val batches = (0 until NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("u", "step", "m"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val out = run(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+}
