@@ -463,6 +463,9 @@ object SparkEntry {
     // differentially from TWO engine change feeds (one exactly-once
     // checkpoint across three tables) == the joined replays
     "cdc_ivm_join" -> ((s, d) => ivmJoinAll(s)),
+    // bucket evolution: live table rewritten 8->16 mid-stream (and
+    // 16->4 after), stream resumes on the new layout == full replay
+    "cdc_rebucket" -> ((s, d) => rebucketReplay(s)),
     // N1 driver-green: the engine's snapshot-mode dispatch — no_data
     // (stream-only final state, seed absent) and initial_only (seed
     // only, stream never runs), both value-checked from one log
@@ -1830,6 +1833,48 @@ object SparkEntry {
     ).flatten
   }
 
+  @transient private var rebucketMemo: Option[(SparkSession, DataFrame)] = None
+
+  /** BUCKET EVOLUTION driven end to end: the engine applies half the
+    * deterministic log at 8 buckets, [[graft.icelite.Maintenance
+    * .rebucket]] rewrites the live table to 16, the stream resumes on
+    * the new layout, and a second rewrite shrinks to 4 — the final
+    * state must still hash against the full replay oracle (versions,
+    * tombstones and the batch-id gate all survive two whole-table
+    * rewrites or the hash breaks).
+    */
+  private def rebucketReplay(spark0: SparkSession): DataFrame = synchronized {
+    rebucketMemo match {
+      case Some((s, df)) if s eq spark0 => df
+      case _ =>
+        import graft.changelog.ChangeLogGen
+        import graft.stream._
+        val spark = spark0.newSession()
+        val base = graft.util.Fs.tempDir("graft-rebucket")
+        try {
+          val cfg = EngineReplayCfg
+          val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+            numBuckets = 8)
+          ChangeLogGen.writeLog(spark, cfg, cdc.logDir, numFiles = 4)
+          val t = CdcJob.snapshot(spark,
+            ChangeLogGen.initialTable(spark, cfg).toDF(), cdc,
+            ChangeLogGen.snapshotLsn)
+          CdcJob.runBatchIncremental(spark, t, cdc, filesPerBatch = 1,
+            stopAfterBatches = 2)
+          graft.icelite.Maintenance.rebucket(t, 16)
+          CdcJob.runBatchIncremental(spark, t, cdc, filesPerBatch = 1)
+          graft.icelite.Maintenance.rebucket(t, 4)
+          val out = t.read()
+            .select(col("doc_id"), col("n_tok"), col("source"),
+              tokFpCol(col("tokens")).as("tok_fp"))
+            .orderBy(col("doc_id"))
+          out.cache(); out.count() // materialize before temp dir cleanup
+          rebucketMemo = Some((spark0, out))
+          out
+        } finally graft.util.Fs.deleteRecursively(base)
+    }
+  }
+
   @transient private var ivmJoinMemo: Option[(SparkSession, DataFrame)] = None
 
   /** JOIN-VIEW MAINTENANCE driven end to end: TWO real engine runs
@@ -2418,6 +2463,10 @@ object SparkEntry {
     // state hashes against the same full-replay oracle as the unsplit
     // engines — a lost/duplicated/reordered migrated buffer breaks it
     "cdc_migrate_state" ->
+      ReplayStateSql,
+    // two whole-table rewrites (8->16 mid-stream, then ->4) must be
+    // invisible to the final state: same full-replay oracle
+    "cdc_rebucket" ->
       ReplayStateSql,
     // the maintained fact x dim view == the two replayed final states
     // joined: a lost retraction, missed dim fan-out, wrong fk

@@ -137,6 +137,95 @@ object Maintenance {
     table.current.snapshotId
   }
 
+  /** BUCKET EVOLUTION: rewrite the table into a different hash-bucket
+    * count — the operation a growing table eventually needs (a layout
+    * chosen at 1 TB starves parallelism at 100 TB), done as ONE
+    * LWW-folding pass and an atomic metadata commit, with the CDC
+    * stream free to resume immediately after (every downstream
+    * consumer — merge apply, DSv2 bucket function, key-grouped
+    * partitioning reports, dedup-index probes — derives the bucket
+    * function from the snapshot's `numBuckets`, so the switch is one
+    * field). The Iceberg analog is a partition-spec evolution followed
+    * by a rewrite; Kafka Connect has no counterpart (topics cannot
+    * change partition count without manual re-keying).
+    *
+    * Semantics: the fold keeps TOMBSTONES (a late event older than a
+    * deleted key's version must stay suppressed after the rewrite) and
+    * bakes in the truncate floor exactly as compaction does; the
+    * rebucket itself is NOT a change-feed entry (`changed` empty, like
+    * compaction), so feed consumers never observe it. Version floors,
+    * watermarks and batch-id gates carry over untouched.
+    *
+    * Concurrency: the rewrite is whole-table, so the commit is a
+    * strict CAS against the snapshot the fold read; a concurrent apply
+    * invalidates the attempt and the fold retries against the new
+    * snapshot (up to `maxAttempts`). Schedule it in a quiet window —
+    * unlike per-bucket compaction it cannot publish partial results.
+    * Returns the new snapshot id, or throws after `maxAttempts` races.
+    */
+  def rebucket(table: IceLiteTable, newBuckets: Int,
+      maxAttempts: Int = 5): Long = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val spark = table.spark
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = table.refresh()
+      if (newBuckets == snap.numBuckets) return snap.snapshotId
+      val keyCol = snap.keyCol
+      val paths = snap.buckets.flatMap(b =>
+        snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil))
+        .map(table.dataPath)
+      graft.plans.LwwMaxBy.register(spark)
+      val sm = snap.summary
+      val folded =
+        if (paths.isEmpty) null
+        else {
+          val raw = spark.read.schema(IceLite.withMeta(snap.schema))
+            .parquet(paths: _*)
+            .where(col(keyCol).isNotNull &&
+              (col(IceLite.VC) > sm.truncCommit ||
+                (col(IceLite.VC) === sm.truncCommit &&
+                  col(IceLite.VL) > sm.truncChange)))
+          val payloadSql = raw.columns.map(c => s"`$c`")
+            .mkString("struct(", ", ", ")")
+          raw.groupBy(col(keyCol).as("__k"))
+            .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
+            .select(col("w.*"))
+        }
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val commitRel = f"data/rebucket-${snap.snapshotId}%08d-$tag"
+      val written =
+        if (folded == null) Map.empty[Int, Seq[String]]
+        else {
+          folded
+            .withColumn("__bucket", pmod(hash(col(keyCol)), lit(newBuckets)))
+            .repartition(newBuckets, col("__bucket"))
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(table.dataPath(commitRel))
+          ZoneMaps.writeSidecar(spark, table.root, commitRel)
+          IceLite.listCommittedFiles(table.root, commitRel)
+        }
+      val cur = table.refresh()
+      // strict CAS: any concurrent commit (apply, compaction, truncate)
+      // invalidates the whole-table fold — refold against the new state
+      if (cur.snapshotId == snap.snapshotId) {
+        val next = cur.copy(
+          snapshotId = cur.snapshotId + 1,
+          parentId = cur.snapshotId,
+          numBuckets = newBuckets,
+          base = written,
+          deltas = Map.empty,
+          changed = Map.empty, // a rebucket adds no logical changes
+          summary = cur.summary.copy(
+            note = s"rebucket(${snap.numBuckets}->$newBuckets)"))
+        if (table.commit(next)) return next.snapshotId
+      }
+    }
+    throw new IllegalStateException(
+      s"rebucket lost the commit race $maxAttempts times — run it in a quieter window")
+  }
+
   /** Background compaction: a single daemon thread that, when poked,
     * folds every bucket whose delta chain reached `chainThreshold` —
     * the concurrent alternative to the apply path's inline fold, so the
