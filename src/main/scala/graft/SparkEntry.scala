@@ -462,7 +462,11 @@ object SparkEntry {
     // join-view maintenance: a fact x dim enrichment view maintained
     // differentially from TWO engine change feeds (one exactly-once
     // checkpoint across three tables) == the joined replays
-    "cdc_ivm_join" -> ((s, d) => ivmJoinAll(s)),
+    "cdc_ivm_join" -> ((s, d) => ivmJoinAll(s)._1),
+    // CASCADED IVM (view over view): an aggregate maintained from the
+    // JOIN VIEW's own change feed == the aggregate over the joined
+    // replays — materialized-view stacking, each layer exactly-once
+    "cdc_ivm_cascade" -> ((s, d) => ivmJoinAll(s)._2),
     // bucket evolution: live table rewritten 8->16 mid-stream (and
     // 16->4 after), stream resumes on the new layout == full replay
     "cdc_rebucket" -> ((s, d) => rebucketReplay(s)),
@@ -1875,7 +1879,7 @@ object SparkEntry {
     }
   }
 
-  @transient private var ivmJoinMemo: Option[(SparkSession, DataFrame)] = None
+  @transient private var ivmJoinMemo: Option[(SparkSession, DataFrame, DataFrame)] = None
 
   /** JOIN-VIEW MAINTENANCE driven end to end: TWO real engine runs
     * build the fact table (the shared deterministic log) and a dim
@@ -1888,9 +1892,9 @@ object SparkEntry {
     * log's own LWW replay: a lost retraction, a missed dim fan-out, a
     * wrong fk re-point, or a stale-row leak all break the hash.
     */
-  private def ivmJoinAll(spark0: SparkSession): DataFrame = synchronized {
+  private def ivmJoinAll(spark0: SparkSession): (DataFrame, DataFrame) = synchronized {
     ivmJoinMemo match {
-      case Some((s, df)) if s eq spark0 => df
+      case Some((s, df, casc)) if s eq spark0 => (df, casc)
       case _ =>
         import graft.changelog.ChangeLogGen
         import graft.stream._
@@ -1935,8 +1939,24 @@ object SparkEntry {
             tokFpCol(col("d_tokens")).as("d_fp"))
             .orderBy(col("doc_id"))
           out.cache(); out.count() // materialize before temp dir cleanup
-          ivmJoinMemo = Some((spark0, out))
-          out
+          // CASCADED IVM — view over view: the JOIN view is itself a
+          // first-class feed source, and an Ivm AGGREGATE maintained
+          // from ITS deltas (early pin: the whole join-maintenance
+          // history replays through the aggregate's retraction path)
+          val vd = Ivm.ViewDef("source", Seq(
+            "total_tok" -> col("n_tok").cast("long"),
+            "total_w" -> col("d_n_tok").cast("long")))
+          val (_, agg) = Ivm.maintain(spark, view.root, vd,
+            s"$base/cRep", s"$base/cView", s"$base/ckptCascade",
+            maxVersionsPerTrigger = 2, bootstrapAtVersion = Some(1L))
+          agg.refresh()
+          val casc = agg.read()
+            .select(col("source"), col("n_rows"),
+              col("total_tok"), col("total_w"))
+            .orderBy(col("source"))
+          casc.cache(); casc.count()
+          ivmJoinMemo = Some((spark0, out, casc))
+          (out, casc)
         } finally graft.util.Fs.deleteRecursively(base)
     }
   }
@@ -2476,6 +2496,15 @@ object SparkEntry {
         |SELECT f.doc_id, f.n_tok, f.source, f.tok_fp, d.d_weight, d.d_fp
         |FROM fstate f JOIN dstate d ON f.source = d.d_key
         |ORDER BY f.doc_id""".stripMargin,
+    // the stacked aggregate == a plain GROUP BY over the same join:
+    // a retraction lost anywhere in EITHER maintenance layer breaks it
+    "cdc_ivm_cascade" ->
+      s"""WITH $ReplayCte, $FactStateCte, $IvmDimStateCte
+        |SELECT f.source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(f.n_tok) AS BIGINT) AS total_tok,
+        |       CAST(sum(d.d_weight) AS BIGINT) AS total_w
+        |FROM fstate f JOIN dstate d ON f.source = d.d_key
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     // the wire round trip must land on the SAME replayed state: the
     // oracle is identical to cdc_engine_replay — serialization to the
     // Debezium JSON envelope and back must be information-preserving
