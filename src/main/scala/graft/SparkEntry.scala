@@ -1750,17 +1750,9 @@ object SparkEntry {
             import spark.implicits._
             val cfg = EngineReplayCfg
             val (first, second) = MigrateSplit
-            def stage(recs: Seq[graft.model.LogRecord], dir: String): Unit = {
-              val tmp = s"$dir-staging"
-              recs.toDS().toDF().coalesce(1).write.parquet(tmp)
-              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-              java.nio.file.Files.move(
-                java.nio.file.Paths.get(graft.util.Fs.listParquet(tmp).head),
-                java.nio.file.Paths.get(s"$dir/batch-000.parquet"))
-            }
             val cdc1 = CdcConfig(s"$base/log1", s"$base/table", s"$base/ckpt1",
               numBuckets = 8)
-            stage(first, cdc1.logDir)
+            ChangeLogGen.stageBatchFile(spark, first, cdc1.logDir)
             val table = CdcJob.snapshot(spark,
               ChangeLogGen.initialTable(spark, cfg).toDF(), cdc1,
               ChangeLogGen.snapshotLsn)
@@ -1774,7 +1766,7 @@ object SparkEntry {
 
             val cdc2 = cdc1.copy(logDir = s"$base/log2",
               checkpointDir = s"$base/ckpt2")
-            stage(second, cdc2.logDir)
+            ChangeLogGen.stageBatchFile(spark, second, cdc2.logDir)
             TwsAssembly.streamMigrated(spark, table, cdc2, pending)
               .awaitTermination()
             val fin = table.read()
@@ -1914,15 +1906,10 @@ object SparkEntry {
           // dim side: one staged file per tx -> 5 committed versions
           val dCdc = CdcConfig(s"$base/dlog", s"$base/dim", s"$base/ckptD",
             numBuckets = 2)
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(dCdc.logDir))
           IvmDimLog.groupBy(_.tx_id).toSeq.sortBy(_._1).zipWithIndex
             .foreach { case ((_, recs), i) =>
-              val tmp = s"${dCdc.logDir}-stage$i"
-              recs.sortBy(_.lsn).toDS().toDF().coalesce(1).write.parquet(tmp)
-              java.nio.file.Files.move(
-                java.nio.file.Paths.get(graft.util.Fs.listParquet(tmp).head),
-                java.nio.file.Paths.get(f"${dCdc.logDir}/batch-$i%03d.parquet"))
+              ChangeLogGen.stageBatchFile(spark, recs.sortBy(_.lsn),
+                dCdc.logDir, i)
             }
           val dim = CdcJob.snapshot(spark, IvmDimSeed.toDS().toDF(), dCdc, 0L)
           CdcJob.runBatchIncremental(spark, dim, dCdc, filesPerBatch = 1)

@@ -162,6 +162,23 @@ object ChangeLogGen {
 
   val snapshotLsn: Long = 0L
 
+  /** Stage an explicit record list as ONE parquet file
+    * `dir/batch-NNN.parquet` — the shared micro-batch staging helper
+    * for engine fixtures and specs (the file stream source forms one
+    * batch per file).
+    */
+  def stageBatchFile(spark: SparkSession, recs: Seq[LogRecord], dir: String,
+      index: Int = 0): Unit = {
+    import spark.implicits._
+    val tmp = s"$dir-staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    recs.toDS().toDF().coalesce(1).write.parquet(tmp)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.util.Fs.listParquet(tmp).head),
+      java.nio.file.Paths.get(f"$dir/batch-$index%03d.parquet"))
+    graft.util.Fs.deleteRecursively(tmp)
+  }
+
   /** Write the log as `numFiles` parquet files, range-partitioned on the
     * interleave group so every file holds only whole transactions. A
     * micro-batch reading any subset of files therefore sees only closed

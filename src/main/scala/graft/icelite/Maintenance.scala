@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** LWW fold of the given data files at `snap`'s semantics: visible
+    * rows only (non-null key, above the truncate floor), one
+    * max-version row per key — tombstones KEPT. The shared core of
+    * compaction and bucket evolution; a change to the fold or floor
+    * semantics lands in both rewrite paths at once.
+    */
+  private def foldVisible(table: IceLiteTable, snap: IceSnapshot,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val spark = table.spark
+    graft.plans.LwwMaxBy.register(spark)
+    val sm = snap.summary
+    val raw = spark.read.schema(IceLite.withMeta(snap.schema)).parquet(paths: _*)
+      .where(col(snap.keyCol).isNotNull &&
+        (col(IceLite.VC) > sm.truncCommit ||
+          (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
+    val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
+    raw.groupBy(col(snap.keyCol).as("__k"))
+      .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
+      .select(col("w.*"))
+  }
+
   /** One fold pass over `todo` buckets: read base+deltas, resolve LWW,
     * optionally purge tombstones below the retention floor, write fresh
     * per-bucket base files, and commit — keeping, per bucket, ONLY the
@@ -36,17 +57,8 @@ object Maintenance {
       b -> (snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil)).toSet).toMap
     val paths = todo.flatMap(b => inputs(b)).map(table.dataPath)
     if (paths.isEmpty) return Nil
-    graft.plans.LwwMaxBy.register(spark)
     val sm = snap.summary
-    val raw = spark.read.schema(IceLite.withMeta(snap.schema)).parquet(paths: _*)
-      .where(col(keyCol).isNotNull &&
-        (col(IceLite.VC) > sm.truncCommit ||
-          (col(IceLite.VC) === sm.truncCommit && col(IceLite.VL) > sm.truncChange)))
-    val payloadSql = raw.columns.map(c => s"`$c`").mkString("struct(", ", ", ")")
-    val folded0 = raw.groupBy(col(keyCol).as("__k"))
-      .agg(org.apache.spark.sql.functions.expr(
-        s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
-      .select(col("w.*"))
+    val folded0 = foldVisible(table, snap, paths)
     val folded =
       if (retentionFloorLsn < 0) folded0
       else folded0.where(!col(IceLite.TOMB) || col(IceLite.VC) >= retentionFloorLsn)
@@ -176,23 +188,8 @@ object Maintenance {
       val paths = snap.buckets.flatMap(b =>
         snap.base.getOrElse(b, Nil) ++ snap.deltas.getOrElse(b, Nil))
         .map(table.dataPath)
-      graft.plans.LwwMaxBy.register(spark)
-      val sm = snap.summary
       val folded =
-        if (paths.isEmpty) null
-        else {
-          val raw = spark.read.schema(IceLite.withMeta(snap.schema))
-            .parquet(paths: _*)
-            .where(col(keyCol).isNotNull &&
-              (col(IceLite.VC) > sm.truncCommit ||
-                (col(IceLite.VC) === sm.truncCommit &&
-                  col(IceLite.VL) > sm.truncChange)))
-          val payloadSql = raw.columns.map(c => s"`$c`")
-            .mkString("struct(", ", ", ")")
-          raw.groupBy(col(keyCol).as("__k"))
-            .agg(expr(s"lww_max_by($payloadSql, `${IceLite.VC}`, `${IceLite.VL}`)").as("w"))
-            .select(col("w.*"))
-        }
+        if (paths.isEmpty) null else foldVisible(table, snap, paths)
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val commitRel = f"data/rebucket-${snap.snapshotId}%08d-$tag"
       val written =

@@ -32,12 +32,18 @@ import org.apache.spark.sql.types._
   * tie-free: A-times ≡ 1 and B-times ≡ 2 (mod 4), window ≡ 0, delay
   * ≡ 3 — no comparison in either engine can land on equality.
   *
-  * Scale shape: state per LIVE funnel is one (firstA, done) pair —
-  * cleared-to-done on verdict, so steady-state is bounded by funnels
-  * open inside the window, not by users seen. Timers are the state
-  * store's own event-time index; no scan finds expired funnels. The
-  * staging (one file per micro-batch) replaces Kafka for the sandbox,
-  * exactly as the other streaming surfaces.
+  * Scale shape: state is one (firstA, done) pair per user that ever
+  * armed a funnel — the done marker is what suppresses re-emission,
+  * so the pattern inherently pays a few dozen bytes per VERDICTED
+  * user until the marker expires. Deployments bound it with
+  * `doneTtl` (a processing-time TTL on the state; choose it ≫ the
+  * funnel window so an armed funnel can never expire mid-flight —
+  * after expiry the same user may legitimately re-arm, i.e. the
+  * contract is one verdict per user per retention period). The
+  * harness runs TTL-less so every run is bit-deterministic. Timers
+  * are the state store's own event-time index; no scan finds expired
+  * funnels. The staging (one file per micro-batch) replaces Kafka for
+  * the sandbox, exactly as the other streaming surfaces.
   */
 object Funnel {
   /** Deterministic operating point (shared: engine, spec, oracle). */
@@ -56,13 +62,13 @@ object Funnel {
   /** done=true pins the one-verdict-per-user rule against later As. */
   final case class FunnelSt(ta: Long, done: Boolean)
 
-  private class FunnelProcessor
+  private class FunnelProcessor(doneTtl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, FunnelEvent, FunnelVerdict] {
     @transient private var st: ValueState[FunnelSt] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelSt]("funnel",
-        Encoders.product[FunnelSt], TTLConfig.NONE)
+        Encoders.product[FunnelSt], doneTtl)
 
     override def handleInputRows(u: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelVerdict] = {
@@ -142,7 +148,8 @@ object Funnel {
     * file revealed per micro-batch) → watermark → transformWithState
     * funnel (RocksDB) → append sink; returns the verdicts.
     */
-  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, stagedDir: String, workDir: String,
+      doneTtl: TTLConfig = TTLConfig.NONE): DataFrame = {
     WindowedAgg.quiesceMaintenance(spark)
     StateStores.useRocksDb(spark)
     def start(liveDir: String) = {
@@ -152,7 +159,7 @@ object Funnel {
         .withWatermark("event_time", s"$DelayMs milliseconds")
         .as[FunnelEvent]
       src.groupByKey(_.u)
-        .transformWithState(new FunnelProcessor,
+        .transformWithState(new FunnelProcessor(doneTtl),
           TimeMode.EventTime(), OutputMode.Append())
         .toDF()
         .writeStream.format("parquet")

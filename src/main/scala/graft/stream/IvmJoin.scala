@@ -94,10 +94,13 @@ object IvmJoin {
 
   /** LWW-collapse a feed batch per key and drop rows at/below the
     * replica's truncate floor (invisible to the replica apply too).
+    * Reads the replica's CURRENT snapshot — [[deltaEvents]] refreshes
+    * both replicas once at batch entry, so every probe in one batch
+    * sees the same pre-batch state.
     */
   private def collapsed(feed: DataFrame, rep: IceLiteTable): DataFrame = {
-    val sm = rep.refresh().summary
-    val keyCol = rep.refresh().keyCol
+    val sm = rep.current.summary
+    val keyCol = rep.current.keyCol
     val win = Window.partitionBy(col(keyCol))
       .orderBy(col(IceLite.VC).desc, col(IceLite.VL).desc)
     feed
@@ -115,7 +118,7 @@ object IvmJoin {
     * broadcasts into both probes — the replica is never shuffled.
     */
   private def freshOnly(ch: DataFrame, rep: IceLiteTable): DataFrame = {
-    val snap = rep.refresh()
+    val snap = rep.current
     val keyCol = snap.keyCol
     val bkts = ch
       .select(pmod(hash(col(keyCol)), lit(snap.numBuckets)).cast("int").as("b"))
@@ -143,6 +146,9 @@ object IvmJoin {
   private[stream] def deltaEvents(repF: IceLiteTable, repD: IceLiteTable,
       fkCol: String, factBatch: DataFrame, dimBatch: DataFrame,
       batchId: Long): DataFrame = {
+    // ONE snapshot read per replica per batch: every probe below sees
+    // the same pre-batch state (and the driver metadata I/O stays O(1))
+    repF.refresh(); repD.refresh()
     val chF = freshOnly(collapsed(factBatch, repF), repF).persist()
     val chD = freshOnly(collapsed(dimBatch, repD), repD).persist()
     try {
@@ -158,46 +164,44 @@ object IvmJoin {
   private[stream] def deltaEventsPlan(repF: IceLiteTable, repD: IceLiteTable,
       fkCol: String, chF: DataFrame, chD: DataFrame,
       batchId: Long): DataFrame = {
-    val fKey = repF.refresh().keyCol
-    val dKey = repD.refresh().keyCol
-    locally {
-      // dim post-state: replica minus changed keys, plus new images —
-      // broadcast-scale by the dimension assumption
-      val dNew = payload(repD.read())
-        .join(broadcast(chD.select(col(dKey)).distinct()), Seq(dKey), "left_anti")
-        .unionByName(payload(chD.where(!col(IceLite.TOMB))))
+    val fKey = repF.current.keyCol
+    val dKey = repD.current.keyCol
+    // dim post-state: replica minus changed keys, plus new images —
+    // broadcast-scale by the dimension assumption
+    val dNew = payload(repD.read())
+      .join(broadcast(chD.select(col(dKey)).distinct()), Seq(dKey), "left_anti")
+      .unionByName(payload(chD.where(!col(IceLite.TOMB))))
 
-      // dim-change fan-out: unchanged facts pointing at a changed dim
-      val fFan = payload(repF.read())
-        .join(broadcast(chD.select(col(dKey).as(fkCol)).distinct()),
-          Seq(fkCol), "left_semi")
-        .join(broadcast(chF.select(col(fKey)).distinct()), Seq(fKey), "left_anti")
+    // dim-change fan-out: unchanged facts pointing at a changed dim
+    val fFan = payload(repF.read())
+      .join(broadcast(chD.select(col(dKey).as(fkCol)).distinct()),
+        Seq(fkCol), "left_semi")
+      .join(broadcast(chF.select(col(fKey)).distinct()), Seq(fKey), "left_anti")
 
-      val fNewAff = payload(chF.where(!col(IceLite.TOMB))).unionByName(fFan)
-      val affected = chF.select(col(fKey)).unionByName(fFan.select(col(fKey)))
-        .distinct()
+    val fNewAff = payload(chF.where(!col(IceLite.TOMB))).unionByName(fFan)
+    val affected = chF.select(col(fKey)).unionByName(fFan.select(col(fKey)))
+      .distinct()
 
-      val joined = joinOf(fNewAff, dNew, fkCol, dKey)
-        .withColumn("__hit", lit(true))
-      // both sides are affected-set-bounded; the joined side broadcasts
-      // (left-outer can only broadcast its right side)
-      val ev = affected.join(broadcast(joined), Seq(fKey), "left_outer")
+    val joined = joinOf(fNewAff, dNew, fkCol, dKey)
+      .withColumn("__hit", lit(true))
+    // both sides are affected-set-bounded; the joined side broadcasts
+    // (left-outer can only broadcast its right side)
+    val ev = affected.join(broadcast(joined), Seq(fKey), "left_outer")
 
-      val viewFields = joined.drop("__hit").schema.fields.toIndexedSeq
-      val after = struct(viewFields.map { f =>
-        (if (f.name == fKey) col(fKey)
-         else when(col("__hit"), col(f.name)).otherwise(lit(null).cast(f.dataType)))
-          .as(f.name)
-      }: _*)
-      val keyType = viewFields.find(_.name == fKey).get.dataType
-      ev.select(
-        when(col("__hit"), lit("c")).otherwise(lit("d")).as("op"),
-        lit(null).cast(StructType(Seq(StructField(fKey, keyType)))).as("before"),
-        after.as("after"),
-        lit(batchId + 1L).as("commit_lsn"),
-        // deterministic per key under replay/repartitioning
-        TextOps.portableHash(col(fKey).cast("string")).as("change_lsn"))
-    }
+    val viewFields = joined.drop("__hit").schema.fields.toIndexedSeq
+    val after = struct(viewFields.map { f =>
+      (if (f.name == fKey) col(fKey)
+       else when(col("__hit"), col(f.name)).otherwise(lit(null).cast(f.dataType)))
+        .as(f.name)
+    }: _*)
+    val keyType = viewFields.find(_.name == fKey).get.dataType
+    ev.select(
+      when(col("__hit"), lit("c")).otherwise(lit("d")).as("op"),
+      lit(null).cast(StructType(Seq(StructField(fKey, keyType)))).as("before"),
+      after.as("after"),
+      lit(batchId + 1L).as("commit_lsn"),
+      // deterministic per key under replay/repartitioning
+      TextOps.portableHash(col(fKey).cast("string")).as("change_lsn"))
   }
 
   /** Rebuild the view wholesale from the replicas' current states —

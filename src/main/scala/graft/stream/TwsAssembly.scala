@@ -125,6 +125,14 @@ object TwsAssembly {
       */
     override def handleInitialState(txId: Long, initial: TxBuffer,
         timerValues: TimerValues): Unit = {
+      // A quarantined seed must arrive with an EMPTY buffer (the fMGWS
+      // exporter clears it at quarantine time): handleInitialState
+      // cannot emit, so buffered records of a quarantined seed could
+      // reach neither the merge nor the DLQ — fail fast instead of
+      // silently dropping them.
+      require(!initial.quarantined || initial.records.isEmpty,
+        s"tx $txId: quarantined initial state must carry no buffered records " +
+          s"(got ${initial.records.size}) — they could never be merged or DLQ'd")
       val sorted = initial.records.sortBy(_.lsn)
       if (sorted.nonEmpty) buf.appendList(sorted.toArray)
       val firstTs =

@@ -18,16 +18,8 @@ import org.apache.spark.sql.functions.col
 class MigrationSpec extends SparkSpec {
 
   private def stage(recs: Seq[LogRecord], dir: String)(implicit
-      s: org.apache.spark.sql.SparkSession): Unit = {
-    import s.implicits._
-    val tmp = s"$dir-staging-${java.util.UUID.randomUUID().toString.take(8)}"
-    recs.toDS().toDF().coalesce(1).write.parquet(tmp)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(Fs.listParquet(tmp).head),
-      java.nio.file.Paths.get(
-        s"$dir/batch-${java.util.UUID.randomUUID().toString.take(8)}.parquet"))
-  }
+      s: org.apache.spark.sql.SparkSession): Unit =
+    ChangeLogGen.stageBatchFile(s, recs, dir)
 
   test("fMGWS half + migrated TWS half equals the full replay oracle; re-drain is a no-op") {
     implicit val s = spark.newSession()
