@@ -245,6 +245,58 @@ class IvmJoinSpec extends SparkSpec {
     Fs.deleteRecursively(base)
   }
 
+  test("randomized interleaved batches: view == join recompute after EVERY batch (seeded model check)") {
+    val base = Fs.tempDir("graft-ivmj-rand")
+    val f = buildFact(base, ChangeLogConfig(nTx = 60, nDocs = 50, seed = 397, deletePct = 10))
+    val dims0 = Seq("seed" -> 10L, "cdc" -> 20L, "g0" -> 30L, "g1" -> 40L)
+    val d = buildDim(base, dims0)
+    val (rF, rD, vRoot, cp) = roots(base)
+    val (repF, repD, view) = IvmJoin.maintain(spark, f.root, d.root, fk, rF, rD, vRoot, cp)
+    assertConverged(f, d, view)
+
+    val rnd = new scala.util.Random(397)
+    val dimKeys = dims0.map(_._1) :+ "ghost"
+    val ids = f.read().select("doc_id").collect().map(_.getString(0))
+    var vc = 1L << 40
+    var id = repF.refresh().summary.lastBatchId
+    for (_ <- 1 to 4) {
+      val fromF = f.refresh().snapshotId; val fromD = d.refresh().snapshotId
+      // random fact upserts (fk re-points, some to a dim that may not
+      // exist), fact deletes, dim updates/deletes/re-inserts, plus
+      // deliberately STALE writes on both sides — all in one batch
+      val ups = rnd.shuffle(ids.toSeq).take(1 + rnd.nextInt(10))
+      val upDf = f.read().where(col("doc_id").isin(ups.map(x => x: Any): _*))
+        .select("doc_id", "tokens", "n_tok", "source")
+        .withColumn(fk, lit(dimKeys(rnd.nextInt(dimKeys.length))))
+      IceLiteV2.append(spark, f.root, upDf, vc = vc, vl = rnd.nextInt(1000).toLong)
+      if (rnd.nextBoolean()) {
+        val dels = rnd.shuffle(ids.toSeq).take(rnd.nextInt(4))
+        val delDf = f.read().where(col("doc_id").isin(dels.map(x => x: Any): _*))
+          .select("doc_id", "tokens", "n_tok", "source")
+        if (!delDf.isEmpty)
+          IceLiteV2.append(spark, f.root, delDf, vc = vc + 1, vl = 0L, tombstone = true)
+      }
+      val dk = dimKeys(rnd.nextInt(dimKeys.length))
+      if (rnd.nextBoolean())
+        IceLiteV2.append(spark, d.root, dimRow(dk, vc % 1000), vc = vc + 2, vl = 0L)
+      else
+        IceLiteV2.append(spark, d.root, dimRow(dk, 0L), vc = vc + 2, vl = 0L,
+          tombstone = true)
+      if (rnd.nextBoolean()) // stale on both sides: must be inert
+        IceLiteV2.append(spark, f.root, upDf.withColumn(fk, lit("stale")),
+          vc = vc - 5, vl = 0L)
+      vc += 10
+      f.refresh(); d.refresh()
+      val fb = f.changesBetween(fromF, f.refresh().snapshotId).drop("_change_type")
+      val db = d.changesBetween(fromD, d.refresh().snapshotId).drop("_change_type")
+      id += 1
+      IvmJoin.applyIvmJoinBatch(view, repF, repD, fk, fb, db, id, f.root, d.root)
+      assertConverged(f, d, view)
+      assert(!viewState(view).values.exists(_.getAs[String](fk) == "stale"))
+    }
+    Fs.deleteRecursively(base)
+  }
+
   test("a fact-source truncate takes the rebuild path and converges") {
     val base = Fs.tempDir("graft-ivmj-trunc")
     val f = buildFact(base, ChangeLogConfig(nTx = 100, nDocs = 60, seed = 379,
