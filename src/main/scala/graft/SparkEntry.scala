@@ -711,6 +711,14 @@ object SparkEntry {
     // the oracle's min-qualifying-B == the engine's first-in-order B
     "stream_funnel" -> ((s, d) =>
       graft.stream.Funnel.overEvents(s, t(s, d, "events"))),
+    // STREAMING session profiles on transformWithState MAPSTATE:
+    // per-user gap sessions accumulate per-type counts in a MapState;
+    // the idle deadline is an event-time timer RESCHEDULED on every
+    // event; sessions also split in-handler when the next event's gap
+    // arrives before the watermark does. Oracle = batch
+    // gaps-and-islands + per-island top type (tie on the name)
+    "stream_session_profile" -> ((s, d) =>
+      graft.stream.SessionProfile.overEvents(s, t(s, d, "events"))),
     // STREAMING session windows per user under the same harness — the
     // stateful flavor: a user's burst split across the batch boundary
     // must MERGE in the state store; stragglers (batches >= 2, times
@@ -3327,6 +3335,42 @@ object SparkEntry {
         |SELECT a.u, a.ta, coalesce(bq.tb, -1) AS tb,
         |  CASE WHEN bq.tb IS NULL THEN 'abandoned' ELSE 'converted' END AS verdict
         |FROM a LEFT JOIN bq USING (u) ORDER BY u""".stripMargin
+    },
+    // sessions = gaps-and-islands at the >= gap split rule; profile =
+    // island counts + distinct types + argmax type (ties on the name)
+    "stream_session_profile" -> {
+      import graft.stream.SessionProfile._
+      val hB = H("CAST(event_id AS VARCHAR) || ':spb'")
+      val hT = H("CAST(event_id AS VARCHAR) || ':spt'")
+      val hM = H("CAST(event_id AS VARCHAR) || ':spm'")
+      val typCase = Types.zipWithIndex
+        .map { case (t, i) => s"WHEN ($hT % ${Types.size}) = $i THEN '$t'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH d AS (
+        |  SELECT CAST(user_id AS BIGINT) AS u, $typCase AS typ,
+        |    ($hB % $NumBatches) * $SegmentMs
+        |      + ($hM % ${SegmentMs / 4 - 4}) * 4 + 1 AS m
+        |  FROM events),
+        |x AS (SELECT u, typ, m,
+        |        CASE WHEN lag(m) OVER w IS NULL
+        |               OR m - lag(m) OVER w >= $GapMs THEN 1 ELSE 0 END AS brk
+        |      FROM d WINDOW w AS (PARTITION BY u ORDER BY m)),
+        |isl AS (SELECT u, typ, m,
+        |          sum(brk) OVER (PARTITION BY u ORDER BY m
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |        FROM x),
+        |g AS (SELECT u, sid, min(m) AS session_start,
+        |        CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(count(DISTINCT typ) AS BIGINT) AS n_types
+        |      FROM isl GROUP BY u, sid),
+        |tc AS (SELECT u, sid, typ, count(*) AS c FROM isl GROUP BY u, sid, typ),
+        |top AS (SELECT u, sid, typ FROM (
+        |          SELECT u, sid, typ,
+        |            row_number() OVER (PARTITION BY u, sid ORDER BY c DESC, typ) AS rn
+        |          FROM tc) WHERE rn = 1)
+        |SELECT g.u, g.session_start, g.n_events, g.n_types, top.typ AS top_type
+        |FROM g JOIN top USING (u, sid)
+        |ORDER BY g.u, g.session_start""".stripMargin
     },
     "stream_window_agg" -> {
       import graft.stream.WindowedAgg._
