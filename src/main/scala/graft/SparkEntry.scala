@@ -719,6 +719,12 @@ object SparkEntry {
     // gaps-and-islands + per-island top type (tie on the name)
     "stream_session_profile" -> ((s, d) =>
       graft.stream.SessionProfile.overEvents(s, t(s, d, "events"))),
+    // the FEATURE-STORE form: each micro-batch of closed profiles
+    // MERGES into an IceLite table through the engine's idempotent
+    // apply (exactly-once by checkpoint + batch-id gate); the store
+    // read back == the same gaps-and-islands oracle
+    "stream_profile_store" -> ((s, d) =>
+      graft.stream.SessionProfile.overEventsStore(s, t(s, d, "events"))),
     // STREAMING session windows per user under the same harness — the
     // stateful flavor: a user's burst split across the batch boundary
     // must MERGE in the state store; stragglers (batches >= 2, times
@@ -2430,6 +2436,46 @@ object SparkEntry {
   private lazy val RetentionReplayStateSql: String =
     replayStateSql(s" AND r.tx_id <> ${RetentionOrphan.txId}")
 
+  /** Sessions = gaps-and-islands at the >= gap split rule; profile =
+    * island counts + distinct types + argmax type (ties on the name).
+    * ONE oracle for both engine paths (parquet append sink and the
+    * IceLite feature store).
+    */
+  private lazy val SessionProfileSql: String = {
+    import graft.stream.SessionProfile._
+    val hB = H("CAST(event_id AS VARCHAR) || ':spb'")
+    val hT = H("CAST(event_id AS VARCHAR) || ':spt'")
+    val hM = H("CAST(event_id AS VARCHAR) || ':spm'")
+    val typCase = Types.zipWithIndex
+      .map { case (t, i) => s"WHEN ($hT % ${Types.size}) = $i THEN '$t'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH d AS (
+      |  SELECT CAST(user_id AS BIGINT) AS u, $typCase AS typ,
+      |    ($hB % $NumBatches) * $SegmentMs
+      |      + ($hM % ${SegmentMs / 4 - 4}) * 4 + 1 AS m
+      |  FROM events),
+      |x AS (SELECT u, typ, m,
+      |        CASE WHEN lag(m) OVER w IS NULL
+      |               OR m - lag(m) OVER w >= $GapMs THEN 1 ELSE 0 END AS brk
+      |      FROM d WINDOW w AS (PARTITION BY u ORDER BY m)),
+      |isl AS (SELECT u, typ, m,
+      |          sum(brk) OVER (PARTITION BY u ORDER BY m
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |        FROM x),
+      |g AS (SELECT u, sid, min(m) AS session_start,
+      |        CAST(count(*) AS BIGINT) AS n_events,
+      |        CAST(count(DISTINCT typ) AS BIGINT) AS n_types
+      |      FROM isl GROUP BY u, sid),
+      |tc AS (SELECT u, sid, typ, count(*) AS c FROM isl GROUP BY u, sid, typ),
+      |top AS (SELECT u, sid, typ FROM (
+      |          SELECT u, sid, typ,
+      |            row_number() OVER (PARTITION BY u, sid ORDER BY c DESC, typ) AS rn
+      |          FROM tc) WHERE rn = 1)
+      |SELECT g.u, g.session_start, g.n_events, g.n_types, top.typ AS top_type
+      |FROM g JOIN top USING (u, sid)
+      |ORDER BY g.u, g.session_start""".stripMargin
+  }
+
   /** The `{AUX}` token is replaced by [[Verify]] with the absolute path
     * of its aux-dump directory (the deterministically regenerated engine
     * log + seed table for `cdc_engine_replay`).
@@ -3338,40 +3384,10 @@ object SparkEntry {
     },
     // sessions = gaps-and-islands at the >= gap split rule; profile =
     // island counts + distinct types + argmax type (ties on the name)
-    "stream_session_profile" -> {
-      import graft.stream.SessionProfile._
-      val hB = H("CAST(event_id AS VARCHAR) || ':spb'")
-      val hT = H("CAST(event_id AS VARCHAR) || ':spt'")
-      val hM = H("CAST(event_id AS VARCHAR) || ':spm'")
-      val typCase = Types.zipWithIndex
-        .map { case (t, i) => s"WHEN ($hT % ${Types.size}) = $i THEN '$t'" }
-        .mkString("CASE ", " ", " END")
-      s"""WITH d AS (
-        |  SELECT CAST(user_id AS BIGINT) AS u, $typCase AS typ,
-        |    ($hB % $NumBatches) * $SegmentMs
-        |      + ($hM % ${SegmentMs / 4 - 4}) * 4 + 1 AS m
-        |  FROM events),
-        |x AS (SELECT u, typ, m,
-        |        CASE WHEN lag(m) OVER w IS NULL
-        |               OR m - lag(m) OVER w >= $GapMs THEN 1 ELSE 0 END AS brk
-        |      FROM d WINDOW w AS (PARTITION BY u ORDER BY m)),
-        |isl AS (SELECT u, typ, m,
-        |          sum(brk) OVER (PARTITION BY u ORDER BY m
-        |            ROWS UNBOUNDED PRECEDING) AS sid
-        |        FROM x),
-        |g AS (SELECT u, sid, min(m) AS session_start,
-        |        CAST(count(*) AS BIGINT) AS n_events,
-        |        CAST(count(DISTINCT typ) AS BIGINT) AS n_types
-        |      FROM isl GROUP BY u, sid),
-        |tc AS (SELECT u, sid, typ, count(*) AS c FROM isl GROUP BY u, sid, typ),
-        |top AS (SELECT u, sid, typ FROM (
-        |          SELECT u, sid, typ,
-        |            row_number() OVER (PARTITION BY u, sid ORDER BY c DESC, typ) AS rn
-        |          FROM tc) WHERE rn = 1)
-        |SELECT g.u, g.session_start, g.n_events, g.n_types, top.typ AS top_type
-        |FROM g JOIN top USING (u, sid)
-        |ORDER BY g.u, g.session_start""".stripMargin
-    },
+    "stream_session_profile" -> SessionProfileSql,
+    // the store round trip must land on the SAME profiles: one oracle,
+    // two engine paths (parquet append sink vs IceLite merge store)
+    "stream_profile_store" -> SessionProfileSql,
     "stream_window_agg" -> {
       import graft.stream.WindowedAgg._
       val hB = H("CAST(event_id AS VARCHAR) || ':wagg'")

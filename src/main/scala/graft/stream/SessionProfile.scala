@@ -179,6 +179,80 @@ object SessionProfile {
       .orderBy(col("u"), col("session_start"))
   }
 
+  /** FEATURE-STORE SINK: the same streaming pipeline, but each
+    * micro-batch of closed profiles MERGES into an IceLite table
+    * (key = "u|session_start") through the engine's idempotent apply —
+    * the per-entity profile store a feature-ingestion pipeline keeps
+    * at the end of the connector topic. Exactly-once by composition:
+    * the SS checkpoint replans the same batches, and the batch-id gate
+    * + row versions make re-application a no-op. Profiles are
+    * append-only facts, so the LWW merge is trivially stable; the
+    * store is bucket-pruned readable / feed-consumable like any
+    * engine table (a downstream Ivm could stack on it).
+    */
+  def runToStore(spark: SparkSession, stagedDir: String, workDir: String,
+      numBuckets: Int = 4): graft.icelite.IceLiteTable = {
+    import spark.implicits._
+    WindowedAgg.quiesceMaintenance(spark)
+    StateStores.useRocksDb(spark)
+    val schema = Seq((0L, 0L, 0L, 0L, "x"))
+      .toDF("u", "session_start", "n_events", "n_types", "top_type")
+      .withColumn("k", concat_ws("|", col("u"), col("session_start")))
+      .schema
+    val table = graft.icelite.IceLite.create(spark, s"$workDir/store",
+      MergeApply.asNullable(schema).asInstanceOf[StructType], "k", numBuckets)
+    def start(liveDir: String) = {
+      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+        .withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"$DelayMs milliseconds")
+        .as[SpEvent]
+      src.groupByKey(_.u)
+        .transformWithState(new Processor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val rows = df.withColumn("k",
+            concat_ws("|", col("u"), col("session_start")))
+          val ev = rows.select(
+            lit("c").as("op"),
+            lit(null).cast(StructType(Seq(StructField("k", StringType))))
+              .as("before"),
+            struct(table.current.schema.fieldNames.toIndexedSeq.map(col): _*)
+              .as("after"),
+            lit(batchId + 1L).as("commit_lsn"),
+            TextOps.portableHash(col("k")).as("change_lsn"))
+          MergeApply.applyBatch(table, ev, batchId)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    table
+  }
+
+  /** [[overEvents]] through the FEATURE-STORE path: the profile table
+    * read back — same oracle as the parquet-sink form, plus the
+    * exactly-once store ingestion in the loop.
+    */
+  def overEventsStore(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-sprofile-store")
+    try {
+      val d = derive(events)
+      d.cache()
+      val batches = (0 until NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("u", "typ", "m"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val table = runToStore(spark, s"$base/staged", s"$base/work")
+      val out = table.read().drop("k")
+        .orderBy(col("u"), col("session_start"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** The whole pipeline over the testdata events table. */
   def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
     val base = graft.util.Fs.tempDir("graft-sprofile")
