@@ -71,7 +71,8 @@ object Bench {
     "stream_join", "stream_join_full", "stream_union_wm", "stream_join_agg",
     "cdc_engine_replay_tws", "cdc_retention_abandon", "cdc_migrate_state",
     "cdc_ivm_join", "text_substr_dedup", "stream_funnel", "cdc_rebucket",
-    "cdc_ivm_cascade", "stream_session_profile", "stream_profile_store")
+    "cdc_ivm_cascade", "stream_session_profile", "stream_profile_store",
+    "cdc_migrate_back")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to

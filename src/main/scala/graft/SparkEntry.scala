@@ -459,6 +459,9 @@ object SparkEntry {
     // zero-replay strategy migration: fMGWS first half -> state read ->
     // transformWithState (initial state) second half == full replay
     "cdc_migrate_state" -> ((s, d) => migrationAll(s)._2),
+    // the DOWNGRADE path: TWS first half -> named-state-variable read
+    // -> fMGWS (initial-state overload) second half == full replay
+    "cdc_migrate_back" -> ((s, d) => migrateBackReplay(s)),
     // join-view maintenance: a fact x dim enrichment view maintained
     // differentially from TWO engine change feeds (one exactly-once
     // checkpoint across three tables) == the joined replays
@@ -1843,6 +1846,56 @@ object SparkEntry {
     ).flatten
   }
 
+  @transient private var migrateBackMemo: Option[(SparkSession, DataFrame)] = None
+
+  /** REVERSE checkpoint migration driven end to end (the downgrade
+    * path): phase 1 assembles the first half of the log with the
+    * transformWithState strategy (RocksDB); its named state variables
+    * are read back through the public state-store reader
+    * ([[graft.stream.StateInspect.pendingTws]]) and seed a
+    * flatMapGroupsWithState query over the second half via the
+    * initial-state overload ([[graft.stream.StatefulAssembly
+    * .streamMigratedBack]]). Same full-replay oracle as the forward
+    * direction — the strategy switch must be lossless both ways.
+    */
+  private def migrateBackReplay(spark0: SparkSession): DataFrame = synchronized {
+    migrateBackMemo match {
+      case Some((s, df)) if s eq spark0 => df
+      case _ =>
+        import graft.changelog.ChangeLogGen
+        import graft.stream._
+        val spark = spark0.newSession()
+        val base = graft.util.Fs.tempDir("graft-migback")
+        try {
+          val cfg = EngineReplayCfg
+          val (first, second) = MigrateSplit
+          val cdc1 = CdcConfig(s"$base/log1", s"$base/table", s"$base/ckpt1",
+            numBuckets = 8)
+          ChangeLogGen.stageBatchFile(spark, first, cdc1.logDir)
+          val table = CdcJob.snapshot(spark,
+            ChangeLogGen.initialTable(spark, cfg).toDF(), cdc1,
+            ChangeLogGen.snapshotLsn)
+          TwsAssembly.stream(spark, table, cdc1).awaitTermination()
+          val pending = StateInspect
+            .pendingTws(spark, cdc1.checkpointDir).cache()
+          pending.count()
+          val cdc2 = cdc1.copy(logDir = s"$base/log2",
+            checkpointDir = s"$base/ckpt2")
+          ChangeLogGen.stageBatchFile(spark, second, cdc2.logDir)
+          StatefulAssembly.streamMigratedBack(spark, table, cdc2, pending)
+            .awaitTermination()
+          val fin = table.read()
+            .select(col("doc_id"), col("n_tok"), col("source"),
+              tokFpCol(col("tokens")).as("tok_fp"))
+            .orderBy(col("doc_id"))
+          fin.cache(); fin.count() // materialize before temp dir cleanup
+          pending.unpersist()
+          migrateBackMemo = Some((spark0, fin))
+          fin
+        } finally graft.util.Fs.deleteRecursively(base)
+    }
+  }
+
   @transient private var rebucketMemo: Option[(SparkSession, DataFrame)] = None
 
   /** BUCKET EVOLUTION driven end to end: the engine applies half the
@@ -2524,6 +2577,9 @@ object SparkEntry {
     // state hashes against the same full-replay oracle as the unsplit
     // engines — a lost/duplicated/reordered migrated buffer breaks it
     "cdc_migrate_state" ->
+      ReplayStateSql,
+    // the downgrade must be equally lossless: same full-replay oracle
+    "cdc_migrate_back" ->
       ReplayStateSql,
     // two whole-table rewrites (8->16 mid-stream, then ->4) must be
     // invisible to the final state: same full-replay oracle

@@ -46,6 +46,29 @@ object StateInspect {
       .as[PendingTx]
   }
 
+  /** Pending transactions of a [[TwsAssembly]] (transformWithState)
+    * checkpoint — the named state variables (`buf` ListState, `meta`
+    * ValueState) read through the same public reader. Quarantined txs
+    * keep their (empty-buffer) marker; a left join from `meta` makes
+    * them surface with `records = []`, exactly like the fMGWS export.
+    */
+  def pendingTws(spark: SparkSession, checkpointDir: String): Dataset[PendingTx] = {
+    import spark.implicits._
+    val buf = spark.read.format("statestore")
+      .option("stateVarName", "buf").load(checkpointDir)
+      .select(col("key.value").as("tx_id"), col("list_element").as("r"))
+      .groupBy(col("tx_id")).agg(collect_list(col("r")).as("records"))
+    val meta = spark.read.format("statestore")
+      .option("stateVarName", "meta").load(checkpointDir)
+      .select(col("key.value").as("tx_id"),
+        col("value.quarantined").as("quarantined"))
+    meta.join(buf, Seq("tx_id"), "left_outer")
+      .select(col("tx_id"),
+        coalesce(col("records"), typedLit(Seq.empty[LogRecord])).as("records"),
+        col("quarantined"))
+      .as[PendingTx]
+  }
+
   /** Summary view for operators: one row per pending tx — id, buffered
     * record count, LSN span, quarantine flag. Columns are flat scalars
     * so the result is directly oracle-checkable.

@@ -164,6 +164,46 @@ object StatefulAssembly {
         stepTx(maxBufferedPerTx, quarantine))
   }
 
+  /** [[assemble]] seeded with a transformWithState checkpoint's
+    * exported pending state ([[StateInspect.pendingTws]]) — the
+    * REVERSE strategy migration (TWS → fMGWS, the downgrade path; see
+    * [[TwsAssembly.assembleMigrated]] for the forward direction and
+    * the shared zero-replay contract). The initial-state dataset seeds
+    * each tx's `TxBuffer` before any input; `stepTx` treats it exactly
+    * like carried-over state, so open txs resume mid-flight and
+    * quarantined markers stay sticky.
+    */
+  def assembleMigrated(raw: Dataset[LogRecord],
+      pending: Dataset[StateInspect.PendingTx],
+      maxBufferedPerTx: Int = DefaultMaxBufferedPerTx,
+      quarantine: Boolean = false): Dataset[ChangeEvent] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val init = pending.groupByKey(_.tx_id)
+      .mapValues(p => TxBuffer(p.records.sortBy(_.lsn), p.quarantined))
+    raw.groupByKey(_.tx_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        init)(stepTx(maxBufferedPerTx, quarantine))
+  }
+
+  /** Full stateful pipeline on [[assembleMigrated]]: the TWS → fMGWS
+    * strategy switch as one call — same prepare/merge/DLQ wiring,
+    * fresh checkpoint, the TWS checkpoint's pending state seeded in,
+    * the sink's batch-id channel continued past its high-water mark
+    * (same pinning discipline as [[TwsAssembly.streamMigrated]]).
+    */
+  def streamMigratedBack(
+      spark: SparkSession,
+      table: IceLiteTable,
+      cfg: CdcConfig,
+      pending: Dataset[StateInspect.PendingTx],
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    streamWith(spark, table, cfg, trigger,
+      raw => assembleMigrated(raw, pending, cfg.maxTxRecords,
+        quarantine = cfg.dlqDir.isDefined),
+      batchIdBase = TwsAssembly.migratedBatchIdBase(table, cfg))
+
   /** Full stateful pipeline: tail the log, assemble transactions in the
     * state store, MERGE each emitted micro-batch. Raw records go through
     * the SAME prepare pipeline as the micro-batch path (F1 table filter

@@ -287,7 +287,7 @@ object TwsAssembly {
     * the sink each start). This is the migration analog of carrying
     * connector offsets across an upgrade.
     */
-  private def migratedBatchIdBase(table: IceLiteTable, cfg: CdcConfig): Long = {
+  private[stream] def migratedBatchIdBase(table: IceLiteTable, cfg: CdcConfig): Long = {
     val dir = java.nio.file.Paths.get(cfg.checkpointDir)
     val f = dir.resolve("graft-batchid-base")
     if (java.nio.file.Files.exists(f))

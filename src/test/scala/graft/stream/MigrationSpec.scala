@@ -71,6 +71,57 @@ class MigrationSpec extends SparkSpec {
     } finally Fs.deleteRecursively(base)
   }
 
+  test("REVERSE migration (TWS -> fMGWS): pending state read from the TWS checkpoint, downgrade lands on the replay oracle") {
+    implicit val s = spark.newSession()
+    import s.implicits._
+    val cfg = ChangeLogConfig(nTx = 80, nDocs = 60, seed = 409, maxOpsPerTx = 10)
+    val base = Fs.tempDir("graft-migback")
+    try {
+      val log = (0L until cfg.nTx)
+        .flatMap(i => ChangeLogGen.txRecords(cfg, i)).sortBy(_.lsn)
+      val (first, second) = log.splitAt(log.size / 2)
+
+      val cdc1 = CdcConfig(s"$base/log1", s"$base/table", s"$base/ckpt1",
+        numBuckets = 4)
+      stage(first, cdc1.logDir)
+      val table = CdcJob.snapshot(s,
+        ChangeLogGen.initialTable(s, cfg).toDF(), cdc1, ChangeLogGen.snapshotLsn)
+      TwsAssembly.stream(s, table, cdc1).awaitTermination()
+
+      // pending state from the TWS checkpoint == the open transactions
+      // derivable from the prefix
+      val pending = StateInspect.pendingTws(s, cdc1.checkpointDir).cache()
+      val gotPending = pending.collect()
+        .map(p => p.tx_id -> p.records.map(_.lsn).sorted).toMap
+      val wantPending = first.groupBy(_.tx_id)
+        .filter { case (_, rs) => !rs.exists(r => r.op == "C" || r.op == "R") }
+        .map { case (tx, rs) => tx -> rs.map(_.lsn).sorted }
+      assert(gotPending === wantPending)
+      assert(gotPending.nonEmpty, "split must leave open txs or the test is vacuous")
+
+      val cdc2 = cdc1.copy(logDir = s"$base/log2", checkpointDir = s"$base/ckpt2")
+      stage(second, cdc2.logDir)
+      StatefulAssembly.streamMigratedBack(s, table, cdc2, pending)
+        .awaitTermination()
+
+      val initial = (0L until cfg.nDocs.toLong).map { k =>
+        val t = ChangeLogGen.tokensFor(cfg.seed, k, 0L, cfg.maxTokens)
+        ChangeLogGen.docId(k) -> TokenDoc(ChangeLogGen.docId(k), t, t.size, "seed")
+      }.toMap
+      val want = ReplayOracle.replay(initial, log, ChangeLogGen.snapshotLsn)
+      val got = table.read().as[TokenDoc].collect().map(d => d.doc_id -> d.tokens).toMap
+      assert(got.keySet === want.keySet,
+        s"extra=${(got.keySet -- want.keySet).take(5)} missing=${(want.keySet -- got.keySet).take(5)}")
+      want.foreach { case (k, w) => assert(got(k) === w.tokens, s"tokens mismatch $k") }
+
+      // idempotent re-drain on the pinned batch-id base
+      StatefulAssembly.streamMigratedBack(s, table, cdc2, pending)
+        .awaitTermination()
+      assert(table.read().as[TokenDoc].collect()
+        .map(d => d.doc_id -> d.tokens).toMap === got)
+    } finally Fs.deleteRecursively(base)
+  }
+
   test("quarantined state carries over: the poison tx's post-migration close is DLQ'd, never merged") {
     implicit val s = spark.newSession()
     import s.implicits._
