@@ -462,6 +462,10 @@ object SparkEntry {
     // the DOWNGRADE path: TWS first half -> named-state-variable read
     // -> fMGWS (initial-state overload) second half == full replay
     "cdc_migrate_back" -> ((s, d) => migrateBackReplay(s)),
+    // incremental SCD2: history maintained per micro-batch (closed
+    // intervals append-only, open intervals = the replica's own row
+    // versions) == the interval chain over per-(key,commit) winners
+    "cdc_scd2_incremental" -> ((s, d) => scd2IncrementalReplay(s)),
     // join-view maintenance: a fact x dim enrichment view maintained
     // differentially from TWO engine change feeds (one exactly-once
     // checkpoint across three tables) == the joined replays
@@ -1896,6 +1900,65 @@ object SparkEntry {
     }
   }
 
+  /** Dedicated log for the incremental-SCD2 fixture: staged ONE TX PER
+    * FILE so every engine batch is exactly one commit — the stored
+    * version granularity (per-key-per-commit winner) is then flat-SQL
+    * derivable, which the interval oracle needs (the engine's LWW
+    * dedup collapses a key's multiple events within one batch).
+    */
+  val Scd2IncCfg: graft.changelog.ChangeLogConfig =
+    graft.changelog.ChangeLogConfig(nTx = 48, nDocs = 60, seed = 4242)
+
+  @transient private var scd2IncMemo: Option[(SparkSession, DataFrame)] = None
+
+  /** INCREMENTAL SCD2 driven end to end: the engine applies the
+    * dedicated log one transaction per batch (48 commits), then
+    * [[graft.stream.Scd2Maintain]] bootstraps at version 1 and replays
+    * the WHOLE change history through per-batch interval maintenance
+    * (history-first exactly-once across two tables). The maintained
+    * closed ∪ open view hashes against the interval chain over the
+    * per-(key, commit) stored winners — a lost close, wrong chain
+    * order, or resurrected tombstone breaks it.
+    */
+  private def scd2IncrementalReplay(spark0: SparkSession): DataFrame =
+    synchronized {
+      scd2IncMemo match {
+        case Some((s, df)) if s eq spark0 => df
+        case _ =>
+          import graft.changelog.ChangeLogGen
+          import graft.stream._
+          val spark = spark0.newSession()
+          val base = graft.util.Fs.tempDir("graft-scd2inc")
+          try {
+            val cfg = Scd2IncCfg
+            val cdc = CdcConfig(s"$base/log", s"$base/src", s"$base/ckptSrc",
+              numBuckets = 8)
+            (0L until cfg.nTx).foreach { i =>
+              ChangeLogGen.stageBatchFile(spark,
+                ChangeLogGen.txRecords(cfg, i), cdc.logDir, i.toInt)
+            }
+            val src = CdcJob.snapshot(spark,
+              ChangeLogGen.initialTable(spark, cfg).toDF(), cdc,
+              ChangeLogGen.snapshotLsn)
+            CdcJob.runBatchIncremental(spark, src, cdc, filesPerBatch = 1)
+            val (rep, hist) = Scd2Maintain.maintain(spark, src.root,
+              s"$base/rep", s"$base/hist", s"$base/ckptScd2",
+              maxVersionsPerTrigger = 8, bootstrapAtVersion = Some(1L))
+            val out = Scd2Maintain.view(rep, hist)
+              .select(col("doc_id"),
+                col("valid_from_commit"), col("valid_from_change"),
+                col("valid_to_commit"), col("valid_to_change"),
+                col("is_current"), col("n_tok"),
+                tokFpCol(col("tokens")).as("tok_fp"))
+              .orderBy(col("doc_id"), col("valid_from_commit"),
+                col("valid_from_change"))
+            out.cache(); out.count() // materialize before temp dir cleanup
+            scd2IncMemo = Some((spark0, out))
+            out
+          } finally graft.util.Fs.deleteRecursively(base)
+      }
+    }
+
   @transient private var rebucketMemo: Option[(SparkSession, DataFrame)] = None
 
   /** BUCKET EVOLUTION driven end to end: the engine applies half the
@@ -2581,6 +2644,42 @@ object SparkEntry {
     // the downgrade must be equally lossless: same full-replay oracle
     "cdc_migrate_back" ->
       ReplayStateSql,
+    // maintained SCD2 == interval chain over the STORED version
+    // granularity: committed-tx assembly on the dedicated one-tx-per-
+    // commit dump, per-(key, commit) winner by change_lsn (the
+    // engine's in-batch LWW), snapshot rows pinned at (0, MaxValue),
+    // lead() chaining per key, tombstone winners close but emit no row
+    "cdc_scd2_incremental" ->
+      s"""WITH s2raw AS (SELECT * FROM read_parquet('{AUX}/scd2_log/*.parquet')),
+        |s2seed AS (SELECT * FROM read_parquet('{AUX}/scd2_seed/*.parquet')),
+        |s2ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn
+        |           FROM s2raw GROUP BY tx_id),
+        |s2ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+        |         FROM s2raw r JOIN s2ctrl c USING(tx_id)
+        |         WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |           AND NOT EXISTS (SELECT 1 FROM s2raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                           AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+        |s2w AS (SELECT change_lsn, commit_lsn, op, key, n_tok, tokens FROM (
+        |          SELECT change_lsn, commit_lsn, op,
+        |                 COALESCE(after.doc_id, before.doc_id) AS key,
+        |                 after.n_tok AS n_tok, after.tokens AS tokens,
+        |                 row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id), commit_lsn
+        |                                    ORDER BY change_lsn DESC) AS rn
+        |          FROM s2ev) WHERE rn = 1),
+        |s2u AS (SELECT CAST(0 AS BIGINT) AS commit_lsn,
+        |               CAST(${Long.MaxValue} AS BIGINT) AS change_lsn,
+        |               'r' AS op, doc_id AS key, n_tok, tokens FROM s2seed
+        |        UNION ALL
+        |        SELECT commit_lsn, change_lsn, op, key, n_tok, tokens FROM s2w),
+        |s2v AS (SELECT *, lead(commit_lsn) OVER wk AS valid_to_commit,
+        |               lead(change_lsn) OVER wk AS valid_to_change FROM s2u
+        |        WINDOW wk AS (PARTITION BY key ORDER BY commit_lsn, change_lsn))
+        |SELECT key AS doc_id, commit_lsn AS valid_from_commit,
+        |       change_lsn AS valid_from_change, valid_to_commit, valid_to_change,
+        |       (valid_to_commit IS NULL) AS is_current, n_tok,
+        |       ${H("array_to_string(tokens, ',')")} AS tok_fp
+        |FROM s2v WHERE op <> 'd'
+        |ORDER BY doc_id, valid_from_commit, valid_from_change""".stripMargin,
     // two whole-table rewrites (8->16 mid-stream, then ->4) must be
     // invisible to the final state: same full-replay oracle
     "cdc_rebucket" ->

@@ -59,6 +59,14 @@ object Verify {
         .write.mode("overwrite").parquet(s"$auxDir/ivm_dim_log")
       SparkEntry.IvmDimSeed.toDS().toDF().coalesce(1)
         .write.mode("overwrite").parquet(s"$auxDir/ivm_dim_seed")
+      // the incremental-SCD2 fixture's dedicated log + seed (one tx per
+      // engine batch in the pipeline; the dump layout is irrelevant to
+      // the oracle, which re-derives commits from the records)
+      val s2 = SparkEntry.Scd2IncCfg
+      ChangeLogGen.logRecords(spark, s2).toDF().coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/scd2_log")
+      ChangeLogGen.initialTable(spark, s2).toDF()
+        .write.mode("overwrite").parquet(s"$auxDir/scd2_seed")
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
