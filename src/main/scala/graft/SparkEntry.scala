@@ -466,6 +466,18 @@ object SparkEntry {
     // intervals append-only, open intervals = the replica's own row
     // versions) == the interval chain over per-(key,commit) winners
     "cdc_scd2_incremental" -> ((s, d) => scd2IncrementalReplay(s)),
+    // point-in-time (AS-OF) read over the maintained history: the
+    // state at a mid-log commit position, answered from intervals
+    // alone — time travel without snapshots. Rides the scd2 memo
+    "cdc_scd2_point_in_time" -> ((s, d) => {
+      val v = scd2IncrementalReplay(s)
+      v.where(col("valid_from_commit") <= Scd2PitLsn &&
+          (col("valid_to_commit").isNull ||
+            col("valid_to_commit") > Scd2PitLsn))
+        .select(col("doc_id"), col("valid_from_commit"),
+          col("valid_from_change"), col("n_tok"), col("tok_fp"))
+        .orderBy(col("doc_id"))
+    }),
     // join-view maintenance: a fact x dim enrichment view maintained
     // differentially from TWO engine change feeds (one exactly-once
     // checkpoint across three tables) == the joined replays
@@ -1909,6 +1921,43 @@ object SparkEntry {
   val Scd2IncCfg: graft.changelog.ChangeLogConfig =
     graft.changelog.ChangeLogConfig(nTx = 48, nDocs = 60, seed = 4242)
 
+  /** Mid-log pin for the point-in-time query: tx #24's close-record
+    * LSN (a generated constant; any position works — visibility is
+    * vf_commit <= pin < vt_commit, and commit LSNs are unique).
+    */
+  private lazy val Scd2PitLsn: Long =
+    graft.changelog.ChangeLogGen.txRecords(Scd2IncCfg, 24L).last.lsn
+
+  /** Shared interval chain over the STORED version granularity
+    * (per-(key, commit) winner), consumed by the maintained-SCD2 and
+    * point-in-time oracles.
+    */
+  private lazy val Scd2IntervalsCte: String =
+    s"""WITH s2raw AS (SELECT * FROM read_parquet('{AUX}/scd2_log/*.parquet')),
+      |s2seed AS (SELECT * FROM read_parquet('{AUX}/scd2_seed/*.parquet')),
+      |s2ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn
+      |           FROM s2raw GROUP BY tx_id),
+      |s2ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
+      |         FROM s2raw r JOIN s2ctrl c USING(tx_id)
+      |         WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+      |           AND NOT EXISTS (SELECT 1 FROM s2raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+      |                           AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
+      |s2w AS (SELECT change_lsn, commit_lsn, op, key, n_tok, tokens FROM (
+      |          SELECT change_lsn, commit_lsn, op,
+      |                 COALESCE(after.doc_id, before.doc_id) AS key,
+      |                 after.n_tok AS n_tok, after.tokens AS tokens,
+      |                 row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id), commit_lsn
+      |                                    ORDER BY change_lsn DESC) AS rn
+      |          FROM s2ev) WHERE rn = 1),
+      |s2u AS (SELECT CAST(0 AS BIGINT) AS commit_lsn,
+      |               CAST(${Long.MaxValue} AS BIGINT) AS change_lsn,
+      |               'r' AS op, doc_id AS key, n_tok, tokens FROM s2seed
+      |        UNION ALL
+      |        SELECT commit_lsn, change_lsn, op, key, n_tok, tokens FROM s2w),
+      |s2v AS (SELECT *, lead(commit_lsn) OVER wk AS valid_to_commit,
+      |               lead(change_lsn) OVER wk AS valid_to_change FROM s2u
+      |        WINDOW wk AS (PARTITION BY key ORDER BY commit_lsn, change_lsn))""".stripMargin
+
   @transient private var scd2IncMemo: Option[(SparkSession, DataFrame)] = None
 
   /** INCREMENTAL SCD2 driven end to end: the engine applies the
@@ -2650,36 +2699,22 @@ object SparkEntry {
     // engine's in-batch LWW), snapshot rows pinned at (0, MaxValue),
     // lead() chaining per key, tombstone winners close but emit no row
     "cdc_scd2_incremental" ->
-      s"""WITH s2raw AS (SELECT * FROM read_parquet('{AUX}/scd2_log/*.parquet')),
-        |s2seed AS (SELECT * FROM read_parquet('{AUX}/scd2_seed/*.parquet')),
-        |s2ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn
-        |           FROM s2raw GROUP BY tx_id),
-        |s2ev AS (SELECT r.lsn AS change_lsn, c.commit_lsn, r.op, r.before, r.after
-        |         FROM s2raw r JOIN s2ctrl c USING(tx_id)
-        |         WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
-        |           AND NOT EXISTS (SELECT 1 FROM s2raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
-        |                           AND r.lsn >= d.discard_from AND r.lsn < d.lsn)),
-        |s2w AS (SELECT change_lsn, commit_lsn, op, key, n_tok, tokens FROM (
-        |          SELECT change_lsn, commit_lsn, op,
-        |                 COALESCE(after.doc_id, before.doc_id) AS key,
-        |                 after.n_tok AS n_tok, after.tokens AS tokens,
-        |                 row_number() OVER (PARTITION BY COALESCE(after.doc_id, before.doc_id), commit_lsn
-        |                                    ORDER BY change_lsn DESC) AS rn
-        |          FROM s2ev) WHERE rn = 1),
-        |s2u AS (SELECT CAST(0 AS BIGINT) AS commit_lsn,
-        |               CAST(${Long.MaxValue} AS BIGINT) AS change_lsn,
-        |               'r' AS op, doc_id AS key, n_tok, tokens FROM s2seed
-        |        UNION ALL
-        |        SELECT commit_lsn, change_lsn, op, key, n_tok, tokens FROM s2w),
-        |s2v AS (SELECT *, lead(commit_lsn) OVER wk AS valid_to_commit,
-        |               lead(change_lsn) OVER wk AS valid_to_change FROM s2u
-        |        WINDOW wk AS (PARTITION BY key ORDER BY commit_lsn, change_lsn))
+      s"""$Scd2IntervalsCte
         |SELECT key AS doc_id, commit_lsn AS valid_from_commit,
         |       change_lsn AS valid_from_change, valid_to_commit, valid_to_change,
         |       (valid_to_commit IS NULL) AS is_current, n_tok,
         |       ${H("array_to_string(tokens, ',')")} AS tok_fp
         |FROM s2v WHERE op <> 'd'
         |ORDER BY doc_id, valid_from_commit, valid_from_change""".stripMargin,
+    // AS-OF at the pinned commit: visible iff vf <= pin < vt
+    "cdc_scd2_point_in_time" ->
+      s"""$Scd2IntervalsCte
+        |SELECT key AS doc_id, commit_lsn AS valid_from_commit,
+        |       change_lsn AS valid_from_change, n_tok,
+        |       ${H("array_to_string(tokens, ',')")} AS tok_fp
+        |FROM s2v WHERE op <> 'd' AND commit_lsn <= $Scd2PitLsn
+        |  AND (valid_to_commit IS NULL OR valid_to_commit > $Scd2PitLsn)
+        |ORDER BY doc_id""".stripMargin,
     // two whole-table rewrites (8->16 mid-stream, then ->4) must be
     // invisible to the final state: same full-replay oracle
     "cdc_rebucket" ->
