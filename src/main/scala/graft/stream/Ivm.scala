@@ -257,12 +257,8 @@ object Ivm {
       replicaBuckets: Int = 4, viewBuckets: Int = 2,
       maxVersionsPerTrigger: Long = 64L,
       bootstrapAtVersion: Option[Long] = None): (IceLiteTable, IceLiteTable) = {
-    val firstRun = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(checkpointDir, "offsets"))
     val (replica, view, pin) =
-      if (firstRun) {
-        graft.util.Fs.deleteRecursively(replicaRoot)
-        graft.util.Fs.deleteRecursively(viewRoot)
+      Replicate.bootstrapOnce(checkpointDir, Seq(replicaRoot, viewRoot)) {
         val src = IceLite.load(spark, srcRoot)
         val dst = IceLite.create(spark, replicaRoot, src.refresh().schema,
           src.refresh().keyCol, numBuckets = replicaBuckets)
@@ -273,8 +269,9 @@ object Ivm {
         val v = CdcJob.snapshot(spark, aggregateOf(dst.read(), vd), vCfg,
           snapshotLsn = 0L)
         (dst, v, p)
-      } else
+      } {
         (IceLite.load(spark, replicaRoot), IceLite.load(spark, viewRoot), 0L)
+      }
     graft.icelite.dsv2.IceLiteV2
       .readChangesStream(spark, srcRoot, pin, maxVersionsPerTrigger)
       .writeStream

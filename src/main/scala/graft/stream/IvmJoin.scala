@@ -307,11 +307,9 @@ object IvmJoin {
       viewBuckets: Int = 4, maxVersionsPerTrigger: Long = 64L,
       bootstrapFAt: Option[Long] = None, bootstrapDAt: Option[Long] = None)
       : (IceLiteTable, IceLiteTable, IceLiteTable) = {
-    val firstRun = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(checkpointDir, "offsets"))
     val (repF, repD, view, pinF, pinD) =
-      if (firstRun) {
-        Seq(repFRoot, repDRoot, viewRoot).foreach(graft.util.Fs.deleteRecursively)
+      Replicate.bootstrapOnce(checkpointDir,
+        Seq(repFRoot, repDRoot, viewRoot)) {
         val srcF = IceLite.load(spark, factRoot)
         val srcD = IceLite.load(spark, dimRoot)
         val rf = IceLite.create(spark, repFRoot, srcF.refresh().schema,
@@ -327,9 +325,10 @@ object IvmJoin {
           joinOf(payload(rf.read()), payload(rd.read()), fkCol,
             srcD.refresh().keyCol), vCfg, snapshotLsn = 0L)
         (rf, rd, v, pf, pd)
-      } else
+      } {
         (IceLite.load(spark, repFRoot), IceLite.load(spark, repDRoot),
           IceLite.load(spark, viewRoot), 0L, 0L)
+      }
 
     val ff = graft.icelite.dsv2.IceLiteV2
       .readChangesStream(spark, factRoot, pinF, maxVersionsPerTrigger)

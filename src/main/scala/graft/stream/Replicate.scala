@@ -37,6 +37,23 @@ import org.apache.spark.sql.types.StructType
   */
 object Replicate {
 
+  /** ONE definition of the maintainer bootstrap commit point, shared
+    * by every feed consumer lifecycle (replication, aggregate IVM,
+    * join IVM, SCD2): until the stream checkpoint's first offset
+    * exists, anything under the maintainer-owned roots is the scratch
+    * of a crashed bootstrap attempt (bootstrap-written versions are
+    * locally generated, so a half-seeded table is not re-enterable)
+    * and is deleted before `boot` re-creates it — the checkpoint, not
+    * the table roots, is the bootstrap phase's commit point.
+    */
+  private[stream] def bootstrapOnce[T](checkpointDir: String,
+      ownedRoots: Seq[String])(boot: => T)(resume: => T): T =
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(checkpointDir, "offsets"))) {
+      ownedRoots.foreach(graft.util.Fs.deleteRecursively)
+      boot
+    } else resume
+
   /** Change-feed rows (payload + `__vc`/`__vl`/`__tomb`) re-shaped into
     * the engine's committed-event contract (op, before, after,
     * commit_lsn, change_lsn): the LWW version becomes the event

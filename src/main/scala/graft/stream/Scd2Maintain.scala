@@ -151,11 +151,8 @@ object Scd2Maintain {
       histRoot: String, checkpointDir: String, repBuckets: Int = 4,
       histBuckets: Int = 4, maxVersionsPerTrigger: Long = 64L,
       bootstrapAtVersion: Option[Long] = None): (IceLiteTable, IceLiteTable) = {
-    val firstRun = !java.nio.file.Files.exists(
-      java.nio.file.Paths.get(checkpointDir, "offsets"))
     val (rep, hist, pin) =
-      if (firstRun) {
-        Seq(repRoot, histRoot).foreach(graft.util.Fs.deleteRecursively)
+      Replicate.bootstrapOnce(checkpointDir, Seq(repRoot, histRoot)) {
         val src = IceLite.load(spark, srcRoot)
         val r = IceLite.create(spark, repRoot, src.refresh().schema,
           src.refresh().keyCol, numBuckets = repBuckets)
@@ -172,8 +169,9 @@ object Scd2Maintain {
           MergeApply.asNullable(histSchema).asInstanceOf[StructType],
           "k", numBuckets = histBuckets)
         (r, h, p)
-      } else
+      } {
         (IceLite.load(spark, repRoot), IceLite.load(spark, histRoot), 0L)
+      }
     graft.icelite.dsv2.IceLiteV2
       .readChangesStream(spark, srcRoot, pin, maxVersionsPerTrigger)
       .writeStream

@@ -155,29 +155,45 @@ object SessionProfile {
       ++ sentinels, dir)
   }
 
-  /** The REAL streaming pipeline over a staged dir. */
+  /** The shared stream head: file source (one revealed file per
+    * micro-batch) → watermark → transformWithState profiles. ONE
+    * definition of the determinism-critical wiring (staged schema,
+    * watermark delay, time/output mode) for BOTH sinks — the parquet
+    * append sink and the feature store must produce identical
+    * profiles against one oracle.
+    */
+  private def profiles(spark: SparkSession, liveDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.schema(stagedSchema).parquet(liveDir)
+      .withColumn("event_time", timestamp_millis(col("m")))
+      .withWatermark("event_time", s"$DelayMs milliseconds")
+      .as[SpEvent]
+      .groupByKey(_.u)
+      .transformWithState(new Processor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** The REAL streaming pipeline over a staged dir (parquet sink). */
   def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
     WindowedAgg.quiesceMaintenance(spark)
     StateStores.useRocksDb(spark)
-    def start(liveDir: String) = {
-      import spark.implicits._
-      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
-        .withColumn("event_time", timestamp_millis(col("m")))
-        .withWatermark("event_time", s"$DelayMs milliseconds")
-        .as[SpEvent]
-      src.groupByKey(_.u)
-        .transformWithState(new Processor,
-          TimeMode.EventTime(), OutputMode.Append())
-        .toDF()
-        .writeStream.format("parquet")
-        .option("path", s"$workDir/sink")
-        .option("checkpointLocation", s"$workDir/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }
+    def start(liveDir: String) = profiles(spark, liveDir)
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/sink")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
     spark.read.parquet(s"$workDir/sink")
       .orderBy(col("u"), col("session_start"))
   }
+
+  /** The feature-store table's declared schema: the profile columns
+    * plus the composite merge key. */
+  private val storeSchema = StructType(Seq(
+    StructField("u", LongType), StructField("session_start", LongType),
+    StructField("n_events", LongType), StructField("n_types", LongType),
+    StructField("top_type", StringType), StructField("k", StringType)))
 
   /** FEATURE-STORE SINK: the same streaming pipeline, but each
     * micro-batch of closed profiles MERGES into an IceLite table
@@ -192,52 +208,38 @@ object SessionProfile {
     */
   def runToStore(spark: SparkSession, stagedDir: String, workDir: String,
       numBuckets: Int = 4): graft.icelite.IceLiteTable = {
-    import spark.implicits._
     WindowedAgg.quiesceMaintenance(spark)
     StateStores.useRocksDb(spark)
-    val schema = Seq((0L, 0L, 0L, 0L, "x"))
-      .toDF("u", "session_start", "n_events", "n_types", "top_type")
-      .withColumn("k", concat_ws("|", col("u"), col("session_start")))
-      .schema
     val table = graft.icelite.IceLite.create(spark, s"$workDir/store",
-      MergeApply.asNullable(schema).asInstanceOf[StructType], "k", numBuckets)
-    def start(liveDir: String) = {
-      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
-        .withColumn("event_time", timestamp_millis(col("m")))
-        .withWatermark("event_time", s"$DelayMs milliseconds")
-        .as[SpEvent]
-      src.groupByKey(_.u)
-        .transformWithState(new Processor,
-          TimeMode.EventTime(), OutputMode.Append())
-        .toDF()
-        .writeStream
-        .option("checkpointLocation", s"$workDir/ckpt")
-        .foreachBatch { (df: DataFrame, batchId: Long) =>
-          val rows = df.withColumn("k",
-            concat_ws("|", col("u"), col("session_start")))
-          val ev = rows.select(
-            lit("c").as("op"),
-            lit(null).cast(StructType(Seq(StructField("k", StringType))))
-              .as("before"),
-            struct(table.current.schema.fieldNames.toIndexedSeq.map(col): _*)
-              .as("after"),
-            lit(batchId + 1L).as("commit_lsn"),
-            TextOps.portableHash(col("k")).as("change_lsn"))
-          MergeApply.applyBatch(table, ev, batchId)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-    }
+      MergeApply.asNullable(storeSchema).asInstanceOf[StructType],
+      "k", numBuckets)
+    def start(liveDir: String) = profiles(spark, liveDir)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val rows = df.withColumn("k",
+          concat_ws("|", col("u"), col("session_start")))
+        val ev = rows.select(
+          lit("c").as("op"),
+          lit(null).cast(StructType(Seq(StructField("k", StringType))))
+            .as("before"),
+          struct(storeSchema.fieldNames.toIndexedSeq.map(col): _*)
+            .as("after"),
+          lit(batchId + 1L).as("commit_lsn"),
+          TextOps.portableHash(col("k")).as("change_lsn"))
+        MergeApply.applyBatch(table, ev, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
     WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
     table
   }
 
-  /** [[overEvents]] through the FEATURE-STORE path: the profile table
-    * read back — same oracle as the parquet-sink form, plus the
-    * exactly-once store ingestion in the loop.
-    */
-  def overEventsStore(spark: SparkSession, events: DataFrame): DataFrame = {
-    val base = graft.util.Fs.tempDir("graft-sprofile-store")
+  /** Derive → stage → run `use` over (stagedDir, workDir) → cache the
+    * result before the temp dir cleans up. Shared by both sinks. */
+  private def overStaged(spark: SparkSession, events: DataFrame,
+      tag: String)(use: (String, String) => DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir(tag)
     try {
       val d = derive(events)
       d.cache()
@@ -245,27 +247,23 @@ object SessionProfile {
         d.where(col("b") === i.toLong).select("u", "typ", "m"))
       stage(spark, batches, s"$base/staged")
       d.unpersist()
-      val table = runToStore(spark, s"$base/staged", s"$base/work")
-      val out = table.read().drop("k")
-        .orderBy(col("u"), col("session_start"))
+      val out = use(s"$base/staged", s"$base/work")
       out.cache(); out.count() // materialize before temp dir cleanup
       out
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
   /** The whole pipeline over the testdata events table. */
-  def overEvents(spark: SparkSession, events: DataFrame): DataFrame = {
-    val base = graft.util.Fs.tempDir("graft-sprofile")
-    try {
-      val d = derive(events)
-      d.cache()
-      val batches = (0 until NumBatches).map(i =>
-        d.where(col("b") === i.toLong).select("u", "typ", "m"))
-      stage(spark, batches, s"$base/staged")
-      d.unpersist()
-      val out = run(spark, s"$base/staged", s"$base/work")
-      out.cache(); out.count() // materialize before temp dir cleanup
-      out
-    } finally graft.util.Fs.deleteRecursively(base)
-  }
+  def overEvents(spark: SparkSession, events: DataFrame): DataFrame =
+    overStaged(spark, events, "graft-sprofile")(run(spark, _, _))
+
+  /** [[overEvents]] through the FEATURE-STORE path: the profile table
+    * read back — same oracle as the parquet-sink form, plus the
+    * exactly-once store ingestion in the loop.
+    */
+  def overEventsStore(spark: SparkSession, events: DataFrame): DataFrame =
+    overStaged(spark, events, "graft-sprofile-store") { (staged, work) =>
+      runToStore(spark, staged, work).read().drop("k")
+        .orderBy(col("u"), col("session_start"))
+    }
 }
