@@ -445,6 +445,12 @@ object SparkEntry {
     // two stream() queries over one checkpoint (second resumes, no
     // duplicate/lost upserts) -> the same replay oracle
     "cdc_engine_replay_ss" -> ((s, d) => ssReplay(s)),
+    // E9 batch sizing/backpressure made OBSERVABLE: the SS path over a
+    // one-file-per-tx log with maxFilesPerTrigger=K forms ceil(N/K)
+    // micro-batches; the per-batch lineage rows (applied event counts +
+    // commit-LSN span) must equal the oracle's own grouping of the
+    // dumped log into K-file batches
+    "cdc_e9_batching" -> ((s, d) => e9Batching(s)),
     // the Spark 4 transformWithState assembly (StatefulProcessor +
     // RocksDB incremental ListState) through the same kill/resume replay
     "cdc_engine_replay_tws" -> ((s, d) => twsReplay(s)),
@@ -1606,6 +1612,72 @@ object SparkEntry {
     } finally graft.util.Fs.deleteRecursively(base)
   }
 
+  /** E9 fixture: a small dedicated log staged ONE FILE PER TRANSACTION,
+    * consumed with `maxFilesPerTrigger` = [[E9FilesPerTrigger]] — so the
+    * micro-batch boundaries are fully determined by the queue/batch-poll
+    * config, and the oracle can recompute them from the dumped log.
+    */
+  private[graft] val E9Cfg: graft.changelog.ChangeLogConfig =
+    graft.changelog.ChangeLogConfig(nTx = 24, nDocs = 60, seed = 341)
+
+  private[graft] val E9FilesPerTrigger = 4
+
+  /** The E9 log dump for the oracle: every record tagged with the batch
+    * number its FILE lands in under the trigger config (file i holds tx
+    * i; batch = i div K). Dumped to `{AUX}/e9_log` by Verify.
+    */
+  private[graft] def e9LogDump(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until E9Cfg.nTx.toInt).flatMap(i =>
+      graft.changelog.ChangeLogGen.txRecords(E9Cfg, i.toLong)
+        .map(r => (i.toLong / E9FilesPerTrigger, r.lsn, r.tx_id, r.op,
+          r.discard_from)))
+      .toDF("batch_no", "lsn", "tx_id", "op", "discard_from")
+  }
+
+  /** E9 (queue/batch poll) driven end to end on the REAL SS path: the
+    * per-tx files are revealed with deterministic ascending mtimes, the
+    * stream consumes them `maxFilesPerTrigger` at a time, and the
+    * observable is the engine's own per-batch lineage — applied event
+    * count and commit-LSN span per micro-batch (E6 rows aggregated over
+    * buckets). Correct batching is decisive: a split at the wrong file,
+    * a skipped file, or double consumption moves counts/spans between
+    * batch rows and breaks the hash. Event-less batches (all-rollback)
+    * emit no lineage rows and no oracle rows — consistent by
+    * construction.
+    */
+  private def e9Batching(spark: SparkSession): DataFrame = {
+    import graft.changelog.ChangeLogGen
+    import graft.stream._
+    val base = graft.util.Fs.tempDir("graft-e9")
+    try {
+      val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
+        numBuckets = 8, maxFilesPerTrigger = E9FilesPerTrigger)
+      (0 until E9Cfg.nTx.toInt).foreach { i =>
+        ChangeLogGen.stageBatchFile(spark,
+          ChangeLogGen.txRecords(E9Cfg, i.toLong), cdc.logDir, index = i)
+      }
+      // pin the file source's order: mtimes ascend with the tx index
+      graft.util.Fs.listParquet(cdc.logDir).sorted.zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(f),
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+      }
+      val table = CdcJob.snapshot(spark,
+        ChangeLogGen.initialTable(spark, E9Cfg).toDF(), cdc,
+        ChangeLogGen.snapshotLsn)
+      CdcJob.stream(spark, table, cdc).awaitTermination()
+      val out = table.readLineage()
+        .groupBy(col("batch_id").as("batch_no"))
+        .agg(sum(col("event_count")).as("n_events"),
+          min(col("lsn_lo")).as("lsn_lo"),
+          max(col("lsn_hi")).as("lsn_hi"))
+        .orderBy(col("batch_no"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
   /** [[ssReplay]] on the transformWithState assembly: same staged log,
     * same mid-log kill/resume (the restart now exercises RocksDB
     * ListState/ValueState checkpoint persistence), same final-state
@@ -2660,6 +2732,23 @@ object SparkEntry {
     // the SAME final state: oracle identical to cdc_engine_replay
     "cdc_engine_replay_ss" ->
       ReplayStateSql,
+    // E9 batching: the engine's per-micro-batch lineage (applied event
+    // count, commit-LSN span) must equal the oracle's own grouping of
+    // the one-file-per-tx log into maxFilesPerTrigger-file batches —
+    // committed-tx assembly per batch (rollbacks drop, savepoint
+    // DISCARD ranges drop); event-less batches appear on neither side
+    "cdc_e9_batching" ->
+      s"""WITH raw AS (SELECT * FROM read_parquet('{AUX}/e9_log/*.parquet')),
+        |ctrl AS (SELECT tx_id, max(CASE WHEN op='C' THEN lsn END) AS commit_lsn
+        |         FROM raw GROUP BY tx_id),
+        |ev AS (SELECT r.batch_no, c.commit_lsn
+        |       FROM raw r JOIN ctrl c USING(tx_id)
+        |       WHERE r.op IN ('c','u','d') AND c.commit_lsn IS NOT NULL
+        |         AND NOT EXISTS (SELECT 1 FROM raw d WHERE d.op = 'D' AND d.tx_id = r.tx_id
+        |                         AND r.lsn >= d.discard_from AND r.lsn < d.lsn))
+        |SELECT batch_no, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(commit_lsn) AS lsn_lo, max(commit_lsn) AS lsn_hi
+        |FROM ev GROUP BY batch_no ORDER BY batch_no""".stripMargin,
     // the transformWithState assembly (Spark 4 StatefulProcessor on
     // RocksDB, incremental ListState appends) with the same mid-log
     // restart must land on the SAME final state

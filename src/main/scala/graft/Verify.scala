@@ -67,6 +67,10 @@ object Verify {
         .write.mode("overwrite").parquet(s"$auxDir/scd2_log")
       ChangeLogGen.initialTable(spark, s2).toDF()
         .write.mode("overwrite").parquet(s"$auxDir/scd2_seed")
+      // the E9 batching fixture's log, tagged with each record's
+      // micro-batch number under the one-file-per-tx staging
+      SparkEntry.e9LogDump(spark).coalesce(1)
+        .write.mode("overwrite").parquet(s"$auxDir/e9_log")
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }

@@ -177,6 +177,11 @@ object ChangeLogGen {
       java.nio.file.Paths.get(graft.util.Fs.listParquet(tmp).head),
       java.nio.file.Paths.get(f"$dir/batch-$index%03d.parquet"))
     graft.util.Fs.deleteRecursively(tmp)
+    // the producer knows the segment's max LSN — record it so consumer
+    // restart alignment reads O(1) metadata instead of scanning the log
+    if (recs.nonEmpty)
+      graft.stream.LsnManifest.recordNative(dir,
+        f"$dir/batch-$index%03d.parquet", recs.map(_.lsn).max)
   }
 
   /** Write the log as `numFiles` parquet files, range-partitioned on the
@@ -197,5 +202,15 @@ object ChangeLogGen {
       .sortWithinPartitions("lsn")
       .drop("grp")
       .write.mode(SaveMode.Overwrite).parquet(dir)
+    // one column-pruned pass AT WRITE TIME records each segment's max
+    // LSN, so every later restart aligns on O(1) metadata per segment
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).agg(max(col("lsn")).as("m"))
+      .collect()
+      .foreach { r =>
+        val raw = r.getString(0)
+        val p = if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+        graft.stream.LsnManifest.recordNative(dir, p, r.getLong(1))
+      }
   }
 }

@@ -218,6 +218,11 @@ object Maintenance {
             note = s"rebucket(${snap.numBuckets}->$newBuckets)"))
         if (table.commit(next)) return next.snapshotId
       }
+      // A losing attempt's files are a WHOLE-TABLE copy (unlike the
+      // per-batch delta garbage gcOrphans was sized for) — reclaim them
+      // now instead of letting up to maxAttempts full copies pile up.
+      if (written.nonEmpty)
+        graft.util.Fs.deleteRecursively(table.dataPath(commitRel))
     }
     throw new IllegalStateException(
       s"rebucket lost the commit race $maxAttempts times — run it in a quieter window")

@@ -136,8 +136,13 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val pairDf = pairs.toDF("lang_a", "lang_b")
-    val expanded = hv.join(broadcast(pairDf),
-        col("lang0") === col("lang_a") || col("lang0") === col("lang_b"))
+    // two broadcast EQUI-joins (unioned) rather than one OR-predicate
+    // join: the OR condition has no equi keys, so Spark would plan a
+    // BroadcastNestedLoopJoin — every row scanning all L(L-1)/2 pairs.
+    // The union keeps the exact same row multiset with hash-join plans
+    // (each row hash-probes its lang once per side).
+    val expanded = hv.join(broadcast(pairDf), col("lang0") === col("lang_a"))
+      .unionByName(hv.join(broadcast(pairDf), col("lang0") === col("lang_b")))
     val perHash = expanded.groupBy(col("lang_a"), col("lang_b"), col("__hv"))
       .agg(countDistinct(col("lang0")).as("__nl"))
     perHash.groupBy(col("lang_a"), col("lang_b"))

@@ -699,6 +699,12 @@ object CdcJob {
       outRecs.write.mode("overwrite").parquet(f"$dir/batch-$batchId%08d")
       TxAssembler.transactionMetadataAll(input, returnEmptyTransactions)
         .write.mode("overwrite").parquet(f"$dir/tx-batch-$batchId%08d")
+      // record the batch's exact max position in the dump manifest so a
+      // wire CONSUMER's restart alignment reads O(1) metadata per group
+      if (anyWire)
+        WireSource.recordEmittedGroup(table.spark, dir, f"batch-$batchId%08d",
+          MergeApply.asNullable(table.current.schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
     }
     MergeApply.applyBatch(table, events, batchId, inlineCompact = inlineCompact)
   }
@@ -807,23 +813,34 @@ object CdcJob {
       else {
         val sm = table.current.summary
         val resume = math.max(sm.watermarkCommit, sm.floorCommit)
-        val maxPerFile: Map[String, Long] = spark.read
-          .schema(LogRecord.schema).parquet(files: _*)
-          .select(input_file_name().as("f"), col("lsn"))
-          .groupBy(col("f")).agg(max(col("lsn")).as("m"))
-          .collect()
-          .map { r =>
-            // input_file_name yields a URI (file:///...); key by plain path
-            val raw = r.getString(0)
-            val p =
-              if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
-            p -> r.getLong(1)
-          }.toMap
+        // the producer-side manifest serves each segment's max LSN as
+        // O(1) metadata; only FOREIGN segments (no entry) pay the
+        // column-pruned content scan, restricted to exactly those files
+        def norm(p: String): String =
+          java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+        val fromManifest = LsnManifest.readNative(cfg.logDir)
+        val unknown = files.filterNot(f => fromManifest.contains(norm(f)))
+        val scanned: Map[String, Long] =
+          if (unknown.isEmpty) Map.empty
+          else spark.read
+            .schema(LogRecord.schema).parquet(unknown: _*)
+            .select(input_file_name().as("f"), col("lsn"))
+            .groupBy(col("f")).agg(max(col("lsn")).as("m"))
+            .collect()
+            .map { r =>
+              // input_file_name yields a URI (file:///...); key by plain path
+              val raw = r.getString(0)
+              val p =
+                if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+              p -> r.getLong(1)
+            }.toMap
         // the watermark advances over EVERY closed transaction (position
         // markers), so an applied commit-aligned segment always has
         // maxLsn <= resume; unknown files replay (idempotent)
+        def maxOf(f: String): Long = fromManifest.getOrElse(norm(f),
+          scanned.getOrElse(f, Long.MaxValue))
         def needsApply(chunk: Seq[String]): Boolean =
-          chunk.exists(f => maxPerFile.getOrElse(f, Long.MaxValue) > resume)
+          chunk.exists(f => maxOf(f) > resume)
         chunks.filter(needsApply)
       }
     val daemon =

@@ -149,9 +149,8 @@ object Funnel {
     * funnel (RocksDB) → append sink; returns the verdicts.
     */
   def run(spark: SparkSession, stagedDir: String, workDir: String,
-      doneTtl: TTLConfig = TTLConfig.NONE): DataFrame = {
+      doneTtl: TTLConfig = TTLConfig.NONE): DataFrame = StateStores.withRocksDb(spark) {
     WindowedAgg.quiesceMaintenance(spark)
-    StateStores.useRocksDb(spark)
     def start(liveDir: String) = {
       import spark.implicits._
       val src = spark.readStream.schema(stagedSchema).parquet(liveDir)

@@ -58,17 +58,30 @@ object LogRetention {
     val bound =
       if (openRow.isNullAt(0)) beforeLsn
       else math.min(beforeLsn, openRow.getLong(0))
-    val maxPerFile = log
-      .groupBy(input_file_name().as("f"))
-      .agg(max(col("lsn")).as("maxLsn"))
-      .collect()
+    // per-segment maxes come from the writer-side manifest when present;
+    // only foreign segments pay the content aggregation
+    def norm(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+    val manifest = LsnManifest.readNative(logDir)
+    val unknown = files.filterNot(f => manifest.contains(norm(f)))
+    val scanned: Map[String, Long] =
+      if (unknown.isEmpty) Map.empty
+      else spark.read.parquet(unknown: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(max(col("lsn")).as("maxLsn"))
+        .collect()
+        .map { r =>
+          // input_file_name yields a URI; strip the scheme for local paths
+          val raw = r.getString(0)
+          val p = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
+          norm(p) -> r.getLong(1)
+        }.toMap
+    val maxPerFile = manifest ++ scanned
     var deleted = 0
-    maxPerFile.foreach { r =>
-      if (r.getLong(1) < bound) {
-        // input_file_name yields a URI; strip the scheme for local paths
-        val raw = r.getString(0)
-        val path = if (raw.startsWith("file:")) raw.stripPrefix("file:") else raw
-        if (Files.deleteIfExists(Paths.get(path))) deleted += 1
+    files.foreach { f =>
+      val key = norm(f)
+      if (maxPerFile.get(key).exists(_ < bound)) {
+        if (Files.deleteIfExists(Paths.get(key))) deleted += 1
+        LsnManifest.drop(logDir, key)
       }
     }
     val floor = math.max(bound, minRetainedLsn(logDir))

@@ -175,9 +175,8 @@ object SessionProfile {
   }
 
   /** The REAL streaming pipeline over a staged dir (parquet sink). */
-  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, stagedDir: String, workDir: String): DataFrame = StateStores.withRocksDb(spark) {
     WindowedAgg.quiesceMaintenance(spark)
-    StateStores.useRocksDb(spark)
     def start(liveDir: String) = profiles(spark, liveDir)
       .writeStream.format("parquet")
       .option("path", s"$workDir/sink")
@@ -207,9 +206,8 @@ object SessionProfile {
     * engine table (a downstream Ivm could stack on it).
     */
   def runToStore(spark: SparkSession, stagedDir: String, workDir: String,
-      numBuckets: Int = 4): graft.icelite.IceLiteTable = {
+      numBuckets: Int = 4): graft.icelite.IceLiteTable = StateStores.withRocksDb(spark) {
     WindowedAgg.quiesceMaintenance(spark)
-    StateStores.useRocksDb(spark)
     val table = graft.icelite.IceLite.create(spark, s"$workDir/store",
       MergeApply.asNullable(storeSchema).asInstanceOf[StructType],
       "k", numBuckets)

@@ -34,15 +34,30 @@ object StateInspect {
     * [[StatefulAssembly]] (flatMapGroupsWithState) checkpoint. The
     * value schema is the engine's own `TxBuffer` encoder under the
     * reader's `value.groupState` wrapper.
+    *
+    * Reads the checkpoint's STORED schema, so it also understands
+    * checkpoints written by a pre-`quarantined` binary (the engine's
+    * own state-schema evolution): the missing flag defaults to false.
+    * That makes this export + [[TwsAssembly.streamMigrated]] /
+    * [[StatefulAssembly.streamMigratedBack]] the zero-replay UPGRADE
+    * path for the engine's own state-schema changes — Spark refuses to
+    * resume a stateful query whose state schema changed, but the
+    * exported pending set seeds a fresh-checkpoint query that continues
+    * exactly-once (MigrationSpec pins it end to end).
     */
   def pendingFmgws(spark: SparkSession, checkpointDir: String): Dataset[PendingTx] = {
     import spark.implicits._
-    spark.read.format("statestore").load(checkpointDir)
-      .select(
-        col("key.value").as("tx_id"),
-        coalesce(col("value.groupState.records"),
-          typedLit(Seq.empty[LogRecord])).as("records"),
-        col("value.groupState.quarantined").as("quarantined"))
+    val raw = spark.read.format("statestore").load(checkpointDir)
+    val hasQuarantined = raw.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("groupState").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("quarantined")
+    raw.select(
+      col("key.value").as("tx_id"),
+      coalesce(col("value.groupState.records"),
+        typedLit(Seq.empty[LogRecord])).as("records"),
+      (if (hasQuarantined) col("value.groupState.quarantined")
+       else lit(false)).as("quarantined"))
       .as[PendingTx]
   }
 
@@ -71,13 +86,16 @@ object StateInspect {
 
   /** Summary view for operators: one row per pending tx — id, buffered
     * record count, LSN span, quarantine flag. Columns are flat scalars
-    * so the result is directly oracle-checkable.
+    * so the result is directly oracle-checkable; a quarantined tx whose
+    * exported buffer is empty (the fMGWS/TWS poison-marker shape) gets
+    * the -1 sentinel instead of a null span, keeping the documented
+    * non-null contract.
     */
   def pendingSummary(pending: Dataset[PendingTx]): DataFrame =
     pending.toDF()
       .select(col("tx_id"),
         size(col("records")).cast("long").as("n_buffered"),
-        array_min(col("records.lsn")).as("min_lsn"),
-        array_max(col("records.lsn")).as("max_lsn"),
+        coalesce(array_min(col("records.lsn")), lit(-1L)).as("min_lsn"),
+        coalesce(array_max(col("records.lsn")), lit(-1L)).as("max_lsn"),
         col("quarantined"))
 }

@@ -30,8 +30,25 @@ object StateStores {
     * the session for chaining.
     */
   def useRocksDb(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      RocksDbProvider)
+    spark.conf.set(ProviderKey, RocksDbProvider)
     spark
+  }
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Runs `body` with this session's provider set to RocksDB, then
+    * restores whatever was configured before. Self-contained drains
+    * (Funnel, SessionProfile) use this so a shared session's provider
+    * does not depend on which pipeline ran last — the provider conf is
+    * read at query start, so restoring after the drain is safe.
+    */
+  def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val prior = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDbProvider)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
   }
 }

@@ -290,12 +290,27 @@ object TwsAssembly {
   private[stream] def migratedBatchIdBase(table: IceLiteTable, cfg: CdcConfig): Long = {
     val dir = java.nio.file.Paths.get(cfg.checkpointDir)
     val f = dir.resolve("graft-batchid-base")
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim.toLong
-    else {
+    if (java.nio.file.Files.exists(f)) {
+      // A torn pin would shift the batch-id channel BELOW the sink's
+      // high-water mark and silently swallow real micro-batches — so the
+      // write below is temp+ATOMIC_MOVE (a half-written file can never be
+      // observed), and an unparseable/non-positive pin fails fast here
+      // rather than being trusted.
+      val raw = java.nio.file.Files.readString(f).trim
+      val base = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt graft-batchid-base '$raw' at $f; delete the pin file " +
+            "only if the migrated checkpoint is also discarded")
+      }
+      require(base > 0, s"corrupt graft-batchid-base $base at $f")
+      base
+    } else {
       val base = table.refresh().summary.lastBatchId + 1L
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(f, base.toString)
+      val tmp = java.nio.file.Files.createTempFile(dir, "graft-batchid-base", ".tmp")
+      java.nio.file.Files.writeString(tmp, base.toString)
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       base
     }
   }

@@ -153,8 +153,9 @@ object UnionWm {
         java.nio.file.Files.copy(p,
           java.nio.file.Paths.get(live, p.getFileName.toString))
       }
-      start(liveA, liveB).awaitTermination()
-      WindowedAgg.releaseStateStores()
+      val q = start(liveA, liveB)
+      q.awaitTermination()
+      WindowedAgg.releaseStateStores(q.runId)
     }
     spark.read.parquet(s"$workDir/sink")
       .where(col("w_start") < SentinelMs1) // sentinel window never emits

@@ -111,9 +111,11 @@ object WindowedAgg {
     * snapshot can race the new instance's write on the same checkpoint
     * file (observed: FileNotFoundException renaming a `.snapshot.crc`
     * tmp at sf0.001 under the chained join→agg, killing the query).
-    * [[releaseStateStores]] between restarts closes every provider
-    * synchronously: each run starts with exactly one instance per store
-    * — no leak, no race, snapshots stay on their default cadence.
+    * [[releaseStateStores]] between restarts closes the stopped run's
+    * providers synchronously (scoped by queryRunId, so a concurrent
+    * harness query in the same JVM is untouched): each run starts with
+    * exactly one instance per store — no leak, no race, snapshots stay
+    * on their default cadence.
     * GRAFT_SS_MAINTENANCE_INTERVAL optionally overrides the session's
     * maintenance interval for diagnostics.
     */
@@ -121,8 +123,8 @@ object WindowedAgg {
     sys.env.get("GRAFT_SS_MAINTENANCE_INTERVAL").foreach(v =>
       spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", v))
 
-  private[stream] def releaseStateStores(): Unit =
-    org.apache.spark.sql.graft.SparkInternals.unloadStateStores()
+  private[stream] def releaseStateStores(runId: java.util.UUID): Unit =
+    org.apache.spark.sql.graft.SparkInternals.unloadStateStoresForRun(runId)
 
   /** One-file-per-micro-batch driver: reveals staged file i into the
     * live source dir, then drains an AvailableNow query over the SHARED
@@ -143,8 +145,9 @@ object WindowedAgg {
       val p = java.nio.file.Paths.get(f)
       java.nio.file.Files.copy(p,
         java.nio.file.Paths.get(liveDir, p.getFileName.toString))
-      start(liveDir).awaitTermination()
-      releaseStateStores()
+      val q = start(liveDir)
+      q.awaitTermination()
+      releaseStateStores(q.runId)
     }
   }
 

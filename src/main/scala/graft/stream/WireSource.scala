@@ -79,6 +79,17 @@ object WireSource {
     spark.read.parquet(files.head).schema.fields
       .find(_.name == "value").exists(_.dataType == BinaryType)
 
+  /** Format of a dump root: the manifest marker when the producer was
+    * this engine's emit sink (no data file touched), a one-file footer
+    * probe for foreign dumps. */
+  private def dumpFormatIsBinary(spark: SparkSession, root: String,
+      files: Seq[String]): Boolean =
+    LsnManifest.readFormat(root) match {
+      case Some("binary") => true
+      case Some("json")   => false
+      case _              => dumpIsBinary(spark, files)
+    }
+
   /** Position-only value schema: enough of the envelope to read the
     * source coordinates without committing to a payload schema. */
   private val posSchema: StructType = StructType(Seq(
@@ -222,8 +233,7 @@ object WireSource {
     * schema-free partial read). Files with no parseable positions
     * (garbage-only, metadata dumps) are absent. */
   private def positionScan(spark: SparkSession, files: Seq[String],
-      payload: StructType): Map[String, (Long, Long)] = {
-    val isBin = dumpIsBinary(spark, files)
+      payload: StructType, isBin: Boolean): Map[String, (Long, Long)] = {
     val raw = spark.read
       .schema(if (isBin) wireBinSchema else wireSchema).parquet(files: _*)
     val env =
@@ -245,6 +255,28 @@ object WireSource {
         val m = r.getStruct(1)
         p -> (m.getLong(0), m.getLong(1))
       }.toMap
+  }
+
+  /** Writer-side manifest hook for the emit sink: scan ONLY the
+    * just-written producer batch dir (O(batch), at write time) for its
+    * exact max position and record it in the dump's manifest — the
+    * entry every later consumer restart reads instead of re-parsing the
+    * whole dump ([[appliedPredicate]]). Exactness matters: the entry
+    * must equal what a resume content scan would compute, so external
+    * dump retention that GCs by content agrees with the manifest.
+    */
+  private[stream] def recordEmittedGroup(spark: SparkSession,
+      dumpRoot: String, groupName: String, payload: StructType): Unit = {
+    val files = Fs.listParquet(s"$dumpRoot/$groupName")
+    if (files.nonEmpty) {
+      val isBin = dumpIsBinary(spark, files)
+      LsnManifest.recordFormat(dumpRoot, if (isBin) "binary" else "json")
+      val maxes = positionScan(spark, files, payload, isBin).values
+      if (maxes.nonEmpty) {
+        val m = maxes.max
+        LsnManifest.recordWire(dumpRoot, groupName, m._1, m._2)
+      }
+    }
   }
 
   private val BatchDirName = "^batch-(\\d+)$".r
@@ -290,22 +322,35 @@ object WireSource {
     * sink's resume point, or None when the sink has no applied batches
     * (fresh consumer — everything needs apply, nothing to validate). */
   private def appliedPredicate(spark: SparkSession, table: IceLiteTable,
-      files: Seq[String]): Option[Group => Boolean] = {
+      root: String, groups: Seq[Group]): Option[Group => Boolean] = {
     val from = table.refresh().summary.lastBatchId + 1
-    if (from <= 0 || files.isEmpty) None
+    if (from <= 0 || groups.isEmpty) None
     else {
       val sm = table.current.summary
       val (rc, rl) =
         if (sm.watermarkCommit >= sm.floorCommit)
           (sm.watermarkCommit, sm.watermarkChange)
         else (sm.floorCommit, Long.MaxValue)
-      val maxPerFile = positionScan(spark, files,
-        MergeApply.asNullable(table.current.schema).asInstanceOf[StructType])
+      // the emit sink records each producer batch's max position in the
+      // dump's manifest at write time; only FOREIGN groups (no entry)
+      // pay the position-only parse, restricted to their own files
+      val manifest = LsnManifest.readWire(root)
+      val unknownFiles = groups.filterNot(g => manifest.contains(g.name))
+        .flatMap(_.files)
+      val maxPerFile =
+        if (unknownFiles.isEmpty) Map.empty[String, (Long, Long)]
+        else positionScan(spark, unknownFiles,
+          MergeApply.asNullable(table.current.schema).asInstanceOf[StructType],
+          dumpFormatIsBinary(spark, root, unknownFiles))
       def beyond(pos: (Long, Long)): Boolean =
         pos._1 > rc || (pos._1 == rc && pos._2 > rl)
       Some { g =>
-        val known = g.files.flatMap(maxPerFile.get)
-        known.nonEmpty && !beyond(known.max)
+        manifest.get(g.name) match {
+          case Some(pos) => !beyond(pos)
+          case None =>
+            val known = g.files.flatMap(maxPerFile.get)
+            known.nonEmpty && !beyond(known.max)
+        }
       }
     }
   }
@@ -339,8 +384,9 @@ object WireSource {
   def validateDumpContinuity(spark: SparkSession, table: IceLiteTable,
       cfg: CdcConfig): Unit = {
     val (root, files) = listDump(cfg.logDir)
-    appliedPredicate(spark, table, files).foreach { applied =>
-      continuityGuard(groupsOf(root, files), applied)
+    val groups = groupsOf(root, files)
+    appliedPredicate(spark, table, root, groups).foreach { applied =>
+      continuityGuard(groups, applied)
     }
   }
 
@@ -371,11 +417,12 @@ object WireSource {
   ): Seq[MergeApply.MergeStats] = {
     val (root, files) = listDump(cfg.logDir)
     val readSchema =
-      if (files.nonEmpty && dumpIsBinary(spark, files)) wireBinSchema else wireSchema
+      if (files.nonEmpty && dumpFormatIsBinary(spark, root, files)) wireBinSchema
+      else wireSchema
     val groups = groupsOf(root, files)
     val chunks: Seq[Seq[Group]] = groups.grouped(filesPerBatch).toSeq
     val from = table.refresh().summary.lastBatchId + 1
-    val todo: Seq[Seq[Group]] = appliedPredicate(spark, table, files) match {
+    val todo: Seq[Seq[Group]] = appliedPredicate(spark, table, root, groups) match {
       case None => chunks
       case Some(applied) =>
         continuityGuard(groups, applied)

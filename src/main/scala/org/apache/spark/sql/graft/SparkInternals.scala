@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.execution.streaming.state.StateStore
+import org.apache.spark.sql.execution.streaming.state.{StateStore, StateStoreProviderId}
 
 /** Access shim for `private[sql]` Spark internals (the package placement
   * is the standard technique OSS Spark libraries use for exactly this).
@@ -16,13 +16,40 @@ import org.apache.spark.sql.execution.streaming.state.StateStore
   * hundreds of restarts, and a race where the stale instance's
   * maintenance snapshot and the new instance's write target the same
   * checkpoint file (observed: FileNotFoundException renaming a
-  * `.snapshot.crc` tmp, killing the query). Synchronously unloading all
+  * `.snapshot.crc` tmp, killing the query). Unloading the stopped run's
   * providers between restarts removes both: every run starts with
   * exactly one instance per store, and maintenance only ever sees live
   * instances. Production jobs restart on failure cadence, not every few
   * seconds, and should NOT call this.
   */
 object SparkInternals {
-  /** Close and deregister every loaded state store provider in this JVM. */
+
+  private lazy val loadedProvidersMap = {
+    // The registry map is fully private to the StateStore object (no
+    // private[sql] accessor), so enumeration goes through reflection;
+    // the synchronization discipline below mirrors StateStore's own
+    // (`loadedProviders.synchronized`).
+    val m = StateStore.getClass.getDeclaredMethod("loadedProviders")
+    m.setAccessible(true)
+    m.invoke(StateStore)
+      .asInstanceOf[scala.collection.mutable.HashMap[StateStoreProviderId, AnyRef]]
+  }
+
+  /** Close and deregister every loaded provider belonging to `runId` —
+    * the just-stopped streaming query's run, from
+    * `StreamingQuery.runId` — leaving any concurrently running query's
+    * providers (parallel tests, a bench alongside) untouched. This is
+    * the scoped form of [[unloadStateStores]].
+    */
+  def unloadStateStoresForRun(runId: java.util.UUID): Unit = {
+    val map = loadedProvidersMap
+    val ids = map.synchronized { map.keys.filter(_.queryRunId == runId).toList }
+    ids.foreach(id => StateStore.removeFromLoadedProvidersAndClose(id))
+  }
+
+  /** Close and deregister every loaded state store provider in this JVM.
+    * JVM-global — yanks state from any concurrently running streaming
+    * query too; prefer [[unloadStateStoresForRun]].
+    */
   def unloadStateStores(): Unit = StateStore.unloadAll()
 }

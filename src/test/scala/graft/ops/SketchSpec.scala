@@ -102,6 +102,23 @@ class SketchSpec extends SparkSpec {
     assert(again.getLong(4) == r.getLong(4) && again.getLong(5) == r.getLong(5))
   }
 
+  test("overlap profile plan: pair expansion is hash-join shaped, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 5 strata so the pair table has 10 rows — enough to make a
+      // nested-loop expansion visible in the plan if it regressed
+      val df = docs(500, strata = 5, seed = 11)
+      val plan = Sketches.overlapProfile(df).queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        "pair expansion regressed to a BroadcastNestedLoopJoin — every row " +
+          "would scan all L(L-1)/2 pairs at scale")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "expected broadcast hash joins for the pair expansion")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("kway profile: exact under k; union-sample scaling tracks a known 3-way sharing layout") {
     // small case (union < k=64): everything exact, est == n_exact
     val small =

@@ -369,4 +369,31 @@ class RobustnessSpec extends SparkSpec {
     assertEqual(cdc.tableRoot, oracle(cfg))
     Fs.deleteRecursively(base)
   }
+
+  test("restart alignment reads the max-LSN manifest, not applied segment data") {
+    val cfg = ChangeLogConfig(nTx = 120, nDocs = 80, seed = 83)
+    val base = Fs.tempDir("graft-manifest")
+    val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt", numBuckets = 8)
+    ChangeLogGen.writeLog(spark, cfg, cdc.logDir, 6)
+    val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
+      cdc, ChangeLogGen.snapshotLsn)
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1, stopAfterBatches = 3)
+    val sm = table.refresh().summary
+    val resume = math.max(sm.watermarkCommit, sm.floorCommit)
+    val manifest = LsnManifest.readNative(cdc.logDir)
+    val files = Fs.listParquet(cdc.logDir).sorted
+    assert(files.forall(f => manifest.contains(
+      java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString)),
+      "writeLog must record a manifest entry per segment")
+    val applied = files.filter(f => manifest(
+      java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString) <= resume)
+    assert(applied.nonEmpty && applied.size < files.size)
+    // if resume alignment (or apply) opened an applied segment's DATA,
+    // the parquet read would fail loudly on this garbage
+    applied.foreach(f => java.nio.file.Files.write(
+      java.nio.file.Paths.get(f), "not parquet".getBytes))
+    CdcJob.runBatchIncremental(spark, table, cdc, filesPerBatch = 1)
+    assertEqual(cdc.tableRoot, oracle(cfg))
+    Fs.deleteRecursively(base)
+  }
 }

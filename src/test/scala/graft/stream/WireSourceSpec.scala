@@ -254,4 +254,30 @@ class WireSourceSpec extends SparkSpec {
     assert(t.read().where(col("doc_id") === "w3").count() == 1)
     Fs.deleteRecursively(base)
   }
+
+  test("wire resume alignment reads the dump manifest, not applied group data") {
+    val cfg = CLC(nTx = 120, nDocs = 70, seed = 93)
+    val base = Fs.tempDir("graft-wsrc-manifest")
+    val producer = produceWire(base, cfg)
+    val cdc = consumerCfg(base, cfg)
+    val t = freshConsumer(base, cfg, cdc)
+    val first = WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1,
+      stopAfterBatches = 2)
+    assert(first.size == 2)
+    // the emit sink recorded per-group positions + the dump format at
+    // write time; corrupt the APPLIED groups' data — a resume that
+    // parses them (position scan or format probe) would fail loudly
+    val manifest = LsnManifest.readWire(s"$base/emit")
+    val applied = manifest.filter { case (_, (c, _)) =>
+      c <= t.refresh().summary.watermarkCommit }.keys.toSeq
+    assert(applied.nonEmpty, "expected applied manifest groups")
+    applied.foreach { g =>
+      Fs.listParquet(s"$base/emit/$g").foreach(f =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          "not parquet".getBytes))
+    }
+    WireSource.runIncremental(spark, t, cdc, filesPerBatch = 1)
+    assert(state(t) == producer)
+    Fs.deleteRecursively(base)
+  }
 }
