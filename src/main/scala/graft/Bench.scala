@@ -72,7 +72,8 @@ object Bench {
     "cdc_engine_replay_tws", "cdc_retention_abandon", "cdc_migrate_state",
     "cdc_ivm_join", "text_substr_dedup", "stream_funnel", "cdc_rebucket",
     "cdc_ivm_cascade", "stream_session_profile", "stream_profile_store",
-    "cdc_migrate_back")
+    "cdc_migrate_back", "cdc_e9_batching", "cdc_scd2_ivm", "stream_funnel3",
+    "stream_funnel_store", "dedup_lsh_stress", "stream_neardup_stress")
 
   /** One timed CDC apply run at the given parallelism. A full warm-up
     * pass (separate sink table, same log) brings JIT/codegen/buffers to
@@ -89,7 +90,7 @@ object Bench {
     * same reason.
     */
   private def onePass(cpus: Int, tag: String, logDir: String, cfg: ChangeLogConfig,
-      base: String): Seq[(Long, Double)] = {
+      base: String, limitFiles: Int = Int.MaxValue): Seq[(Long, Double)] = {
     import graft.model.LogRecord
     val spark = session(cpus)
     val filesPerBatch = sys.env.getOrElse("SPARK_GRAFT_BENCH_FPB", "64").toInt
@@ -101,7 +102,8 @@ object Bench {
     // run on the maintenance daemon, overlapping ingest, instead of
     // spiking the batch that trips maxDeltaChain
     val async = sys.env.getOrElse("SPARK_GRAFT_BENCH_ASYNC", "true").toBoolean
-    val chunks = Fs.listParquet(logDir).sorted.grouped(filesPerBatch).toSeq
+    val chunks = Fs.listParquet(logDir).sorted.take(limitFiles)
+      .grouped(filesPerBatch).toSeq
     val cdc = CdcConfig(logDir, s"$base/table-c$cpus-$tag", s"$base/ckpt-c$cpus-$tag",
       numBuckets = 64, maxFilesPerTrigger = 1, broadcastAssembly = bcast,
       asyncCompaction = async)
@@ -154,8 +156,13 @@ object Bench {
       : (Seq[Seq[(Long, Double)]], Seq[Seq[(Long, Double)]]) = {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
-    onePass(lowCpus, "warm", logDir, cfg, base)
-    onePass(hiCpus, "warm", logDir, cfg, base)
+    // large-log scale runs warm on a file prefix: JIT/codegen/buffer
+    // warmth is batch-count-, not event-count-, driven, and a full warm
+    // pass at 10x scale would double a multi-hour protocol
+    val warmFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMFILES",
+      Int.MaxValue.toString).toInt
+    onePass(lowCpus, "warm", logDir, cfg, base, warmFiles)
+    onePass(hiCpus, "warm", logDir, cfg, base, warmFiles)
     val lo = Seq.newBuilder[Seq[(Long, Double)]]
     val hi = Seq.newBuilder[Seq[(Long, Double)]]
     var i = 0
@@ -272,8 +279,10 @@ object Bench {
     }
     val cdc2Json = pair2.map { case (lo2, hi2) =>
       val passes2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES2", "2").toInt
-      onePass(lo2, "warm2", logDir, cfg, base)
-      onePass(hi2, "warm2", logDir, cfg, base)
+      val warmFiles2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMFILES",
+        Int.MaxValue.toString).toInt
+      onePass(lo2, "warm2", logDir, cfg, base, warmFiles2)
+      onePass(hi2, "warm2", logDir, cfg, base, warmFiles2)
       var p2lo = (1 to passes2).map(i => onePass(lo2, s"m2lo$i", logDir, cfg, base))
       var p2hi = (1 to passes2).map(i => onePass(hi2, s"m2hi$i", logDir, cfg, base))
       // same capping insurance as the primary pair: >1.6x batch

@@ -178,6 +178,40 @@ object SparkEntry {
       |       ELSE 'kept' END AS verdict
       |  FROM fp JOIN v ON v.doc_id = fp.doc_id LEFT JOIN canon c ON c.f = fp.f)""".stripMargin
 
+  /** The degenerate dedup corpus, identical in Spark and in the oracle's
+    * `documents`-shadowing CTE ([[DegenerateCorpusSql]]): 10,000 copies
+    * of boilerplate one (ids 0..9999), 600 copies of boilerplate two
+    * (ids 20000..20599), 50 unique docs (ids 30000..30049).
+    */
+  private val DegenBoiler1 =
+    "the quick brown fox jumps over the lazy dog again and again"
+  private val DegenBoiler2 =
+    "all work and no play makes jack a dull boy every single day"
+
+  private def degenerateCorpus(spark: SparkSession): DataFrame = {
+    val b1 = spark.range(0L, 10000L)
+      .select(col("id").as("doc_id"), lit(DegenBoiler1).as("text"))
+    val b2 = spark.range(20000L, 20600L)
+      .select(col("id").as("doc_id"), lit(DegenBoiler2).as("text"))
+    val uq = spark.range(30000L, 30050L)
+      .select(col("id").as("doc_id"),
+        concat(lit("unique words u"), col("id").cast("string"),
+          lit(" v"), col("id").cast("string"),
+          lit(" w"), col("id").cast("string"),
+          lit(" x"), col("id").cast("string")).as("text"))
+    b1.unionByName(b2).unionByName(uq)
+  }
+
+  private def DegenerateCorpusSql: String =
+    s"""documents AS (
+      |  SELECT i AS doc_id, '$DegenBoiler1' AS text FROM range(0, 10000) t(i)
+      |  UNION ALL
+      |  SELECT i, '$DegenBoiler2' FROM range(20000, 20600) t(i)
+      |  UNION ALL
+      |  SELECT i, concat('unique words u', CAST(i AS VARCHAR), ' v', CAST(i AS VARCHAR),
+      |                   ' w', CAST(i AS VARCHAR), ' x', CAST(i AS VARCHAR))
+      |  FROM range(30000, 30050) t(i))""".stripMargin
+
   // ---- generated SQL fragments that mirror graft.ops constants ----
 
   /** DF-capped distinct word-trigram shingles (mirrors
@@ -484,6 +518,10 @@ object SparkEntry {
           col("valid_from_change"), col("n_tok"), col("tok_fp"))
         .orderBy(col("doc_id"))
     }),
+    // IVM STACKED ON SCD2: per-doc interval statistics (closed count,
+    // summed LSN span, summed closed n_tok) maintained from the history
+    // table's own change feed == the aggregate over the interval chain
+    "cdc_scd2_ivm" -> ((s, d) => scd2All(s)._2),
     // join-view maintenance: a fact x dim enrichment view maintained
     // differentially from TWO engine change feeds (one exactly-once
     // checkpoint across three tables) == the joined replays
@@ -685,6 +723,32 @@ object SparkEntry {
       NearDupIndex.probe(idx, docs.where(col("doc_id") % 2 === 1))
         .orderBy(col("doc_id"))
     }),
+    // the DEGENERATE corpus through the streaming index: the 10k clone
+    // hits the even frame's DF cap and rides the no-shingle FALLBACK
+    // (one pseudo-shingle -> identical signatures -> one bucket per
+    // band, capped at 256 members), the 600-clone keeps its shingles
+    // but still saturates one bucket; every odd probe must flag to the
+    // LOWEST even owner with all 128 components matching — per-probe
+    // work stays bounded by cap x bands at any clone count
+    "stream_neardup_stress" -> ((s, d) => {
+      val docs = degenerateCorpus(s)
+      val root = s"${sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))}" +
+        s"/graft-ndstress-${ProcessHandle.current.pid}"
+      graft.util.Fs.deleteRecursively(root)
+      val idx = NearDupIndex.create(s, s"$root/idx",
+        docs.where(col("doc_id") % 2 === 0), numBuckets = 16)
+      NearDupIndex.probe(idx, docs.where(col("doc_id") % 2 === 1))
+        .select(
+          when(col("doc_id") < 10000L, lit("b1"))
+            .when(col("doc_id") < 30000L, lit("b2"))
+            .otherwise(lit("other")).as("cls"),
+          col("dup_of"), col("matches"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_flagged"),
+          min(col("dup_of")).as("lo_owner"), max(col("dup_of")).as("hi_owner"),
+          sum(col("matches")).cast("long").as("sum_matches"))
+        .orderBy(col("cls"))
+    }),
     // STREAMING curation: the funnel's gates run per micro-batch with
     // cross-batch state — quality (per-row), incremental exact dedup
     // against a DedupIndex that GROWS batch to batch (first owner =
@@ -736,6 +800,18 @@ object SparkEntry {
     // the oracle's min-qualifying-B == the engine's first-in-order B
     "stream_funnel" -> ((s, d) =>
       graft.stream.Funnel.overEvents(s, t(s, d, "events"))),
+    // N-STEP funnel generalization (3 steps here): state stays O(1) per
+    // user (armed time, last-match time, pattern index, done marker);
+    // greedy stepwise matching in event-time order == the oracle's
+    // nested min-qualifying chain at the tie-free operating point
+    "stream_funnel3" -> ((s, d) =>
+      graft.stream.Funnel.overEvents3(s, t(s, d, "events"))),
+    // funnel verdicts through the FEATURE-STORE sink: each micro-batch
+    // of verdicts MERGES into an IceLite table via the engine's
+    // idempotent apply (exactly-once by checkpoint + batch-id gate);
+    // the store read back == the same funnel oracle
+    "stream_funnel_store" -> ((s, d) =>
+      graft.stream.Funnel.overEventsStore(s, t(s, d, "events"))),
     // STREAMING session profiles on transformWithState MAPSTATE:
     // per-user gap sessions accumulate per-type counts in a MapState;
     // the idle deadline is an event-time timer RESCHEDULED on every
@@ -812,6 +888,27 @@ object SparkEntry {
       Dedup.lshVerifiedPairs(t(s, d, "documents"))
         .withColumn("inter", col("inter").cast("long"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    // DEGENERATE-CORPUS STRESS: 10k byte-identical boilerplate docs +
+    // 600 copies of a second boilerplate + 50 unique docs through the
+    // verified-LSH path. Both degeneracy defenses must bind exactly:
+    // the 10k clone's shingles are DF-hot (dropped — zero pairs), the
+    // 600 clone saturates one bucket per band and the 256-cap keeps the
+    // LOWEST ids (C(256,2) pairs, max id pinned); task input stays
+    // bounded by cap x bands regardless of clone count
+    "dedup_lsh_stress" -> ((s, d) => {
+      val corpus = degenerateCorpus(s)
+      Dedup.lshVerifiedPairs(corpus)
+        .select(
+          when(col("doc_a") < 10000L, lit("b1"))
+            .when(col("doc_a") >= 20000L && col("doc_b") < 30000L, lit("b2"))
+            .otherwise(lit("other")).as("cls"),
+          col("doc_a"), col("doc_b"), col("inter"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("doc_a")).as("lo_a"), max(col("doc_b")).as("hi_b"),
+          sum(col("inter")).cast("long").as("sum_inter"))
+        .orderBy(col("cls"))
+    }),
     // transitive closure of the verified near-dup pairs: every doc keyed
     // by its duplicate CLUSTER's min id (pointer-jumped min-label
     // propagation — pairs alone under-delete on chains)
@@ -2030,7 +2127,7 @@ object SparkEntry {
       |               lead(change_lsn) OVER wk AS valid_to_change FROM s2u
       |        WINDOW wk AS (PARTITION BY key ORDER BY commit_lsn, change_lsn))""".stripMargin
 
-  @transient private var scd2IncMemo: Option[(SparkSession, DataFrame)] = None
+  @transient private var scd2IncMemo: Option[(SparkSession, DataFrame, DataFrame)] = None
 
   /** INCREMENTAL SCD2 driven end to end: the engine applies the
     * dedicated log one transaction per batch (48 commits), then
@@ -2040,11 +2137,17 @@ object SparkEntry {
     * closed ∪ open view hashes against the interval chain over the
     * per-(key, commit) stored winners — a lost close, wrong chain
     * order, or resurrected tombstone breaks it.
+    *
+    * The second output STACKS an [[graft.stream.Ivm]] aggregate on the
+    * HISTORY table's own change feed (interval statistics per doc:
+    * closed-interval count, summed commit-LSN span, summed closed-row
+    * n_tok) — materialized views composing over the SCD2 surface, each
+    * layer exactly-once from its upstream's commits.
     */
-  private def scd2IncrementalReplay(spark0: SparkSession): DataFrame =
+  private def scd2All(spark0: SparkSession): (DataFrame, DataFrame) =
     synchronized {
       scd2IncMemo match {
-        case Some((s, df)) if s eq spark0 => df
+        case Some((s, view, agg)) if s eq spark0 => (view, agg)
         case _ =>
           import graft.changelog.ChangeLogGen
           import graft.stream._
@@ -2074,11 +2177,30 @@ object SparkEntry {
               .orderBy(col("doc_id"), col("valid_from_commit"),
                 col("valid_from_change"))
             out.cache(); out.count() // materialize before temp dir cleanup
-            scd2IncMemo = Some((spark0, out))
-            out
+
+            // IVM over the history feed: bootstrap at the empty table,
+            // then maintain differentially from every appended batch of
+            // closed intervals (append-only — the retraction path stays
+            // idle by construction, the exactly-once gates do not)
+            val vd = Ivm.ViewDef("doc_id", Seq(
+              "span_sum" -> (col("valid_to_commit") - col("valid_from_commit")),
+              "tok_closed" -> col("n_tok")))
+            val (_, agg) = Ivm.maintain(spark, hist.root, vd,
+              s"$base/histRep", s"$base/histAgg", s"$base/ckptHistAgg",
+              maxVersionsPerTrigger = 8, bootstrapAtVersion = Some(1L))
+            val out2 = agg.read()
+              .select(col("doc_id"), col(Ivm.RowsCol),
+                col("span_sum"), col("tok_closed"))
+              .orderBy(col("doc_id"))
+            out2.cache(); out2.count()
+            scd2IncMemo = Some((spark0, out, out2))
+            (out, out2)
           } finally graft.util.Fs.deleteRecursively(base)
       }
     }
+
+  private def scd2IncrementalReplay(spark0: SparkSession): DataFrame =
+    scd2All(spark0)._1
 
   @transient private var rebucketMemo: Option[(SparkSession, DataFrame)] = None
 
@@ -2678,6 +2800,30 @@ object SparkEntry {
     * ONE oracle for both engine paths (parquet append sink and the
     * IceLite feature store).
     */
+  /** The 2-step funnel oracle — shared by the parquet-sink query and
+    * the feature-store round trip (one oracle, two engine paths).
+    */
+  private lazy val FunnelSql: String = {
+    import graft.stream.Funnel._
+    val hB = H("CAST(event_id AS VARCHAR) || ':fnb'")
+    val hS = H("CAST(event_id AS VARCHAR) || ':fns'")
+    val hM = H("CAST(event_id AS VARCHAR) || ':fnm'")
+    s"""WITH d AS (
+      |  SELECT CAST(user_id AS BIGINT) AS u,
+      |    CASE WHEN ($hS % 3) = 0 THEN 'A' ELSE 'B' END AS step,
+      |    ($hB % $NumBatches) * $SegmentMs
+      |      + ($hM % ${SegmentMs / 4 - 4}) * 4
+      |      + CASE WHEN ($hS % 3) = 0 THEN 1 ELSE 2 END AS m
+      |  FROM events),
+      |a AS (SELECT u, min(m) AS ta FROM d WHERE step = 'A' GROUP BY u),
+      |bq AS (SELECT d.u, min(d.m) AS tb FROM d JOIN a USING (u)
+      |       WHERE d.step = 'B' AND d.m > a.ta AND d.m <= a.ta + $WindowMs
+      |       GROUP BY d.u)
+      |SELECT a.u, a.ta, coalesce(bq.tb, -1) AS tb,
+      |  CASE WHEN bq.tb IS NULL THEN 'abandoned' ELSE 'converted' END AS verdict
+      |FROM a LEFT JOIN bq USING (u) ORDER BY u""".stripMargin
+  }
+
   private lazy val SessionProfileSql: String = {
     import graft.stream.SessionProfile._
     val hB = H("CAST(event_id AS VARCHAR) || ':spb'")
@@ -2795,6 +2941,16 @@ object SparkEntry {
         |       ${H("array_to_string(tokens, ',')")} AS tok_fp
         |FROM s2v WHERE op <> 'd'
         |ORDER BY doc_id, valid_from_commit, valid_from_change""".stripMargin,
+    // the stacked interval aggregate == GROUP BY over the chain's
+    // CLOSED intervals (non-tombstone versions with a successor)
+    "cdc_scd2_ivm" ->
+      s"""$Scd2IntervalsCte,
+        |s2closed AS (SELECT key, n_tok, commit_lsn, valid_to_commit
+        |             FROM s2v WHERE op <> 'd' AND valid_to_commit IS NOT NULL)
+        |SELECT key AS doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(valid_to_commit - commit_lsn) AS BIGINT) AS span_sum,
+        |       CAST(sum(n_tok) AS BIGINT) AS tok_closed
+        |FROM s2closed GROUP BY key ORDER BY doc_id""".stripMargin,
     // AS-OF at the pinned commit: visible iff vf <= pin < vt
     "cdc_scd2_point_in_time" ->
       s"""$Scd2IntervalsCte
@@ -3326,6 +3482,27 @@ object SparkEntry {
         |m AS (SELECT c.doc_id, c.dup_of, ($MATCH_SUM) AS matches FROM cand c JOIN sig a ON a.doc_id = c.doc_id JOIN sig d ON d.doc_id = c.dup_of),
         |q AS (SELECT doc_id, dup_of, matches, row_number() OVER (PARTITION BY doc_id ORDER BY dup_of) AS rn FROM m WHERE matches >= ${NearDupIndex.DefaultMinMatches})
         |SELECT doc_id, dup_of, CAST(matches AS BIGINT) AS matches FROM q WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same frame-dependent chain as stream_neardup, over the shadowed
+    // degenerate corpus, aggregated per clone class
+    "stream_neardup_stress" ->
+      s"""WITH $DegenerateCorpusSql,
+        |${SHINGLES_F("_e", "doc_id % 2 = 0")},
+        |${MINHASH_SIG_FB_F("_e", "doc_id % 2 = 0")},
+        |${SHINGLES_F("_o", "doc_id % 2 = 1")},
+        |${MINHASH_SIG_FB_F("_o", "doc_id % 2 = 1")},
+        |sig AS (SELECT * FROM sig_e UNION ALL SELECT * FROM sig_o),
+        |$MINHASH_BANDS,
+        |b1 AS (SELECT doc_id, band, bucket FROM b WHERE doc_id % 2 = 0),
+        |${BUCKET_CAP("idx", "b1", "doc_id")},
+        |cand AS (SELECT DISTINCT p.doc_id AS doc_id, i.doc_id AS dup_of FROM b p JOIN idx i ON p.band = i.band AND p.bucket = i.bucket WHERE p.doc_id % 2 = 1),
+        |m AS (SELECT c.doc_id, c.dup_of, ($MATCH_SUM) AS matches FROM cand c JOIN sig a ON a.doc_id = c.doc_id JOIN sig d ON d.doc_id = c.dup_of),
+        |q AS (SELECT doc_id, dup_of, matches, row_number() OVER (PARTITION BY doc_id ORDER BY dup_of) AS rn FROM m WHERE matches >= ${NearDupIndex.DefaultMinMatches})
+        |SELECT CASE WHEN doc_id < 10000 THEN 'b1'
+        |            WHEN doc_id < 30000 THEN 'b2' ELSE 'other' END AS cls,
+        |       CAST(count(*) AS BIGINT) AS n_flagged,
+        |       min(dup_of) AS lo_owner, max(dup_of) AS hi_owner,
+        |       CAST(sum(matches) AS BIGINT) AS sum_matches
+        |FROM q WHERE rn = 1 GROUP BY 1 ORDER BY cls""".stripMargin,
     "dedup_lsh_verified" ->
       s"""WITH $SHINGLES,
         |$MINHASH_SIG,
@@ -3337,6 +3514,29 @@ object SparkEntry {
         |SELECT da AS doc_a, db AS doc_b, inter, round(inter*1.0/(s1.n+s2.n-inter),4) AS jaccard
         |FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id
         |WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // the degenerate corpus through the SAME CTE chain, with the
+    // corpus CTE shadowing the documents table: the DF-hot clone
+    // contributes no shingles (and so no pairs), the 600-clone's
+    // bucket members cap at the 256 lowest ids — C(256,2) pairs, hi_b
+    // pinned at 20255; the unique tail verifies to nothing
+    "dedup_lsh_stress" ->
+      s"""WITH $DegenerateCorpusSql,
+        |$SHINGLES,
+        |$MINHASH_SIG,
+        |$MINHASH_BANDS,
+        |${BUCKET_CAP("bc", "b", "doc_id")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b FROM bc a JOIN bc b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pr AS (SELECT c.doc_a AS da, c.doc_b AS db, count(*) AS inter FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id AND sa.s = sb.s GROUP BY 1,2),
+        |vp AS (SELECT da, db, inter FROM pr JOIN sz s1 ON da = s1.doc_id JOIN sz s2 ON db = s2.doc_id
+        |       WHERE inter*1.0/(s1.n+s2.n-inter) >= 0.2)
+        |SELECT CASE WHEN da < 10000 THEN 'b1'
+        |            WHEN da >= 20000 AND db < 30000 THEN 'b2'
+        |            ELSE 'other' END AS cls,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       min(da) AS lo_a, max(db) AS hi_b,
+        |       CAST(sum(inter) AS BIGINT) AS sum_inter
+        |FROM vp GROUP BY 1 ORDER BY cls""".stripMargin,
     // same CTE chain as dedup_lsh_verified, then the exact transitive
     // hull by recursive closure (small-scale oracle for the distributed
     // pointer-jumped propagation)
@@ -3641,25 +3841,38 @@ object SparkEntry {
     // funnel: per-user min A-time; min B-time strictly inside
     // (ta, ta+window]; users with an A but no qualifying B abandon.
     // Sentinel keys are negative and never derived, so no filter exists
-    "stream_funnel" -> {
+    "stream_funnel" -> FunnelSql,
+    // the store round trip must land on the SAME verdicts: one oracle,
+    // two engine paths (parquet append sink vs IceLite merge store)
+    "stream_funnel_store" -> FunnelSql,
+    // 3-step funnel: the greedy chain in nested-min form — ta = first
+    // A; tb = first qualifying B after ta; tc = first qualifying C
+    // after tb, all within (ta, ta+window]; stage counts matches
+    "stream_funnel3" -> {
       import graft.stream.Funnel._
-      val hB = H("CAST(event_id AS VARCHAR) || ':fnb'")
-      val hS = H("CAST(event_id AS VARCHAR) || ':fns'")
-      val hM = H("CAST(event_id AS VARCHAR) || ':fnm'")
+      val hB = H("CAST(event_id AS VARCHAR) || ':f3b'")
+      val hS = H("CAST(event_id AS VARCHAR) || ':f3s'")
+      val hM = H("CAST(event_id AS VARCHAR) || ':f3m'")
       s"""WITH d AS (
         |  SELECT CAST(user_id AS BIGINT) AS u,
-        |    CASE WHEN ($hS % 3) = 0 THEN 'A' ELSE 'B' END AS step,
+        |    CASE WHEN ($hS % 3) = 0 THEN 'A'
+        |         WHEN ($hS % 3) = 1 THEN 'B' ELSE 'C' END AS step,
         |    ($hB % $NumBatches) * $SegmentMs
         |      + ($hM % ${SegmentMs / 4 - 4}) * 4
-        |      + CASE WHEN ($hS % 3) = 0 THEN 1 ELSE 2 END AS m
+        |      + ($hS % 3) + 1 AS m
         |  FROM events),
         |a AS (SELECT u, min(m) AS ta FROM d WHERE step = 'A' GROUP BY u),
         |bq AS (SELECT d.u, min(d.m) AS tb FROM d JOIN a USING (u)
         |       WHERE d.step = 'B' AND d.m > a.ta AND d.m <= a.ta + $WindowMs
+        |       GROUP BY d.u),
+        |cq AS (SELECT d.u, min(d.m) AS tc FROM d JOIN a USING (u) JOIN bq USING (u)
+        |       WHERE d.step = 'C' AND d.m > bq.tb AND d.m <= a.ta + $WindowMs
         |       GROUP BY d.u)
-        |SELECT a.u, a.ta, coalesce(bq.tb, -1) AS tb,
-        |  CASE WHEN bq.tb IS NULL THEN 'abandoned' ELSE 'converted' END AS verdict
-        |FROM a LEFT JOIN bq USING (u) ORDER BY u""".stripMargin
+        |SELECT a.u, a.ta, coalesce(cq.tc, -1) AS t_done,
+        |  CASE WHEN cq.tc IS NULL THEN 'abandoned' ELSE 'converted' END AS verdict,
+        |  CAST(1 + (CASE WHEN bq.tb IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN cq.tc IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+        |FROM a LEFT JOIN bq USING (u) LEFT JOIN cq USING (u) ORDER BY u""".stripMargin
     },
     // sessions = gaps-and-islands at the >= gap split rule; profile =
     // island counts + distinct types + argmax type (ties on the name)

@@ -185,4 +185,203 @@ object Funnel {
       out
     } finally graft.util.Fs.deleteRecursively(base)
   }
+
+  // ---------------------------------------------------------------- //
+  // N-step generalization + the feature-store sink                   //
+  // ---------------------------------------------------------------- //
+
+  /** N-STEP funnel state: the armed time, the last matched step's time,
+    * how many steps matched, and the one-verdict marker. O(1) per key
+    * regardless of pattern length — the pattern position is an index,
+    * not a buffer (only the previous step's time constrains the next).
+    */
+  final case class FunnelNSt(ta: Long, tPrev: Long, stage: Int, done: Boolean)
+  final case class FunnelNVerdict(u: Long, ta: Long, t_done: Long,
+      verdict: String, stage: Long)
+
+  /** The generalized CEP processor: `steps(0)` arms the funnel and
+    * registers the abandonment timer at `ta + WindowMs`; each event
+    * matching the NEXT expected step (strictly later than the previous
+    * match, within the armed window) advances the stage; matching the
+    * final step emits `converted` immediately; the timer firing with
+    * the pattern incomplete emits `abandoned` with the stage reached.
+    * Everything else about the 2-step contract carries over unchanged
+    * (one verdict per user, stale-timer guard, sentinel keys skipped).
+    */
+  private class NStepProcessor(steps: IndexedSeq[String],
+      doneTtl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelNVerdict] {
+    @transient private var st: ValueState[FunnelNSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelNSt]("funnel_n",
+        Encoders.product[FunnelNSt], doneTtl)
+
+    override def handleInputRows(u: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelNVerdict] = {
+      if (u < 0L) return Iterator.empty // watermark sentinels
+      val sorted = rows.toSeq.sortBy(_.m)
+      var out = List.empty[FunnelNVerdict]
+      sorted.foreach { ev =>
+        val cur = if (st.exists()) Some(st.get()) else None
+        cur match {
+          case None =>
+            if (ev.step == steps(0)) {
+              st.update(FunnelNSt(ev.m, ev.m, 1, done = false))
+              getHandle.registerTimer(ev.m + WindowMs)
+            }
+          case Some(s) if !s.done =>
+            if (ev.step == steps(s.stage) && ev.m > s.tPrev &&
+                ev.m <= s.ta + WindowMs) {
+              if (s.stage + 1 == steps.size) {
+                out ::= FunnelNVerdict(u, s.ta, ev.m, "converted", steps.size.toLong)
+                st.update(FunnelNSt(s.ta, ev.m, steps.size, done = true))
+                getHandle.deleteTimer(s.ta + WindowMs)
+              } else
+                st.update(FunnelNSt(s.ta, ev.m, s.stage + 1, done = false))
+            }
+          case Some(_) => // verdict already emitted: ignore
+        }
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(u: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelNVerdict] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (s.done || expiredTimerInfo.getExpiryTimeInMs() != s.ta + WindowMs)
+        return Iterator.empty
+      st.update(FunnelNSt(s.ta, s.tPrev, s.stage, done = true))
+      Iterator.single(FunnelNVerdict(u, s.ta, -1L, "abandoned", s.stage.toLong))
+    }
+  }
+
+  /** 3-step derivation: steps A/B/C one-in-three, times with residues
+    * 1/2/3 (mod 4) so every window/ordering comparison in engine and
+    * oracle is tie-free (window ≡ 0, delay ≡ 3 as before).
+    */
+  def derive3(events: DataFrame): DataFrame = {
+    val b = pmod(h(":f3b"), lit(NumBatches.toLong))
+    val s3 = pmod(h(":f3s"), lit(3L))
+    events.select(
+      col("user_id").cast("long").as("u"),
+      b.as("b"),
+      when(s3 === 0L, lit("A")).when(s3 === 1L, lit("B"))
+        .otherwise(lit("C")).as("step"),
+      (b * SegmentMs + pmod(h(":f3m"), lit(SegmentMs / 4 - 4)) * 4L +
+        s3 + 1L).as("m"))
+  }
+
+  /** The 3-step pipeline over a staged dir (same reveal harness). */
+  def run3(spark: SparkSession, stagedDir: String, workDir: String)
+      : DataFrame = StateStores.withRocksDb(spark) {
+    WindowedAgg.quiesceMaintenance(spark)
+    def start(liveDir: String) = {
+      import spark.implicits._
+      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+        .withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"$DelayMs milliseconds")
+        .as[FunnelEvent]
+      src.groupByKey(_.u)
+        .transformWithState(new NStepProcessor(IndexedSeq("A", "B", "C")),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$workDir/sink")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    spark.read.parquet(s"$workDir/sink").orderBy(col("u"))
+  }
+
+  /** The whole 3-step pipeline over the testdata events table. */
+  def overEvents3(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-funnel3")
+    try {
+      val d = derive3(events)
+      d.cache()
+      val batches = (0 until NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("u", "step", "m"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val out = run3(spark, s"$base/staged", s"$base/work")
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
+
+  /** The verdict table's declared schema for the feature-store sink. */
+  private val storeSchema = StructType(Seq(
+    StructField("u", LongType), StructField("ta", LongType),
+    StructField("tb", LongType), StructField("verdict", StringType),
+    StructField("k", StringType)))
+
+  /** FEATURE-STORE SINK for the 2-step funnel: each micro-batch of
+    * verdicts MERGES into an IceLite table (key = user id) through the
+    * engine's idempotent apply — composing the two closed surfaces
+    * (CEP verdicts, exactly-once store) exactly as
+    * [[SessionProfile.runToStore]] does for profiles. One verdict per
+    * user makes the LWW merge trivially stable; exactly-once is by
+    * checkpoint replans + the batch-id gate + row versions.
+    */
+  def runToStore(spark: SparkSession, stagedDir: String, workDir: String,
+      numBuckets: Int = 4): graft.icelite.IceLiteTable = StateStores.withRocksDb(spark) {
+    WindowedAgg.quiesceMaintenance(spark)
+    val table = graft.icelite.IceLite.create(spark, s"$workDir/store",
+      MergeApply.asNullable(storeSchema).asInstanceOf[StructType],
+      "k", numBuckets)
+    def start(liveDir: String) = {
+      import spark.implicits._
+      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+        .withColumn("event_time", timestamp_millis(col("m")))
+        .withWatermark("event_time", s"$DelayMs milliseconds")
+        .as[FunnelEvent]
+      src.groupByKey(_.u)
+        .transformWithState(new FunnelProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val rows = df.withColumn("k", col("u").cast("string"))
+          val ev = rows.select(
+            lit("c").as("op"),
+            lit(null).cast(StructType(Seq(StructField("k", StringType))))
+              .as("before"),
+            struct(storeSchema.fieldNames.toIndexedSeq.map(col): _*)
+              .as("after"),
+            lit(batchId + 1L).as("commit_lsn"),
+            TextOps.portableHash(col("k")).as("change_lsn"))
+          MergeApply.applyBatch(table, ev, batchId)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    table
+  }
+
+  /** The whole 2-step pipeline through the FEATURE STORE: derive →
+    * stage → run with the merge sink → read the store back. Output
+    * columns match [[overEvents]] so one oracle serves both paths.
+    */
+  def overEventsStore(spark: SparkSession, events: DataFrame): DataFrame = {
+    val base = graft.util.Fs.tempDir("graft-funnelstore")
+    try {
+      val d = derive(events)
+      d.cache()
+      val batches = (0 until NumBatches).map(i =>
+        d.where(col("b") === i.toLong).select("u", "step", "m"))
+      stage(spark, batches, s"$base/staged")
+      d.unpersist()
+      val table = runToStore(spark, s"$base/staged", s"$base/work")
+      val out = table.read()
+        .select(col("u"), col("ta"), col("tb"), col("verdict"))
+        .orderBy(col("u"))
+      out.cache(); out.count() // materialize before temp dir cleanup
+      out
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
 }
