@@ -104,8 +104,14 @@ object Bench {
     val async = sys.env.getOrElse("SPARK_GRAFT_BENCH_ASYNC", "true").toBoolean
     val chunks = Fs.listParquet(logDir).sorted.take(limitFiles)
       .grouped(filesPerBatch).toSeq
+    // bucket count must SCALE with the doc space (the whole point of
+    // bucket evolution): a fixed 64 at 10x docs makes each periodic
+    // per-bucket compaction fold 10x bigger, which shows up as
+    // alternating slow batches — the under-bucketed signature the 10x
+    // scale run demonstrated. Default stays 64 (the 300k-doc layout).
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "64").toInt
     val cdc = CdcConfig(logDir, s"$base/table-c$cpus-$tag", s"$base/ckpt-c$cpus-$tag",
-      numBuckets = 64, maxFilesPerTrigger = 1, broadcastAssembly = bcast,
+      numBuckets = buckets, maxFilesPerTrigger = 1, broadcastAssembly = bcast,
       asyncCompaction = async)
     val table = CdcJob.snapshot(spark, ChangeLogGen.initialTable(spark, cfg).toDF(),
       cdc, ChangeLogGen.snapshotLsn)
@@ -113,6 +119,17 @@ object Bench {
       if (!async) None
       else Some(new graft.icelite.Maintenance.CompactionDaemon(
         table, graft.stream.MergeApply.maxDeltaChain))
+    // Periodic maintenance cadence for LARGE-LOG passes (off by
+    // default): every N batches, drain the compaction daemon, sweep
+    // orphaned pre-fold files, and nudge the JVM GC so ContextCleaner
+    // releases finished batches' shuffle files. On a cluster all three
+    // run concurrently on maintenance resources; on one tmpfs-backed
+    // box they must run inline or a 10x pass accumulates tens of GB of
+    // dead shuffle+orphan bytes and the box OOMs (observed). The
+    // cadence runs OUTSIDE the timed sections — the metric is apply
+    // throughput — and its wall share is reported separately.
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_EVERY", "0").toInt
+    var maintSec = 0.0
     val timed = chunks.zipWithIndex.map { case (chunk, i) =>
       val raw = spark.read.schema(LogRecord.schema).parquet(chunk: _*)
       val t0 = System.nanoTime()
@@ -122,8 +139,17 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (graft.stream.MergeApply.debugTiming)
         println(f"  [bench] c$cpus $tag batch $i: ${stats.events} ev, $sec%.2f s (${stats.events / sec}%.0f ev/s)")
+      if (gcEvery > 0 && (i + 1) % gcEvery == 0) {
+        val m0 = System.nanoTime()
+        daemon.foreach(_.drain()) // quiesce: gcOrphans needs no in-flight fold
+        graft.icelite.Maintenance.gcOrphans(table)
+        System.gc()
+        maintSec += (System.nanoTime() - m0) / 1e9
+      }
       (stats.events, sec)
     }
+    if (gcEvery > 0 && graft.stream.MergeApply.debugTiming)
+      println(f"  [bench] c$cpus $tag maintenance wall: $maintSec%.1f s")
     daemon.foreach { d => try d.drain() finally d.close() }
     spark.stop()
     Fs.deleteRecursively(cdc.tableRoot)

@@ -574,13 +574,13 @@ object IceLite {
   def retainedVersions(root: String): Seq[Long] = {
     val dir = metaDir(root)
     if (!Files.isDirectory(dir)) return Nil
-    Files.list(dir).iterator().asScala
+    graft.util.Fs.listDir(dir)
       .flatMap { p =>
         val name = p.getFileName.toString
         if (name.startsWith("v") && name.endsWith(".json"))
           scala.util.Try(name.stripPrefix("v").stripSuffix(".json").toLong).toOption
         else None
-      }.toSeq.sorted
+      }.sorted
   }
 
   /** Latest committed snapshot: follow the version-hint then probe
@@ -639,7 +639,7 @@ object IceLite {
     val base = Paths.get(root, commitRel)
     if (!Files.exists(base)) return Map.empty
     val out = scala.collection.mutable.Map[Int, List[String]]().withDefaultValue(Nil)
-    Files.walk(base).iterator().asScala
+    graft.util.Fs.walkAll(base)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .foreach { p =>
         val rel = Paths.get(root).relativize(p).toString

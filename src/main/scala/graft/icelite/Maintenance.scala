@@ -352,7 +352,11 @@ object Maintenance {
     val dataDir = root.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0
     var deleted = 0
-    Files.walk(dataDir).iterator().asScala
+    // materialized walks/listings (graft.util.Fs closes the underlying
+    // streams): an unclosed Files.list leaks one directory fd per call,
+    // and this sweep visits thousands of bucket dirs per run — the 10x
+    // scale run died with "Too many open files" before this was fixed
+    graft.util.Fs.walkAll(dataDir)
       .filter(p => Files.isRegularFile(p))
       .foreach { p =>
         val rel = root.relativize(p).toString
@@ -366,10 +370,10 @@ object Maintenance {
         }
       }
     // sweep now-empty directories bottom-up
-    Files.walk(dataDir).iterator().asScala.toSeq.reverse
+    graft.util.Fs.walkAll(dataDir).reverse
       .filter(p => Files.isDirectory(p) && p != dataDir)
       .foreach { d =>
-        if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+        if (graft.util.Fs.listDir(d).isEmpty) Files.deleteIfExists(d)
       }
     deleted
   }

@@ -130,10 +130,10 @@ object ZoneMaps {
       val dir = Paths.get(root, commitRel)
       if (!Files.isDirectory(dir)) return
       val rootPath = Paths.get(root)
-      val files = Files.walk(dir).iterator().asScala
+      val files = graft.util.Fs.walkAll(dir)
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
-        .map(p => rootPath.relativize(p).toString).toSeq.sorted
+        .map(p => rootPath.relativize(p).toString).sorted
       if (files.isEmpty) return
       val conf = spark.sessionState.newHadoopConf()
       val stats: Seq[(String, Map[String, ColStats])] =

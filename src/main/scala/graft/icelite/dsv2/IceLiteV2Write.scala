@@ -156,8 +156,10 @@ class IceLiteBatchWrite(root: String, commitRel: String, dataSchema: StructType,
     try {
       val dir = Paths.get(root, commitRel)
       if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        graft.util.Fs.walkAll(dir)
+          .sorted(Ordering.comparatorToOrdering(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]()))
+          .foreach(p => Files.deleteIfExists(p))
       }
     } catch { case NonFatal(_) => () }
   }

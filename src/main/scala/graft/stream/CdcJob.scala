@@ -660,8 +660,7 @@ object CdcJob {
         // GC staged dirs no restart can need anymore (< batchId-1)
         val pd = java.nio.file.Paths.get(pendDir)
         if (java.nio.file.Files.isDirectory(pd)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(pd).iterator().asScala
+          graft.util.Fs.listDir(pd)
             .filter { q =>
               val n = q.getFileName.toString
               n.startsWith("batch-") &&

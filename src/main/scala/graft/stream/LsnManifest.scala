@@ -70,7 +70,7 @@ object LsnManifest {
   private def entries(root: String): Seq[(String, String)] = {
     val d = dirOf(root)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala
+    else graft.util.Fs.listDir(d)
       .filter(p => p.getFileName.toString.endsWith(".lsn"))
       .flatMap { p =>
         // an entry is written atomically, but be permissive on foreign

@@ -85,9 +85,9 @@ object Signals {
   def pending(signalDir: String): Seq[Path] = {
     val d = Paths.get(signalDir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
+    else graft.util.Fs.listDir(d)
       .filter(p => p.getFileName.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
   }
 
   def parse(p: Path): Signal = {

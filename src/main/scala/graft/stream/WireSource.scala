@@ -367,8 +367,8 @@ object WireSource {
       val m = parent.getFileSystem.getPathMatcher("glob:" + p.getFileName.toString)
       val entries =
         if (!java.nio.file.Files.isDirectory(parent)) Nil
-        else java.nio.file.Files.list(parent).iterator().asScala
-          .filter(d => m.matches(d.getFileName)).map(_.toString).toSeq
+        else Fs.listDir(parent)
+          .filter(d => m.matches(d.getFileName)).map(_.toString)
       (parent.toString, entries.flatMap(Fs.listParquet).sorted)
     }
   }

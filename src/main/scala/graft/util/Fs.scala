@@ -8,6 +8,25 @@ import scala.jdk.CollectionConverters._
   * paths would go through Hadoop FileSystem).
   */
 object Fs {
+  /** Materialize a directory listing and CLOSE the stream. `Files.list`
+    * holds an open directory fd until the stream is closed — an
+    * unclosed per-batch/per-bucket call leaks fds until the process
+    * dies with "Too many open files" (observed in a 10x-scale
+    * maintenance loop).
+    */
+  def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** Materialize a recursive walk and CLOSE the stream (same fd
+    * discipline as [[listDir]]).
+    */
+  def walkAll(p: Path): List[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   def deleteRecursively(root: String): Unit = {
     val p = Paths.get(root)
     // a background writer (e.g. the zone-map sidecar daemon) can drop a
@@ -17,8 +36,8 @@ object Fs {
     while (Files.exists(p)) {
       attempts += 1
       try {
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(Files.delete)
+        walkAll(p).sorted(Ordering.comparatorToOrdering(
+          Comparator.reverseOrder[Path]())).foreach(Files.delete)
       } catch {
         case e @ (_: java.nio.file.DirectoryNotEmptyException |
                   _: java.nio.file.NoSuchFileException |
@@ -32,9 +51,9 @@ object Fs {
   def listParquet(dir: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.exists(p)) Seq.empty
-    else Files.walk(p).iterator().asScala
+    else walkAll(p)
       .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq
+      .map(_.toString)
   }
 
   def tempDir(prefix: String): String =
