@@ -713,7 +713,7 @@ object SparkEntry {
       // (bench-noise notes), and the pid suffix keeps concurrent JVMs
       // (a bench run next to a Verify run) from clobbering each
       // other's live index state. Honors GRAFT_TMPDIR like Fs.tempDir.
-      val root = s"${sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))}" +
+      val root = s"${graft.util.Fs.scratchRoot}" +
         s"/graft-ndq-${ProcessHandle.current.pid}"
       graft.util.Fs.deleteRecursively(root)
       // bucket count sized to the corpus half (results are independent
@@ -732,7 +732,7 @@ object SparkEntry {
     // work stays bounded by cap x bands at any clone count
     "stream_neardup_stress" -> ((s, d) => {
       val docs = degenerateCorpus(s)
-      val root = s"${sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))}" +
+      val root = s"${graft.util.Fs.scratchRoot}" +
         s"/graft-ndstress-${ProcessHandle.current.pid}"
       graft.util.Fs.deleteRecursively(root)
       val idx = NearDupIndex.create(s, s"$root/idx",
@@ -760,7 +760,7 @@ object SparkEntry {
     "stream_curation" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val nBatches = 4
-      val root = s"${sys.env.getOrElse("GRAFT_TMPDIR", System.getProperty("java.io.tmpdir"))}" +
+      val root = s"${graft.util.Fs.scratchRoot}" +
         s"/graft-scur-${ProcessHandle.current.pid}"
       graft.util.Fs.deleteRecursively(root)
       val idx = DedupIndex.create(s, s"$root/idx", docs.limit(0), numBuckets = 16)
@@ -1455,6 +1455,28 @@ object SparkEntry {
   val EngineReplayCfg: graft.changelog.ChangeLogConfig =
     graft.changelog.ChangeLogConfig(nTx = 100, nDocs = 100)
 
+  /** Session for the engine-E2E harness cells (fresh conf/registry as
+    * before via `newSession()`), tuned to the cells' FIXED-SIZE
+    * deterministic fixtures: AQE off (the engine's apply/maintenance
+    * plans are explicit fixed shapes — adaptive re-planning adds a
+    * per-stage driver barrier and improves nothing, the same rationale
+    * Bench's CDC sessions document), and shuffle partitions sized to
+    * the fixture (O(100) transactions over O(100) docs; the engine's
+    * own bucket repartitions are explicit `repartition(numBuckets)`
+    * calls, so this only affects auxiliary maintenance aggregations).
+    * These fixtures do NOT grow with the sf — their size is pinned by
+    * the generator configs above — so the partition count is a property
+    * of the fixture, not of the machine; GRAFT_HARNESS_SHUFFLE_PARTITIONS
+    * overrides for diagnostics.
+    */
+  private def harnessSession(spark0: SparkSession): SparkSession = {
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_HARNESS_SHUFFLE_PARTITIONS", "8"))
+    s
+  }
+
   private case class OrphanPick(txId: Long, idx: Long)
 
   /** The retention-abandonment target for `cdc_retention_abandon`: the
@@ -1743,17 +1765,17 @@ object SparkEntry {
     * emit no lineage rows and no oracle rows — consistent by
     * construction.
     */
-  private def e9Batching(spark: SparkSession): DataFrame = {
+  private def e9Batching(spark0: SparkSession): DataFrame = {
     import graft.changelog.ChangeLogGen
     import graft.stream._
+    val spark = harnessSession(spark0)
     val base = graft.util.Fs.tempDir("graft-e9")
     try {
       val cdc = CdcConfig(s"$base/log", s"$base/table", s"$base/ckpt",
         numBuckets = 8, maxFilesPerTrigger = E9FilesPerTrigger)
-      (0 until E9Cfg.nTx.toInt).foreach { i =>
-        ChangeLogGen.stageBatchFile(spark,
-          ChangeLogGen.txRecords(E9Cfg, i.toLong), cdc.logDir, index = i)
-      }
+      ChangeLogGen.stageBatchFiles(spark,
+        (0 until E9Cfg.nTx.toInt).map(i => ChangeLogGen.txRecords(E9Cfg, i.toLong)),
+        cdc.logDir)
       // pin the file source's order: mtimes ascend with the tx index
       graft.util.Fs.listParquet(cdc.logDir).sorted.zipWithIndex.foreach {
         case (f, i) => java.nio.file.Files.setLastModifiedTime(
@@ -1784,7 +1806,7 @@ object SparkEntry {
   private def twsReplay(spark0: SparkSession): DataFrame = {
     import graft.changelog.ChangeLogGen
     import graft.stream._
-    val spark = spark0.newSession()
+    val spark = harnessSession(spark0)
     val base = graft.util.Fs.tempDir("graft-twsreplay")
     try {
       val cfg = EngineReplayCfg
@@ -1830,7 +1852,7 @@ object SparkEntry {
   private def retentionAbandonReplay(spark0: SparkSession): DataFrame = {
     import graft.changelog.ChangeLogGen
     import graft.stream._
-    val spark = spark0.newSession()
+    val spark = harnessSession(spark0)
     val base = graft.util.Fs.tempDir("graft-retabandon")
     try {
       import spark.implicits._
@@ -1946,7 +1968,7 @@ object SparkEntry {
         case _ =>
           import graft.changelog.ChangeLogGen
           import graft.stream._
-          val spark = spark0.newSession()
+          val spark = harnessSession(spark0)
           val base = graft.util.Fs.tempDir("graft-migrate")
           try {
             import spark.implicits._
@@ -2049,7 +2071,7 @@ object SparkEntry {
       case _ =>
         import graft.changelog.ChangeLogGen
         import graft.stream._
-        val spark = spark0.newSession()
+        val spark = harnessSession(spark0)
         val base = graft.util.Fs.tempDir("graft-migback")
         try {
           val cfg = EngineReplayCfg
@@ -2151,16 +2173,15 @@ object SparkEntry {
         case _ =>
           import graft.changelog.ChangeLogGen
           import graft.stream._
-          val spark = spark0.newSession()
+          val spark = harnessSession(spark0)
           val base = graft.util.Fs.tempDir("graft-scd2inc")
           try {
             val cfg = Scd2IncCfg
             val cdc = CdcConfig(s"$base/log", s"$base/src", s"$base/ckptSrc",
               numBuckets = 8)
-            (0L until cfg.nTx).foreach { i =>
-              ChangeLogGen.stageBatchFile(spark,
-                ChangeLogGen.txRecords(cfg, i), cdc.logDir, i.toInt)
-            }
+            ChangeLogGen.stageBatchFiles(spark,
+              (0L until cfg.nTx).map(i => ChangeLogGen.txRecords(cfg, i)),
+              cdc.logDir)
             val src = CdcJob.snapshot(spark,
               ChangeLogGen.initialTable(spark, cfg).toDF(), cdc,
               ChangeLogGen.snapshotLsn)
@@ -2218,7 +2239,7 @@ object SparkEntry {
       case _ =>
         import graft.changelog.ChangeLogGen
         import graft.stream._
-        val spark = spark0.newSession()
+        val spark = harnessSession(spark0)
         val base = graft.util.Fs.tempDir("graft-rebucket")
         try {
           val cfg = EngineReplayCfg
@@ -2263,7 +2284,7 @@ object SparkEntry {
       case _ =>
         import graft.changelog.ChangeLogGen
         import graft.stream._
-        val spark = spark0.newSession()
+        val spark = harnessSession(spark0)
         val base = graft.util.Fs.tempDir("graft-ivmjoin")
         try {
           import spark.implicits._
@@ -2279,11 +2300,10 @@ object SparkEntry {
           // dim side: one staged file per tx -> 5 committed versions
           val dCdc = CdcConfig(s"$base/dlog", s"$base/dim", s"$base/ckptD",
             numBuckets = 2)
-          IvmDimLog.groupBy(_.tx_id).toSeq.sortBy(_._1).zipWithIndex
-            .foreach { case ((_, recs), i) =>
-              ChangeLogGen.stageBatchFile(spark, recs.sortBy(_.lsn),
-                dCdc.logDir, i)
-            }
+          ChangeLogGen.stageBatchFiles(spark,
+            IvmDimLog.groupBy(_.tx_id).toSeq.sortBy(_._1)
+              .map { case (_, recs) => recs.sortBy(_.lsn) },
+            dCdc.logDir)
           val dim = CdcJob.snapshot(spark, IvmDimSeed.toDS().toDF(), dCdc, 0L)
           CdcJob.runBatchIncremental(spark, dim, dCdc, filesPerBatch = 1)
           // the maintainer: early pins replay both histories as deltas

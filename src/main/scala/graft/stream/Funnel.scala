@@ -153,7 +153,8 @@ object Funnel {
     WindowedAgg.quiesceMaintenance(spark)
     def start(liveDir: String) = {
       import spark.implicits._
-      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+      val src = spark.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(liveDir)
         .withColumn("event_time", timestamp_millis(col("m")))
         .withWatermark("event_time", s"$DelayMs milliseconds")
         .as[FunnelEvent]
@@ -166,7 +167,10 @@ object Funnel {
         .option("checkpointLocation", s"$workDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }
-    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    WindowedAgg.withShufflePartitions(spark,
+        WindowedAgg.adaptiveStatePartitions(spark, stagedDir)) {
+      WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    }
     spark.read.parquet(s"$workDir/sink").orderBy(col("u"))
   }
 
@@ -279,7 +283,8 @@ object Funnel {
     WindowedAgg.quiesceMaintenance(spark)
     def start(liveDir: String) = {
       import spark.implicits._
-      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+      val src = spark.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(liveDir)
         .withColumn("event_time", timestamp_millis(col("m")))
         .withWatermark("event_time", s"$DelayMs milliseconds")
         .as[FunnelEvent]
@@ -292,7 +297,10 @@ object Funnel {
         .option("checkpointLocation", s"$workDir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }
-    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    WindowedAgg.withShufflePartitions(spark,
+        WindowedAgg.adaptiveStatePartitions(spark, stagedDir)) {
+      WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    }
     spark.read.parquet(s"$workDir/sink").orderBy(col("u"))
   }
 
@@ -334,7 +342,8 @@ object Funnel {
       "k", numBuckets)
     def start(liveDir: String) = {
       import spark.implicits._
-      val src = spark.readStream.schema(stagedSchema).parquet(liveDir)
+      val src = spark.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(liveDir)
         .withColumn("event_time", timestamp_millis(col("m")))
         .withWatermark("event_time", s"$DelayMs milliseconds")
         .as[FunnelEvent]
@@ -359,7 +368,10 @@ object Funnel {
         }
         .trigger(Trigger.AvailableNow()).start()
     }
-    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    WindowedAgg.withShufflePartitions(spark,
+        WindowedAgg.adaptiveStatePartitions(spark, stagedDir)) {
+      WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    }
     table
   }
 

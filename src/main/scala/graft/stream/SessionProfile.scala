@@ -164,7 +164,8 @@ object SessionProfile {
     */
   private def profiles(spark: SparkSession, liveDir: String): DataFrame = {
     import spark.implicits._
-    spark.readStream.schema(stagedSchema).parquet(liveDir)
+    spark.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(liveDir)
       .withColumn("event_time", timestamp_millis(col("m")))
       .withWatermark("event_time", s"$DelayMs milliseconds")
       .as[SpEvent]
@@ -182,7 +183,10 @@ object SessionProfile {
       .option("path", s"$workDir/sink")
       .option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    WindowedAgg.withShufflePartitions(spark,
+        WindowedAgg.adaptiveStatePartitions(spark, stagedDir)) {
+      WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    }
     spark.read.parquet(s"$workDir/sink")
       .orderBy(col("u"), col("session_start"))
   }
@@ -229,7 +233,10 @@ object SessionProfile {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    WindowedAgg.withShufflePartitions(spark,
+        WindowedAgg.adaptiveStatePartitions(spark, stagedDir)) {
+      WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
+    }
     table
   }
 

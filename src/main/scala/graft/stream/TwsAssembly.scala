@@ -302,7 +302,11 @@ object TwsAssembly {
           s"corrupt graft-batchid-base '$raw' at $f; delete the pin file " +
             "only if the migrated checkpoint is also discarded")
       }
-      require(base > 0, s"corrupt graft-batchid-base $base at $f")
+      // base 0 is LEGITIMATE: a sink with no applied stream batches has
+      // lastBatchId = -1 (snapshot commits keep it there), so the pin
+      // can validly hold lastBatchId + 1 = 0 — rejecting it would
+      // permanently block resume of that migrated query
+      require(base >= 0, s"corrupt graft-batchid-base $base at $f")
       base
     } else {
       val base = table.refresh().summary.lastBatchId + 1L

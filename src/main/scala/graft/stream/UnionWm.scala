@@ -123,7 +123,8 @@ object UnionWm {
     WindowedAgg.quiesceMaintenance(spark)
     def start(liveA: String, liveB: String) = {
       def src(dir: String, tag: String) =
-        spark.readStream.schema(WindowedAgg.stagedSchema).parquet(dir)
+        spark.readStream.schema(WindowedAgg.stagedSchema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
           .withColumn("event_time", timestamp_millis(col("m")))
           .withWatermark("event_time", s"$DelayMs milliseconds")
           .withColumn("src", lit(tag))
@@ -147,15 +148,37 @@ object UnionWm {
     val (liveA, liveB) = (s"$workDir/liveA", s"$workDir/liveB")
     Seq(liveA, liveB).foreach(d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-    fa.zip(fb).foreach { case (a, bf) =>
-      Seq((a, liveA), (bf, liveB)).foreach { case (f, live) =>
-        val p = java.nio.file.Paths.get(f)
-        java.nio.file.Files.copy(p,
-          java.nio.file.Paths.get(live, p.getFileName.toString))
+    WindowedAgg.withShufflePartitions(spark,
+        WindowedAgg.adaptiveStatePartitions(spark, stagedA, stagedB)) {
+      if (WindowedAgg.revealRestarts) {
+        fa.zip(fb).foreach { case (a, bf) =>
+          Seq((a, liveA), (bf, liveB)).foreach { case (f, live) =>
+            val p = java.nio.file.Paths.get(f)
+            java.nio.file.Files.copy(p,
+              java.nio.file.Paths.get(live, p.getFileName.toString))
+          }
+          val q = start(liveA, liveB)
+          q.awaitTermination()
+          WindowedAgg.releaseStateStores(q.runId)
+        }
+      } else {
+        // single-run lockstep: stage everything (modtimes preserved so
+        // each source's maxFilesPerTrigger=1 forms batch i from file i —
+        // both sources advance one file per micro-batch together, the
+        // same pairing the restart loop produced), then ONE drain
+        fa.zip(fb).foreach { case (a, bf) =>
+          Seq((a, liveA), (bf, liveB)).foreach { case (f, live) =>
+            val p = java.nio.file.Paths.get(f)
+            val dest = java.nio.file.Paths.get(live, p.getFileName.toString)
+            java.nio.file.Files.copy(p, dest)
+            java.nio.file.Files.setLastModifiedTime(dest,
+              java.nio.file.Files.getLastModifiedTime(p))
+          }
+        }
+        val q = start(liveA, liveB)
+        q.awaitTermination()
+        WindowedAgg.releaseStateStores(q.runId)
       }
-      val q = start(liveA, liveB)
-      q.awaitTermination()
-      WindowedAgg.releaseStateStores(q.runId)
     }
     spark.read.parquet(s"$workDir/sink")
       .where(col("w_start") < SentinelMs1) // sentinel window never emits

@@ -82,6 +82,15 @@ object WireSource {
   /** Format of a dump root: the manifest marker when the producer was
     * this engine's emit sink (no data file touched), a one-file footer
     * probe for foreign dumps. */
+  /** ONE wire format per dump root. The root-level `_format` marker
+    * (or, absent one, a probe of the given files' own footers) is
+    * applied to every file under the root, including foreign groups
+    * with no manifest entry — a producer appending groups in the OTHER
+    * wire format to an engine-written dump is unsupported (ADVICE r5).
+    * Misclassified foreign groups fall back to "not applied" and
+    * replay idempotently, so the failure mode is wasted work, never
+    * corruption; mixed-format topics belong in separate dump roots.
+    */
   private def dumpFormatIsBinary(spark: SparkSession, root: String,
       files: Seq[String]): Boolean =
     LsnManifest.readFormat(root) match {

@@ -59,7 +59,10 @@ object ScaleData {
       if (k == 0) d
       else offsetCols(d, k, Seq("doc_id"))
         .withColumn("text", concat(col("text"), lit(s" rk$k")))
-        .withColumn("n_chars", col("n_chars") + lit(4L))
+        // the ACTUAL suffix length: at factor > 10 (k >= 10) " rk<k>"
+        // is 5+ chars, and a fixed +4 would silently skew every
+        // length-derived behavior at larger scale factors (ADVICE r5)
+        .withColumn("n_chars", col("n_chars") + lit(s" rk$k".length.toLong))
     })
     write("embeddings", replicate(spark, src, "embeddings", factor) {
       (d, k) => offsetCols(d, k, Seq("vec_id"))

@@ -56,11 +56,22 @@ object Fs {
       .map(_.toString)
   }
 
-  def tempDir(prefix: String): String =
-    sys.env.get("GRAFT_TMPDIR") match {
-      case Some(d) => tempDirIn(d, prefix)
-      case None => Files.createTempDirectory(prefix).toString
-    }
+  /** Scratch root for temp dirs: GRAFT_TMPDIR if set, else tmpfs
+    * (/dev/shm) when the box has one, else java.io.tmpdir. The tmpfs
+    * preference is the same rationale Bench documents for
+    * `spark.local.dir`: harness scratch (checkpoints, staged files,
+    * sink tables — small, deleted per cell) should measure the engine,
+    * not this box's single disk; state-store and offset-log commits
+    * fsync per micro-batch, which on the sandbox disk costs more than
+    * the batch's compute. A real deployment sets GRAFT_TMPDIR (or runs
+    * checkpoints on HDFS/object storage entirely outside this helper).
+    */
+  def scratchRoot: String =
+    sys.env.getOrElse("GRAFT_TMPDIR",
+      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm/graft-tmp"
+      else System.getProperty("java.io.tmpdir"))
+
+  def tempDir(prefix: String): String = tempDirIn(scratchRoot, prefix)
 
   def tempDirIn(base: String, prefix: String): String = {
     Files.createDirectories(Paths.get(base))

@@ -68,6 +68,11 @@ class UnionWmSpec extends SparkSpec {
 
   test("a source idle since restart pins the global watermark at its restored value: nothing drops") {
     val base = graft.util.Fs.tempDir("graft-uwmidle")
+    // the hazard pinned here is RESTART-specific: per-node watermarks
+    // are not checkpointed, so only a restart rebuilds B's node at 0
+    // (within one continuous run B's in-memory node value survives its
+    // idle batches) — run this case under the restart-per-reveal driver
+    sys.props("graft.reveal.restarts") = "true"
     try {
       // B delivers only in batch 0 and is empty afterwards. Per-NODE
       // watermarks are not checkpointed — only the ratcheted global is
@@ -96,7 +101,10 @@ class UnionWmSpec extends SparkSpec {
         (24000L, 1L, 0L), (44000L, 1L, 0L),
         (14000L, 1L, 0L),
         (15000L, 0L, 1L)))
-    } finally graft.util.Fs.deleteRecursively(base)
+    } finally {
+      sys.props.remove("graft.reveal.restarts")
+      graft.util.Fs.deleteRecursively(base)
+    }
   }
 
   test("streaming union agg equals the min-watermark model on real data; the min rule is load-bearing") {
