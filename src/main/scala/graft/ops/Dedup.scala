@@ -206,8 +206,17 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, n: Int = 3, textCol: String = "text",
       maxDocFreq: Int = DefaultMaxDocFreq,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    candidatesOfShingles(cappedShingles(df, n, textCol, maxDocFreq), maxBucket)
+
+  /** [[minhashCandidates]] over an ALREADY-prepared capped-shingle
+    * frame, so a caller that also needs the shingles for verification
+    * ([[lshVerifiedPairs]]) computes them once and caches one frame.
+    */
+  private[graft] def candidatesOfShingles(sh: DataFrame,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = minhashSigArray(df, n, textCol, maxDocFreq)
+    val sig = sigOfHashRows(
+      sh.select(col("doc_id"), pmod(portableHash(col("shingle")), lit(MinhashP)).as("h")))
     val bandStructs = (0 until minhashBands).map { b =>
       struct(lit(b).as("band"),
         bandBucket((0 until MinhashRowsPerBand).map(j =>
@@ -254,8 +263,13 @@ object Dedup {
     */
   def lshVerifiedPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.2,
       textCol: String = "text", maxDocFreq: Int = DefaultMaxDocFreq): DataFrame = {
-    val cand = minhashCandidates(df, n, textCol, maxDocFreq)
+    // ONE shingle pass feeds both the signature aggregation and the
+    // verification joins (guide §1.2 "don't compute things twice"):
+    // candidate generation previously re-derived cappedShingles —
+    // words + explode + distinct + DF-cap anti-join, the pipeline's
+    // single heaviest scan — a second time for the verify side.
     val sh = cappedShingles(df, n, textCol, maxDocFreq).cache()
+    val cand = candidatesOfShingles(sh)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -408,6 +422,17 @@ object Dedup {
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the loop's shuffles from the EDGE COUNT (guide §2.2): every
+    // round is 4 exchanges + an eager checkpoint over frames bounded by
+    // |E| and |V|, so a small graph at the session's full partition
+    // count pays ~rounds x partitions of pure task fixed cost, while a
+    // big graph keeps the session's parallelism (the clamp). The count
+    // materializes the persisted edge list — work the first round would
+    // have done anyway.
+    val nE = e.count()
+    val spark = pairs.sparkSession
+    val loopParts = graft.util.SessionTune.partitionsForRows(spark, nE, 256L << 10)
+    graft.util.SessionTune.withShufflePartitions(spark, loopParts) {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("u").as("node")).distinct()
@@ -422,7 +447,10 @@ object Dedup {
     var prevSum = labelSum(labels)
     var round = 0
     var converged = prevSum == null // empty graph: nothing to propagate
+    val dbg = graft.stream.MergeApply.debugTiming
+    val tLoop0 = System.nanoTime()
     while (!converged && round < maxRounds) {
+      val tR0 = System.nanoTime()
       round += 1
       val nbrMin = sym
         .join(labels.select(col("node").as("v"), col("label").as("vl")), Seq("v"))
@@ -440,14 +468,21 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("__tl"), col("label"))).as("label"))
       // lineage truncation every round (see class note); eager — it IS
-      // the round's materializing action
-      val next = jumped.localCheckpoint(true)
-      val s = labelSum(next)
+      // the round's materializing action, and the convergence sum rides
+      // it as an Observation (CollectMetrics) instead of a second
+      // per-round aggregation job
+      val obs = org.apache.spark.sql.Observation()
+      val next = jumped
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint(true)
+      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
       labels.unpersist()
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      if (dbg) println(f"      [cc] round $round: ${(System.nanoTime() - tR0) / 1e9}%.2f s")
     }
+    if (dbg) println(f"      [cc] loop: $round rounds, ${(System.nanoTime() - tLoop0) / 1e9}%.2f s ($loopParts parts)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     val out = labels
       .select(col("node").as("doc_id"), col("label").as("component_id"))
@@ -458,5 +493,6 @@ object Dedup {
     labels.unpersist()
     sym.unpersist()
     out
+    }
   }
 }

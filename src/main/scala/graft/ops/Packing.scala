@@ -86,12 +86,26 @@ object Packing {
     val g = grpOf(idCol, groups).as("grp")
     val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = docs
-      .select(col(idCol), transform(col(tokCol),
-        t => pmod(t.cast("long"), lit(FpFold))).as("__tv"), g)
-      .withColumn("__n", size(col("__tv")).cast("long"))
+    // Decision pass on NARROW rows, payload moved once (guide §8): the
+    // running-offset window previously carried every document's token
+    // array through an exchange hashed to `groups` partitions — the
+    // whole corpus's fragment/fingerprint arithmetic then ran at
+    // parallelism `groups` (a packing-layout constant, NOT a cluster
+    // width). Now the window sums (doc_id, n) only; the token arrays
+    // meet their offsets through an equi-join on the doc id (broadcast
+    // while the offset table is small, sort-merge at scale), so the
+    // per-token work runs at scan/cluster parallelism and the only
+    // exchange of fragment partials is the final (grp, seq) groupBy.
+    val lens = docs
+      .select(col(idCol), size(col(tokCol)).cast("long").as("__n"), g)
       .where(col("__n") > 0)
       .withColumn("end_off", sum(col("__n")).over(w))
+      .select(col(idCol), col("grp"), col("end_off"))
+    val base = docs
+      .select(col(idCol), transform(col(tokCol),
+        t => pmod(t.cast("long"), lit(FpFold))).as("__tv"))
+      .join(lens, Seq(idCol))
+      .withColumn("__n", size(col("__tv")).cast("long"))
       .withColumn("start_off", col("end_off") - col("__n"))
     val spans = base.withColumn("seq", explode(sequence(
       floor(col("start_off") / capacity).cast("long"),

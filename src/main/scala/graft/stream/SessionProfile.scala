@@ -184,7 +184,7 @@ object SessionProfile {
       .option("checkpointLocation", s"$workDir/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     WindowedAgg.withShufflePartitions(spark,
-        WindowedAgg.adaptiveStatePartitions(spark, stagedDir)) {
+        WindowedAgg.adaptiveTwsPartitions(spark, stagedDir)) {
       WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
     }
     spark.read.parquet(s"$workDir/sink")
@@ -234,7 +234,7 @@ object SessionProfile {
       }
       .trigger(Trigger.AvailableNow()).start()
     WindowedAgg.withShufflePartitions(spark,
-        WindowedAgg.adaptiveStatePartitions(spark, stagedDir)) {
+        WindowedAgg.adaptiveTwsPartitions(spark, stagedDir)) {
       WindowedAgg.driveRevealed(stagedDir, start, s"$workDir/live")
     }
     table

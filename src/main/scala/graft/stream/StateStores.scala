@@ -31,10 +31,26 @@ object StateStores {
     */
   def useRocksDb(spark: SparkSession): SparkSession = {
     spark.conf.set(ProviderKey, RocksDbProvider)
+    spark.conf.set(ChangelogKey, changelogDefault)
     spark
   }
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Changelog checkpointing: commit writes the batch's CHANGELOG to the
+    * checkpoint instead of a full RocksDB snapshot per partition per
+    * batch (snapshots still happen, in the background maintenance
+    * thread at `minDeltasForSnapshot` cadence). Same recovery contract,
+    * amortized O(delta) commit cost instead of O(state) — the
+    * production setting for frequent small commits, and measurably the
+    * dominant per-batch fixed cost of every transformWithState pipeline
+    * here with the default (off). `GRAFT_ROCKSDB_CHANGELOG=false`
+    * restores the eager-snapshot behavior for diagnostics.
+    */
+  private val ChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+  private def changelogDefault: String =
+    sys.env.getOrElse("GRAFT_ROCKSDB_CHANGELOG", "true")
 
   /** Runs `body` with this session's provider set to RocksDB, then
     * restores whatever was configured before. Self-contained drains
@@ -44,11 +60,17 @@ object StateStores {
     */
   def withRocksDb[A](spark: SparkSession)(body: => A): A = {
     val prior = spark.conf.getOption(ProviderKey)
+    val priorCl = spark.conf.getOption(ChangelogKey)
     spark.conf.set(ProviderKey, RocksDbProvider)
+    spark.conf.set(ChangelogKey, changelogDefault)
     try body
-    finally prior match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None    => spark.conf.unset(ProviderKey)
+    finally {
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(s) => spark.conf.set(key, s)
+        case None    => spark.conf.unset(key)
+      }
+      restore(ProviderKey, prior)
+      restore(ChangelogKey, priorCl)
     }
   }
 }

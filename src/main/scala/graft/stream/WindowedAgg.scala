@@ -227,10 +227,14 @@ object WindowedAgg {
       val q = start(liveDir)
       q.awaitTermination()
       if (MergeApply.debugTiming)
-        q.recentProgress.foreach(p =>
+        q.recentProgress.foreach { p =>
+          val dur = Option(p.durationMs).map(m =>
+            m.entrySet().toArray.map(_.toString).sorted.mkString(" ")).getOrElse("")
           println(s"      [reveal] batch ${p.batchId}: rows=${p.numInputRows} " +
             s"wm=${Option(p.eventTime).map(_.get("watermark")).orNull} " +
-            s"dropped=${p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")}"))
+            s"dropped=${p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")} " +
+            s"[$dur]")
+        }
       releaseStateStores(q.runId)
       if (MergeApply.debugTiming)
         println(f"      [reveal] single-run (${files.size} files): ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -249,11 +253,31 @@ object WindowedAgg {
     */
   private[stream] def adaptiveStatePartitions(spark: SparkSession,
       stagedDirs: String*): Int =
+    adaptivePartitionsFor(spark, 32L << 20, stagedDirs)
+
+  /** Partition sizing for PER-ROW-STATE drains (transformWithState with
+    * per-event RocksDB get/merge/put work, e.g. the session-profile
+    * MapState pipelines): a partition saturates on JNI/state CPU far
+    * below the shuffle-byte target above, so these drains use a much
+    * smaller per-partition byte budget (default 256 KB,
+    * `GRAFT_TWS_PARTITION_BYTES`), still clamped by the session's
+    * configured parallelism — measured 18.5 -> 12.8 s on the
+    * profile-store cell at 8 vs 1 partitions, flat on the low-volume
+    * funnel cells.
+    */
+  private[stream] def adaptiveTwsPartitions(spark: SparkSession,
+      stagedDirs: String*): Int =
+    adaptivePartitionsFor(spark,
+      sys.env.get("GRAFT_TWS_PARTITION_BYTES").map(_.toLong).getOrElse(256L << 10),
+      stagedDirs)
+
+  private def adaptivePartitionsFor(spark: SparkSession, perDefault: Long,
+      stagedDirs: Seq[String]): Int =
     sys.env.get("GRAFT_STREAM_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
       val bytes = stagedDirs.flatMap(graft.util.Fs.listParquet(_))
         .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
       val per = sys.env.get("GRAFT_STREAM_PARTITION_BYTES").map(_.toLong)
-        .getOrElse(32L << 20)
+        .getOrElse(perDefault)
       val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
       math.max(1, math.min(cur, ((bytes + per - 1) / per).toInt))
     }
