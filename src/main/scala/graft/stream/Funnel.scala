@@ -70,28 +70,44 @@ object Funnel {
       st = getHandle.getValueState[FunnelSt]("funnel",
         Encoders.product[FunnelSt], doneTtl)
 
+    /** Per-(key, batch) state hoisting (same rationale as the
+      * SessionProfile handler): ONE ValueState read per key-batch, the
+      * funnel logic replayed on a local variable, one conditional
+      * write-back and NET timer mutations (an arm-then-convert within
+      * the batch registers nothing at all; the verdict logic, emission
+      * order and stale-timer guard are unchanged — FunnelSpec + the
+      * SQL oracles pin them).
+      */
     override def handleInputRows(u: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelVerdict] = {
       if (u < 0L) return Iterator.empty // watermark sentinels
       val sorted = rows.toSeq.sortBy(_.m)
+      if (sorted.isEmpty) return Iterator.empty
+      val orig: Option[FunnelSt] = if (st.exists()) Some(st.get()) else None
+      var cur = orig
+      var timerReg: Option[Long] = None // registered this batch, still live
+      var timerDel: Option[Long] = None // pre-batch timer to delete
       var out = List.empty[FunnelVerdict]
       sorted.foreach { ev =>
-        val cur = if (st.exists()) Some(st.get()) else None
         cur match {
           case None =>
             if (ev.step == "A") {
-              st.update(FunnelSt(ev.m, done = false))
-              getHandle.registerTimer(ev.m + WindowMs)
+              cur = Some(FunnelSt(ev.m, done = false))
+              timerReg = Some(ev.m + WindowMs)
             } // B before any A: ignored
           case Some(s) if !s.done =>
             if (ev.step == "B" && ev.m > s.ta && ev.m <= s.ta + WindowMs) {
               out ::= FunnelVerdict(u, s.ta, ev.m, "converted")
-              st.update(FunnelSt(s.ta, done = true))
-              getHandle.deleteTimer(s.ta + WindowMs)
+              cur = Some(FunnelSt(s.ta, done = true))
+              if (timerReg.contains(s.ta + WindowMs)) timerReg = None
+              else timerDel = Some(s.ta + WindowMs)
             } // non-qualifying events leave the armed funnel untouched
           case Some(_) => // verdict already emitted: ignore
         }
       }
+      if (cur != orig) st.update(cur.get) // cur only ever moves None -> Some
+      timerDel.foreach(getHandle.deleteTimer)
+      timerReg.foreach(getHandle.registerTimer)
       out.reverseIterator
     }
 
@@ -221,32 +237,45 @@ object Funnel {
       st = getHandle.getValueState[FunnelNSt]("funnel_n",
         Encoders.product[FunnelNSt], doneTtl)
 
+    /** Per-(key, batch) state hoisting — the 2-step handler's pattern:
+      * one state read, local replay, one conditional write-back, net
+      * timer mutations. Stage advances between the first and last event
+      * of a batch never touch RocksDB at all.
+      */
     override def handleInputRows(u: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelNVerdict] = {
       if (u < 0L) return Iterator.empty // watermark sentinels
       val sorted = rows.toSeq.sortBy(_.m)
+      if (sorted.isEmpty) return Iterator.empty
+      val orig: Option[FunnelNSt] = if (st.exists()) Some(st.get()) else None
+      var cur = orig
+      var timerReg: Option[Long] = None
+      var timerDel: Option[Long] = None
       var out = List.empty[FunnelNVerdict]
       sorted.foreach { ev =>
-        val cur = if (st.exists()) Some(st.get()) else None
         cur match {
           case None =>
             if (ev.step == steps(0)) {
-              st.update(FunnelNSt(ev.m, ev.m, 1, done = false))
-              getHandle.registerTimer(ev.m + WindowMs)
+              cur = Some(FunnelNSt(ev.m, ev.m, 1, done = false))
+              timerReg = Some(ev.m + WindowMs)
             }
           case Some(s) if !s.done =>
             if (ev.step == steps(s.stage) && ev.m > s.tPrev &&
                 ev.m <= s.ta + WindowMs) {
               if (s.stage + 1 == steps.size) {
                 out ::= FunnelNVerdict(u, s.ta, ev.m, "converted", steps.size.toLong)
-                st.update(FunnelNSt(s.ta, ev.m, steps.size, done = true))
-                getHandle.deleteTimer(s.ta + WindowMs)
+                cur = Some(FunnelNSt(s.ta, ev.m, steps.size, done = true))
+                if (timerReg.contains(s.ta + WindowMs)) timerReg = None
+                else timerDel = Some(s.ta + WindowMs)
               } else
-                st.update(FunnelNSt(s.ta, ev.m, s.stage + 1, done = false))
+                cur = Some(FunnelNSt(s.ta, ev.m, s.stage + 1, done = false))
             }
           case Some(_) => // verdict already emitted: ignore
         }
       }
+      if (cur != orig) st.update(cur.get) // cur only ever moves None -> Some
+      timerDel.foreach(getHandle.deleteTimer)
+      timerReg.foreach(getHandle.registerTimer)
       out.reverseIterator
     }
 

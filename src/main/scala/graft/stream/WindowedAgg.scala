@@ -80,30 +80,44 @@ object WindowedAgg {
   private[stream] def stageFiles(batches: Seq[DataFrame], dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val base = 1700000000000L // fixed epoch base: stable ordering across runs
-    // each staged file is an independent tiny job over the (cached)
-    // derived frame: submit them from a small pool so one job's task
-    // tail back-fills the others (guide §2.6) — destination names and
-    // modtimes are computed from the batch index, so concurrency never
-    // touches the ordering contract
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(4, batches.size)))
-    try {
-      batches.zipWithIndex.map { case (df, i) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = {
-            val tmp = graft.util.Fs.tempDir("graft-wagg-stage")
-            try {
-              df.repartition(1).write.mode("overwrite").parquet(tmp)
-              val part = graft.util.Fs.listParquet(tmp).head
-              val dest = java.nio.file.Paths.get(dir, f"batch-$i%03d.parquet")
-              java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
-              java.nio.file.Files.setLastModifiedTime(dest,
-                java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
-            } finally graft.util.Fs.deleteRecursively(tmp)
+    // ONE Spark job stages every data file: the frames are tagged with
+    // their batch index, shuffled so each index lands wholly in one
+    // task, and written `partitionBy` on the index; driver-side renames
+    // + explicit modtimes then fix the layout the file source expects.
+    // (Formerly one repartition(1) job PER file — 5-11 driver-serial
+    // jobs per cell even pool-parallelized; per-job overhead dominated
+    // at fixture scale. Batch formation is unchanged: same file names,
+    // same modtime schedule, same one-file-per-batch content; row order
+    // WITHIN a staged file is immaterial — every consumer aggregates,
+    // sorts per key in the handler, or keys rows uniquely.)
+    locally {
+      val tagged = batches.zipWithIndex
+        .map { case (df, i) => df.withColumn("__sb", lit(i)) }
+        .reduce(_ unionByName _)
+      val tmp = graft.util.Fs.tempDir("graft-wagg-stage")
+      try {
+        tagged.repartition(col("__sb"))
+          .write.mode("overwrite").partitionBy("__sb").parquet(tmp)
+        (0 until batches.size).foreach { i =>
+          val partDir = java.nio.file.Paths.get(tmp, s"__sb=$i")
+          val dest = java.nio.file.Paths.get(dir, f"batch-$i%03d.parquet")
+          if (java.nio.file.Files.isDirectory(partDir)) {
+            val part = graft.util.Fs.listParquet(partDir.toString).head
+            java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+          } else {
+            // an EMPTY frame writes no partition dir; it must still
+            // stage a file (an empty staged file is a real no-data
+            // micro-batch in the schedule)
+            val e = s"$tmp/__empty$i"
+            batches(i).limit(0).repartition(1).write.mode("overwrite").parquet(e)
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(graft.util.Fs.listParquet(e).head), dest)
           }
-        })
-      }.foreach(_.get())
-    } finally pool.shutdown()
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+        }
+      } finally graft.util.Fs.deleteRecursively(tmp)
+    }
     // WATERMARK-SCHEDULE SPACERS: one EMPTY file between consecutive
     // data files. Spark filters late events with the PREVIOUS batch's
     // watermark and evicts with the current one (the SPARK-40925
