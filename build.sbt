@@ -29,4 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // throughput-oriented GC for the batch pipeline (GRAFT_GC=UseG1GC to override)
   s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
+  // codegen class cache sized for multi-table per-micro-batch plans: one
+  // maintainer trigger holds ~140 live generated classes, so the default
+  // 100-entry LRU evicts EVERY class between reuses — measured ~136
+  // janino recompiles (~3 s driver wall) per trigger with byte-identical
+  // generated source (see OPTIMIZATION_r06.md, codegen-cache section).
+  // A static SQL conf, so it rides the JVM options. Bounded metaspace:
+  // ~4k classes is a few hundred MB at most, far below the heap budget.
+  s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "4000")}",
 )

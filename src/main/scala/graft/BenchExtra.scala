@@ -25,11 +25,16 @@ object BenchExtra {
     val repeats = sys.env.getOrElse("GRAFT_BENCH_REPEATS", "1").toInt
     val noop = sys.env.get("GRAFT_BENCH_NOOP").exists(_.toBoolean)
     val explainDir = sys.env.get("GRAFT_EXPLAIN_DIR")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-extra-$cpus")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_BENCH_SHUFFLE", cpus.toString))
+    // GRAFT_QE_LOG=1: per-action planning/execution breakdown (QeLog);
+    // static conf so every harness newSession builds its own instance
+    val spark = (if (sys.env.get("GRAFT_QE_LOG").exists(_ == "1"))
+      builder0.config("spark.sql.queryExecutionListeners", "graft.tools.QeLog")
+    else builder0)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -61,7 +66,11 @@ object BenchExtra {
         } catch {
           case e: Throwable => System.err.println(s"[bench-extra] $name: $e")
         }
-        println(f"[bench-extra] $name%-28s #$r ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        val cg = org.apache.spark.metrics.source.CodegenMetrics
+        println(f"[bench-extra] $name%-28s #$r ${(System.nanoTime() - t0) / 1e9}%8.3f s " +
+          f"[codegen: ${cg.METRIC_SOURCE_CODE_SIZE.getCount} units, " +
+          f"${cg.METRIC_COMPILATION_TIME.getCount} compiles, " +
+          f"${cg.METRIC_COMPILATION_TIME.getSnapshot.getMean * cg.METRIC_COMPILATION_TIME.getCount / 1000}%.1f s total]")
       }
     }
     spark.stop()

@@ -101,7 +101,7 @@ object DedupIndex {
       lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(FpCol,
           org.apache.spark.sql.types.StringType)))).as("before"),
-      lit(commitLsn).as("commit_lsn"),
+      graft.plans.StableLit.long(commitLsn).as("commit_lsn"),
       // deterministic per fingerprint (not monotonically_increasing_id,
       // which varies across retries/partitionings): a same-commitLsn
       // collision must tie-break the same way on every replay

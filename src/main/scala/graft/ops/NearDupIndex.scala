@@ -252,7 +252,7 @@ object NearDupIndex {
       lit("c").as("op"),
       struct(col("doc_id"), col("sig")).as("after"),
       lit(null).cast(StructType(Seq(StructField("doc_id", LongType)))).as("before"),
-      lit(commitLsn).as("commit_lsn"),
+      graft.plans.StableLit.long(commitLsn).as("commit_lsn"),
       // deterministic per doc (the DedupIndex change_lsn rule)
       TextOps.portableHash(col("doc_id").cast("string")).as("change_lsn"))
     MergeApply.applyBatch(idx.sigs, sigEvents, batchId)
@@ -274,7 +274,7 @@ object NearDupIndex {
       struct(col("bb"), col("members")).as("after"),
       lit(null).cast(StructType(Seq(StructField("bb",
         org.apache.spark.sql.types.StringType)))).as("before"),
-      lit(commitLsn).as("commit_lsn"),
+      graft.plans.StableLit.long(commitLsn).as("commit_lsn"),
       TextOps.portableHash(col("bb")).as("change_lsn"))
     MergeApply.applyBatch(idx.bands, bandEvents, batchId)
     ()

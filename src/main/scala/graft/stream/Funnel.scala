@@ -390,7 +390,7 @@ object Funnel {
               .as("before"),
             struct(storeSchema.fieldNames.toIndexedSeq.map(col): _*)
               .as("after"),
-            lit(batchId + 1L).as("commit_lsn"),
+            graft.plans.StableLit.long(batchId + 1L).as("commit_lsn"),
             TextOps.portableHash(col("k")).as("change_lsn"))
           MergeApply.applyBatch(table, ev, batchId)
           ()

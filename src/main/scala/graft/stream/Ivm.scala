@@ -170,7 +170,7 @@ object Ivm {
         org.apache.spark.sql.types.StructField(vd.groupCol,
           org.apache.spark.sql.types.StringType)))).as("before"),
       after.as("after"),
-      lit(batchId + 1L).as("commit_lsn"),
+      graft.plans.StableLit.long(batchId + 1L).as("commit_lsn"),
       // deterministic per group under replay/repartitioning
       TextOps.portableHash(col("__g")).as("change_lsn"))
   }
@@ -190,7 +190,7 @@ object Ivm {
         org.apache.spark.sql.types.StructField(vd.groupCol,
           org.apache.spark.sql.types.StringType)))).as("before"),
       struct(df.columns.toIndexedSeq.map(col): _*).as("after"),
-      lit(batchId + 1L).as("commit_lsn"),
+      graft.plans.StableLit.long(batchId + 1L).as("commit_lsn"),
       TextOps.portableHash(col(vd.groupCol)).as("change_lsn"))
     MergeApply.applyBatch(view, ev(full, "c").unionByName(ev(gone, "d")), batchId)
     ()

@@ -199,7 +199,7 @@ object IvmJoin {
       when(col("__hit"), lit("c")).otherwise(lit("d")).as("op"),
       lit(null).cast(StructType(Seq(StructField(fKey, keyType)))).as("before"),
       after.as("after"),
-      lit(batchId + 1L).as("commit_lsn"),
+      graft.plans.StableLit.long(batchId + 1L).as("commit_lsn"),
       // deterministic per key under replay/repartitioning
       TextOps.portableHash(col(fKey).cast("string")).as("change_lsn"))
   }
@@ -226,7 +226,7 @@ object IvmJoin {
         lit(op).as("op"),
         lit(null).cast(StructType(Seq(StructField(fKey, keyType)))).as("before"),
         after.as("after"),
-        lit(batchId + 1L).as("commit_lsn"),
+        graft.plans.StableLit.long(batchId + 1L).as("commit_lsn"),
         TextOps.portableHash(col(fKey).cast("string")).as("change_lsn"))
     }
     MergeApply.applyBatch(view, ev(full, "c").unionByName(ev(gone, "d")), batchId)

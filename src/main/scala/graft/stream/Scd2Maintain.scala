@@ -114,7 +114,7 @@ object Scd2Maintain {
       lit("c").as("op"),
       lit(null).cast(StructType(Seq(StructField("k", StringType)))).as("before"),
       struct(fields.map(f => col(f.name)): _*).as("after"),
-      lit(batchId + 1L).as("commit_lsn"),
+      graft.plans.StableLit.long(batchId + 1L).as("commit_lsn"),
       TextOps.portableHash(col("k")).as("change_lsn"))
     out.cache(); out.count() // materialize before the pre-state cache drops
     pre.unpersist()

@@ -52,4 +52,13 @@ object SparkInternals {
     * query too; prefer [[unloadStateStoresForRun]].
     */
   def unloadStateStores(): Unit = StateStore.unloadAll()
+
+  /** Wrap a catalyst expression as a user-facing Column
+    * (`ExpressionUtils.column` is `private[sql]`); used by
+    * [[graft.plans.StableLit]] to surface its codegen-cache-stable
+    * constant expression through the DataFrame API.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -12,4 +12,5 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-48g} -XX:+${GRAFT_GC:-UseParallelGC} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.sql.codegen.cache.maxEntries=${GRAFT_CODEGEN_CACHE:-4000} \
   -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" "$CLS" "$@"
