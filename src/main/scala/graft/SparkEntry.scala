@@ -2186,9 +2186,15 @@ object SparkEntry {
               ChangeLogGen.initialTable(spark, cfg).toDF(), cdc,
               ChangeLogGen.snapshotLsn)
             CdcJob.runBatchIncremental(spark, src, cdc, filesPerBatch = 1)
+            // trigger size 16 over the 48 replayed versions: THREE
+            // maintenance triggers (multi-trigger catch-up still driven
+            // end to end; the interval chaining is multi-version per
+            // batch by construction) at a third of the per-trigger fixed
+            // cost — the production drain shape is bounded LARGE batches
+            // (guide §2.2); the oracle pins the final interval chain
             val (rep, hist) = Scd2Maintain.maintain(spark, src.root,
               s"$base/rep", s"$base/hist", s"$base/ckptScd2",
-              maxVersionsPerTrigger = 8, bootstrapAtVersion = Some(1L))
+              maxVersionsPerTrigger = 16, bootstrapAtVersion = Some(1L))
             val out = Scd2Maintain.view(rep, hist)
               .select(col("doc_id"),
                 col("valid_from_commit"), col("valid_from_change"),
@@ -2273,7 +2279,8 @@ object SparkEntry {
     * [[graft.stream.IvmJoin]] maintainer then bootstraps at version 1
     * (the snapshot-only states) and replays BOTH tables' whole change
     * histories through interleaved differential maintenance
-    * (maxVersionsPerTrigger=2, one exactly-once checkpoint across
+    * (maxVersionsPerTrigger=4 — multi-version batches AND multi-trigger
+    * catch-up both exercised; one exactly-once checkpoint across
     * three tables). Oracle = the fact replay CTE joined with the dim
     * log's own LWW replay: a lost retraction, a missed dim fan-out, a
     * wrong fk re-point, or a stale-row leak all break the hash.
@@ -2307,9 +2314,17 @@ object SparkEntry {
           val dim = CdcJob.snapshot(spark, IvmDimSeed.toDS().toDF(), dCdc, 0L)
           CdcJob.runBatchIncremental(spark, dim, dCdc, filesPerBatch = 1)
           // the maintainer: early pins replay both histories as deltas
+          // trigger size 4: the dim side (5 versions) still needs TWO
+          // triggers (multi-trigger catch-up exercised) while the fixed
+          // per-trigger cost (collects, materialize counts, three engine
+          // applies, broadcast sub-jobs) is paid 2x instead of 3x — the
+          // production shape for draining a backlog is bounded LARGE
+          // batches, not one version at a time (guide §2.2); the delta
+          // algebra is multi-version per batch by construction and the
+          // oracle pins the final view either way
           val (_, _, view) = IvmJoin.maintain(spark, fact.root, dim.root,
             "source", s"$base/repF", s"$base/repD", s"$base/view",
-            s"$base/ckptIvmJ", maxVersionsPerTrigger = 2,
+            s"$base/ckptIvmJ", maxVersionsPerTrigger = 4,
             bootstrapFAt = Some(1L), bootstrapDAt = Some(1L))
           view.refresh()
           val out = view.read().select(
@@ -2328,7 +2343,7 @@ object SparkEntry {
             "total_w" -> col("d_n_tok").cast("long")))
           val (_, agg) = Ivm.maintain(spark, view.root, vd,
             s"$base/cRep", s"$base/cView", s"$base/ckptCascade",
-            maxVersionsPerTrigger = 2, bootstrapAtVersion = Some(1L))
+            maxVersionsPerTrigger = 8, bootstrapAtVersion = Some(1L))
           agg.refresh()
           val casc = agg.read()
             .select(col("source"), col("n_rows"),

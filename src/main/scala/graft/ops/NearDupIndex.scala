@@ -196,7 +196,15 @@ object NearDupIndex {
     * join; uncached, the 128-permutation aggregation would run several
     * times per probe.
     */
-  private def probeUsing(idx: Index, sg: DataFrame, minMatches: Int): DataFrame = {
+  private def probeUsing(idx: Index, sg: DataFrame, minMatches: Int): DataFrame =
+    probeUsingCand(idx, sg, minMatches)._1
+
+  /** [[probeUsing]] plus the candidate-pair cache handle: eager callers
+    * ([[dedupAndUpdate]], once the result is materialized) release it;
+    * lazy callers ([[probe]]) leave it to the LRU like the sg caches.
+    */
+  private def probeUsingCand(idx: Index, sg: DataFrame,
+      minMatches: Int): (DataFrame, () => Unit) = {
     val br = bandRows(sg)
     val bsnap = idx.bands.refresh()
     // distinct BUCKET ids (≤ numBuckets ints — driver-safe at any batch
@@ -206,11 +214,15 @@ object NearDupIndex {
       .distinct().collect().map(_.getInt(0)).toSeq
     val bandIdx = idx.bands.readMerged(buckets)
       .where(!col(IceLite.TOMB)).select(col("bb"), col("members"))
+    // persisted: the candidate PAIR list is consumed twice (the bucket-id
+    // collect below and the verification join) — uncached, the explode +
+    // distinct over the banded index would run twice per probe
     val cand = bandIdx
       .join(broadcast(br.select(col("doc_id"), col("bb"))), Seq("bb"))
       .select(col("doc_id"), explode(col("members")).as("dup_of"))
       .where(col("dup_of") =!= col("doc_id"))
       .distinct()
+      .persist()
     val ssnap = idx.sigs.refresh()
     val candBuckets = cand
       .select(pmod(hash(col("dup_of")), lit(ssnap.numBuckets)).cast("int").as("b"))
@@ -218,18 +230,27 @@ object NearDupIndex {
     val sigIdx = idx.sigs.readMerged(candBuckets)
       .where(!col(IceLite.TOMB))
       .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
-    val withA = cand.join(sg.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
     // integer verification: count equal components with the codegen'd
     // sig_matches expression (an unrolled 128-term when-chain exceeds
-    // janino's 64 KB method limit and silently de-codegens the stage)
+    // janino's 64 KB method limit and silently de-codegens the stage).
+    // Broadcast MOVES KEYS, NOT PAYLOADS (guide §8): the pair list is
+    // 16 bytes/row, so it broadcasts at any candidate count the bucket
+    // cap admits, while the k-long signature arrays ride their own
+    // sides — the former shape broadcast cand ⨝ sig_a (the batch's
+    // FULL signature payload replicated per candidate: at the
+    // degenerate-stress operating point ~1.3M candidates x ~1 KB of
+    // array, a GB-scale broadcast build). The index is still never
+    // shuffled; sig_a attaches from the batch-sized (cached) sg frame.
     graft.plans.VecMath.register(sg.sparkSession)
-    sigIdx.join(broadcast(withA), Seq("dup_of"))
+    val out = sigIdx.join(broadcast(cand), Seq("dup_of"))
+      .join(broadcast(sg.select(col("doc_id"), col("sig").as("sig_a"))), Seq("doc_id"))
       .withColumn("matches", expr("sig_matches(sig_a, sig_b)"))
       .where(col("matches") >= minMatches)
       .groupBy(col("doc_id"))
       .agg(min(col("dup_of")).as("dup_of"),
         min_by(col("matches"), col("dup_of")).as("matches"))
       .select(col("doc_id"), col("dup_of"), col("matches"))
+    (out, () => { cand.unpersist(); () })
   }
 
   /** Register new docs: signatures insert, band member lists
@@ -370,25 +391,28 @@ object NearDupIndex {
     //    bounded approximation, each flagged doc is distinct content.)
     val (sgB, release) = signaturesCached(batchCanon, textCol)
     try {
-      val dups = probeUsing(idx, sgB, minMatches).select(col("doc_id"))
-      val clean0 = batchCanon.join(broadcast(dups), Seq("doc_id"), "left_anti")
-      val sgC = sgB.join(broadcast(clean0.select(col("doc_id"))),
-        Seq("doc_id"), "left_semi")
-      val near = withinBatchNearDups(sgC, minMatches, maxBucket).persist()
+      val (probed, releaseCand) = probeUsingCand(idx, sgB, minMatches)
       try {
-        // materialize the clean rows while the upstream caches are hot,
-        // then release every per-batch cache deterministically — a
-        // long-running stream must not accumulate cached frames. The
-        // returned frame itself stays cached (batch-sized); stream()
-        // unpersists it after writing.
-        val clean = clean0.join(broadcast(near), Seq("doc_id"), "left_anti").persist()
-        try clean.count()
-        catch { case t: Throwable => clean.unpersist(); throw t }
-        updateFrom(idx,
-          sgC.join(broadcast(near), Seq("doc_id"), "left_anti"),
-          batchId, commitLsn, maxBucket)
-        clean
-      } finally { near.unpersist(); () }
+        val dups = probed.select(col("doc_id"))
+        val clean0 = batchCanon.join(broadcast(dups), Seq("doc_id"), "left_anti")
+        val sgC = sgB.join(broadcast(clean0.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        val near = withinBatchNearDups(sgC, minMatches, maxBucket).persist()
+        try {
+          // materialize the clean rows while the upstream caches are hot,
+          // then release every per-batch cache deterministically — a
+          // long-running stream must not accumulate cached frames. The
+          // returned frame itself stays cached (batch-sized); stream()
+          // unpersists it after writing.
+          val clean = clean0.join(broadcast(near), Seq("doc_id"), "left_anti").persist()
+          try clean.count()
+          catch { case t: Throwable => clean.unpersist(); throw t }
+          updateFrom(idx,
+            sgC.join(broadcast(near), Seq("doc_id"), "left_anti"),
+            batchId, commitLsn, maxBucket)
+          clean
+        } finally { near.unpersist(); () }
+      } finally releaseCand()
     } finally release()
   }
 }

@@ -24,6 +24,28 @@ object CodegenProbe {
     val cg = org.apache.spark.metrics.source.CodegenMetrics
     def units(): Long = cg.METRIC_SOURCE_CODE_SIZE.getCount
 
+    // per-job wall vs summed task time: separates scheduler/driver fixed
+    // cost from executor work inside one tiny apply batch
+    val jobLog = sys.env.contains("GRAFT_JOB_LOG")
+    if (jobLog) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val taskNs = new java.util.concurrent.atomic.AtomicLong()
+        private val tasks = new java.util.concurrent.atomic.AtomicInteger()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          t0.put(js.jobId, System.nanoTime()); taskNs.set(0); tasks.set(0)
+        }
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskInfo != null) {
+            taskNs.addAndGet((te.taskInfo.finishTime - te.taskInfo.launchTime) * 1000000L)
+            tasks.incrementAndGet(); ()
+          }
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val w = (System.nanoTime() - t0.getOrDefault(je.jobId, System.nanoTime())) / 1e9
+          println(f"      [job] ${je.jobId}%4d wall=$w%.3fs tasks=${tasks.get} taskSum=${taskNs.get / 1e9}%.3fs")
+        }
+      })
     val base = graft.util.Fs.tempDir("graft-cgprobe")
     try {
       // phase 1: the real batch-incremental path (tx assembly included),

@@ -81,6 +81,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(table.refresh().deltas.values.exists(_.nonEmpty), "fixture needs delta chains")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // zero the small-read floor: this spec pins the AT-SCALE plan shape
+    // (a dirty bucket's base at 100 TB always exceeds the floor); the
+    // small path is pinned by the next spec
+    val prevSmall = graft.icelite.IceLite.smallMergedReadBytes
+    graft.icelite.IceLite.smallMergedReadBytes = 0L
     try {
       val plan = table.read().queryExecution.executedPlan
       val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
@@ -101,7 +106,29 @@ class PlanShapeSpec extends SparkSpec {
       assert(joinTypes.contains(LeftAnti) && joinTypes.contains(LeftSemi),
         s"expected broadcast anti+semi split of the base:\n$plan")
       assert(!plan.toString.contains("SortMergeJoin"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+      // small-read fast path (fixture-sized dirty set): ONE global LWW
+      // exchange, no broadcast split — and bit-identical rows
+      graft.icelite.IceLite.smallMergedReadBytes = 8L << 20
+      val splitRows = {
+        graft.icelite.IceLite.smallMergedReadBytes = 0L
+        val r = table.read().orderBy("doc_id").collect().toSeq
+        graft.icelite.IceLite.smallMergedReadBytes = 8L << 20
+        r
+      }
+      val smallPlanDf = table.read()
+      val smallPlan = smallPlanDf.queryExecution.executedPlan
+      val smallShuffles = smallPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(smallShuffles.size == 1,
+        s"small merged read should be ONE global LWW exchange:\n$smallPlan")
+      assert(smallPlan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"small merged read should have no broadcast split:\n$smallPlan")
+      assert(smallPlanDf.orderBy("doc_id").collect().toSeq == splitRows,
+        "small-path rows must equal broadcast-path rows")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      graft.icelite.IceLite.smallMergedReadBytes = prevSmall
+    }
     Fs.deleteRecursively(base)
   }
 
