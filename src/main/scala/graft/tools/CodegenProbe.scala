@@ -64,7 +64,8 @@ object CodegenProbe {
         val raw = spark.read.schema(graft.model.LogRecord.schema).parquet(f)
         val u0 = units()
         val t0 = System.nanoTime()
-        graft.stream.CdcJob.processBatch(table, raw, j.toLong, broadcastAssembly = true)
+        graft.stream.CdcJob.processBatch(table, raw, j.toLong,
+          broadcastAssembly = !sys.env.contains("GRAFT_PROBE_WINDOWED"))
         println(f"[probe] incr batch $j: ${(System.nanoTime() - t0) / 1e9}%.3f s, " +
           s"${units() - u0} new codegen units")
       }
